@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Last-write-wins fold primitives.
+  *
+  * The reference folds a globally-ordered event log into per-entity
+  * dictionary state with field-wise overwrites
+  * (`/root/reference/OpenFTTH.RelationalProjector/State/ProjektorState.cs:20-690`).
+  * In Spark we express that fold as a single hash aggregate per entity key
+  * using `max_by` — partial aggregation happens map-side, so the shuffle
+  * carries one row per (partition, key) instead of the full event stream.
+  * This is deliberately NOT a `Window.partitionBy(id).orderBy(seq)` +
+  * `last(...)`: a window needs a full shuffle + per-partition sort of every
+  * event, while `max_by` folds in O(1) state per key and scales to a
+  * 100 TB log as an ordinary partial/final aggregate.
+  */
+object Folds {
+
+  /** Value of `value` at the greatest `seq` among rows where `cond` holds.
+    * Rows where `cond` is false contribute a NULL ordering key, which
+    * `max_by` ignores. Returns NULL when no row matches.
+    */
+  def lastWhere(value: Column, seq: Column, cond: Column): Column =
+    max_by(value, when(cond, seq))
+
+  /** Last non-NULL value of `value` in `seq` order (field-wise overwrite
+    * semantics: an event that does not carry the field leaves it unchanged).
+    */
+  def lastNonNull(value: Column, seq: Column): Column =
+    lastWhere(value, seq, value.isNotNull)
+
+  /** Value of `value` at the greatest `seq` among rows where `cond` holds,
+    * *including* NULL values (wholesale overwrite semantics: the latest
+    * qualifying event replaces the field even with NULL — e.g. the
+    * reference's AddressInfoChanged handlers assign possibly-null GUIDs
+    * directly, `ProjektorState.cs:318-320,569-571,636`).
+    * Implemented by wrapping in a struct so the ordering row is non-null.
+    */
+  def lastEvenNull(value: Column, seq: Column, cond: Column): Column =
+    max_by(struct(value.as("v")), when(cond, seq)).getField("v")
+}

@@ -1,0 +1,206 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Folds, Walks}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's event-sourcing operators (SURVEY.md §2) exercised on the
+  * driver's generic `events` stream table
+  * (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,
+  * value DOUBLE, props JSON-STRING).
+  *
+  * `event_id` is the global sequence number (unique, ascending — the
+  * analogue of the reference event store's total order, `Worker.cs:32,42`);
+  * `user_id` is the entity/aggregate key; `event_type` is the dispatch
+  * discriminator (`RelationalDatabaseProjection.cs:92-218`).
+  *
+  * All folds are hash aggregates via max_by (see [[graft.ops.Folds]]) —
+  * no window shuffle-sort on the event-stream hot path.
+  */
+object EventFold {
+
+  /** evt_lww_state: last-write-wins fold per entity — the workhorse of the
+    * reference's batch backfill (SURVEY.md §2.5): per user, the latest
+    * event's type and value, the latest *purchase* value (field-wise
+    * overwrite: events of other types leave the field untouched), event
+    * count and high-water sequence.
+    */
+  def lwwState(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val seq = col("event_id")
+    ev.groupBy(col("user_id"))
+      .agg(
+        max_by(col("event_type"), seq).as("last_type"),
+        max_by(col("value"), seq).as("last_value"),
+        Folds.lastWhere(col("value"), seq, col("event_type") === "purchase").as("last_purchase_value"),
+        count(lit(1)).as("n_events"),
+        max(seq).as("high_water"))
+      .orderBy(col("user_id"))
+  }
+
+  /** evt_dispatch_stats: projection registration/dispatch — per event type
+    * (the 28-way type switch of the reference, SURVEY.md §2.1): count and
+    * exact decimal sum of values.
+    */
+  def dispatchStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** evt_lifecycle_alive: the alive/removed lifecycle filter (placed vs
+    * removed folds, e.g. `ProjektorState.cs:68-84,268-291`): an entity is
+    * "alive" if its latest lifecycle event (signup=create, error=remove) is
+    * a signup; report each alive user with its creation count.
+    */
+  def lifecycleAlive(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val seq = col("event_id")
+    val lifecycle = col("event_type").isin("signup", "error")
+    ev.groupBy(col("user_id"))
+      .agg(
+        Folds.lastWhere(col("event_type"), seq, lifecycle).as("last_lifecycle"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signups"))
+      .filter(col("last_lifecycle") === "signup")
+      .select(col("user_id"), col("n_signups"))
+      .orderBy(col("user_id"))
+  }
+
+  /** evt_walk_dedup: ordered walk + first-occurrence dedup + 1-based seq_no
+    * (`ProjektorState.cs:673-689` + `PostgresWriter.cs:56-65`): the ordered
+    * list of distinct event types each user visited, exploded with ordinal.
+    * Formulated as a pure relational first-occurrence rank — identical
+    * semantics to array_distinct-then-posexplode but expressible in the
+    * DuckDB oracle, and shuffle-light (single groupBy + one small window
+    * over per-user distinct types).
+    */
+  def walkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val first = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_seq"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("first_seq"))
+    first.withColumn("seq_no", row_number().over(w).cast("int"))
+      .select(col("user_id"), col("event_type"), col("seq_no"))
+      .orderBy(col("user_id"), col("seq_no"))
+  }
+
+  /** evt_asof_value: the as-of forward-fill join (SURVEY.md §3's ordering
+    * contract: "resolve the relation as of the event's position in the
+    * log"): each purchase event picks up the most recent preceding view
+    * value of the same user. Window last-non-null forward fill — the same
+    * pattern the engine uses to resolve interest walks as-of cable events.
+    */
+  def asofValue(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_view_value",
+        last(when(col("event_type") === "view", col("value")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"), col("last_view_value"))
+  }
+
+  /** evt_cdc_classify: CDC change-kind derivation (NEW/UPDATED/REMOVED,
+    * `State/ObjectState.cs:13-18`): classify each user by fold outcome —
+    * 'insert' if only one event ever, 'delete' if last lifecycle event is
+    * error, else 'update'.
+    */
+  def cdcClassify(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val seq = col("event_id")
+    val lifecycle = col("event_type").isin("signup", "error")
+    ev.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Folds.lastWhere(col("event_type"), seq, lifecycle).as("last_lifecycle"))
+      .withColumn("change_type",
+        when(col("n_events") === 1, "insert")
+          .when(col("last_lifecycle") === "error", "delete")
+          .otherwise("update"))
+      .select(col("user_id"), col("n_events"), col("change_type"))
+      .orderBy(col("user_id"))
+  }
+
+  /** evt_session_agg: sessionization — gap > 30 min starts a new session
+    * (windowed lag + running sum); per user: number of sessions and events.
+    * This is the batch analogue of the streaming state fold (§2.9).
+    */
+  def sessionAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val withGap = ev.withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || (col("ts_us") - col("prev_us")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+    withGap.groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_lww_state" -> lwwState,
+    "evt_dispatch_stats" -> dispatchStats,
+    "evt_lifecycle_alive" -> lifecycleAlive,
+    "evt_walk_dedup" -> walkDedup,
+    "evt_asof_value" -> asofValue,
+    "evt_cdc_classify" -> cdcClassify,
+    "evt_session_agg" -> sessionAgg)
+
+  val oracleSql: Map[String, String] = Map(
+    "evt_lww_state" ->
+      """SELECT user_id,
+        |  arg_max(event_type, event_id) AS last_type,
+        |  arg_max(value, event_id) AS last_value,
+        |  arg_max(value, event_id) FILTER (WHERE event_type = 'purchase') AS last_purchase_value,
+        |  count(*) AS n_events,
+        |  max(event_id) AS high_water
+        |FROM events GROUP BY user_id""".stripMargin,
+    "evt_dispatch_stats" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+    "evt_lifecycle_alive" ->
+      """SELECT user_id, n_signups FROM (
+        |  SELECT user_id,
+        |    arg_max(event_type, event_id) FILTER (WHERE event_type IN ('signup','error')) AS last_lifecycle,
+        |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signups
+        |  FROM events GROUP BY user_id) t
+        |WHERE last_lifecycle = 'signup'""".stripMargin,
+    "evt_walk_dedup" ->
+      """SELECT user_id, event_type,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY first_seq) AS INT) AS seq_no
+        |FROM (SELECT user_id, event_type, min(event_id) AS first_seq
+        |      FROM events GROUP BY user_id, event_type) t""".stripMargin,
+    "evt_asof_value" ->
+      """SELECT event_id, user_id, value, last_view_value FROM (
+        |  SELECT event_id, user_id, event_type, value,
+        |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_value
+        |  FROM events) t WHERE event_type = 'purchase'""".stripMargin,
+    "evt_cdc_classify" ->
+      """SELECT user_id, n_events,
+        |  CASE WHEN n_events = 1 THEN 'insert'
+        |       WHEN last_lifecycle = 'error' THEN 'delete'
+        |       ELSE 'update' END AS change_type
+        |FROM (
+        |  SELECT user_id, count(*) AS n_events,
+        |    arg_max(event_type, event_id) FILTER (WHERE event_type IN ('signup','error')) AS last_lifecycle
+        |  FROM events GROUP BY user_id) t""".stripMargin,
+    "evt_session_agg" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_us IS NULL OR (epoch_us(ts) - prev_us) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_us
+        |    FROM events) a) b
+        |GROUP BY user_id""".stripMargin)
+}

@@ -1,0 +1,220 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator inventory over the TPC-H-ish driver tables:
+  * scan + filter pushdown, projection, hash aggregation, broadcast and
+  * shuffle joins, semi/anti joins, window ranking, sort/limit, set ops,
+  * distinct aggregation, conditional aggregation (SURVEY.md §2.3-§2.7
+  * re-expressed on the driver's generic tables).
+  *
+  * DuckDB-oracle parity rules used throughout:
+  *   - monetary/quantity sums go through DECIMAL(18,2) so partial-aggregate
+  *     ordering cannot perturb low-order float bits; final values are cast
+  *     back to DOUBLE (identical bits in both engines from identical exact
+  *     decimals);
+  *   - averages are exact-decimal sums divided in DOUBLE;
+  *   - every computed column is aliased identically in Spark and SQL (the
+  *     driver sorts columns by name before hashing);
+  *   - no raw timestamps in outputs (Spark truncates parquet ns → µs;
+  *     DuckDB keeps ns) — dates are output as DATE.
+  *
+  * Scale notes: every aggregate here is a partial+final hash aggregate
+  * (map-side combine); the only broadcast joins are against genuinely
+  * bounded dimensions (nation: 25 rows, region: 5); fact-fact joins
+  * (lineitem ⋈ orders) are left to Catalyst/AQE, which picks shuffled hash
+  * join with both sides partitioned by the join key — the right plan at
+  * 100 TB too.
+  */
+object Relational {
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** q1: pricing summary — full-scan hash aggregation with map-side combine. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q2: selective filter + projection — predicates must reach the parquet
+    * scan (`PushedFilters`), schema pruned to 4 columns. */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+  }
+
+  /** q3: revenue by nation — fact⋈fact shuffle join plus broadcast dimension
+    * chain (customer→nation), mirroring the reference's dimension hash
+    * lookups (SURVEY.md §2.4). */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("n_name"))
+  }
+
+  /** q4: top-3 orders per customer by price — window ranking with a
+    * deterministic (o_totalprice DESC, o_orderkey) tiebreak. */
+  def q4WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+  }
+
+  /** q5: global top-20 orders — sort + limit (TakeOrderedAndProject: per-
+    * partition top-K then a single driver merge; never a full global sort). */
+  def q5TopK(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(20)
+  }
+
+  /** q6: set ops — customers ordering in 1994 minus those ordering in 1995,
+    * the reference's delete-then-reinsert "except on key" pattern
+    * (SURVEY.md §2.7). */
+  def q6SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val y95 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey")).distinct()
+    val y96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")).distinct()
+    y95.except(y96).orderBy(col("o_custkey"))
+  }
+
+  /** q7: semi/anti joins — the reference's existence-guarded update and
+    * silent-skip lookup semantics (SURVEY.md §2.3): customers WITH orders
+    * (semi) vs customers WITHOUT (anti), labeled. */
+  def q7SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_orders").as("order_status"))
+    val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").as("order_status"))
+    withOrders.unionByName(withoutOrders)
+  }
+
+  /** q8: distinct aggregation per group. */
+  def q8DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q9: conditional (pivot-style) aggregation — the dispatch-by-type
+    * pattern (`filter(event_type === t)` per derivation, SURVEY.md §2.1)
+    * expressed as one pass with when/otherwise. */
+  def q9CaseAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", dec(col("l_quantity"))).otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("double").as("qty_returned"),
+        sum(when(col("l_returnflag") =!= "R", dec(col("l_quantity"))).otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("double").as("qty_kept"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** q10: group + HAVING — parts appearing on many lines. */
+  def q10Having(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+      .filter(col("n_lines") >= 40)
+      .orderBy(col("l_partkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q2_filter_project" -> q2FilterProject,
+    "q3_join_agg" -> q3JoinAgg,
+    "q4_window_rank" -> q4WindowRank,
+    "q5_topk" -> q5TopK,
+    "q6_setops" -> q6SetOps,
+    "q7_semi_anti" -> q7SemiAnti,
+    "q8_distinct_agg" -> q8DistinctAgg,
+    "q9_case_agg" -> q9CaseAgg,
+    "q10_having" -> q10Having)
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity < 10""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q4_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        |  FROM orders) t WHERE rk <= 3""".stripMargin,
+    "q5_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q6_setops" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+    "q7_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS order_status FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS order_status FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q8_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q9_case_agg" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_returned,
+        |  CAST(sum(CASE WHEN l_returnflag <> 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_kept
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q10_having" ->
+      """SELECT l_partkey, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 40""".stripMargin)
+}
