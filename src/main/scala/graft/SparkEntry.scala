@@ -19,7 +19,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.EventFold.queries
+      graft.queries.EventFold.queries ++
+      graft.queries.Pipeline.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
@@ -27,5 +28,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
-      graft.queries.EventFold.oracleSql
+      graft.queries.EventFold.oracleSql ++
+      graft.queries.Pipeline.oracleSql
 }

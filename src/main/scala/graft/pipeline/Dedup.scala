@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design: exact dedup is a single hash aggregate on a fingerprint
+  * (map-side combined). MinHash signatures are row-local (narrow); LSH
+  * banding turns the O(n²) all-pairs problem into a shuffle keyed by
+  * (band, band-hash) so only same-bucket documents are compared — the
+  * standard way near-dup detection survives 100 TB. SimHash is a row-local
+  * 64-bit sketch compared by hamming distance within LSH buckets.
+  */
+object Dedup {
+
+  /** 64-bit stable hash of a shingle with a seed (xxhash64, codegen'd). */
+  private def h(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
+
+  /** MinHash signature: for each of `k` hash seeds, the minimum hash over
+    * the document's shingle set. Row-local; ARRAY<BIGINT> length k. */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    array((0 until k).map(seed => array_min(transform(shingleArr, s => h(s, seed)))): _*)
+
+  /** LSH band keys: the signature split into `bands` rows-per-band groups,
+    * each hashed to one bucket key. ARRAY<STRUCT<band INT, key BIGINT>>. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand).cast("array<string>")).as("key"))
+    }: _*)
+
+  /** Candidate near-dup pairs (idA < idB) from MinHash LSH banding: two
+    * docs are candidates if any band collides. Input: (id, shingles).
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, shinglesCol: String,
+      k: Int = 32, bands: Int = 8): DataFrame = {
+    val rowsPerBand = k / bands
+    val sigs = docs.select(col(idCol).as("id"),
+      minhashSignature(col(shinglesCol), k).as("sig"))
+    val buckets = sigs.select(col("id"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of two shingle arrays (set semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Estimated Jaccard from two MinHash signatures (fraction of agreeing
+    * components). */
+  def estimatedJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), (m: Column) => m))
+      .cast("double") / size(sigA).cast("double")
+
+  /** 64-bit SimHash over shingles: bit i of the sketch is the sign of the
+    * sum over shingles of ±1 at bit i of each shingle's hash. Row-local,
+    * expressed with higher-order functions (no UDF).
+    */
+  def simhash(shingleArr: Column): Column = {
+    val hashes = transform(shingleArr, s => h(s, 7919))
+    // per bit: count of set bits minus count of clear bits > 0 → bit set
+    val bitCols = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, v) => acc + when(shiftright(v, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bitCols.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,300 @@
+package graft.queries
+
+import graft.Tables
+import graft.pipeline.{Dedup, Multimodal, Text, Vectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the driver's `documents`
+  * (doc_id, text, lang, source, n_chars) and `embeddings`
+  * (vec_id, embedding ARRAY<FLOAT>, label) tables: deduplication (exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard), similarity search (brute-force
+  * + LSH-bucketed ANN), text analysis (token stats, quality, language id,
+  * fingerprints), and multimodal-column plumbing.
+  *
+  * Oracle strategy: everything SQL-expressible gets a DuckDB oracle with
+  * exact integer/string outputs (quantized dot products as BIGINT, md5
+  * fingerprints, integer counts; doubles only as ratios of exact integers).
+  * Hash-seeded operators (minhash/simhash/LSH) have no portable SQL
+  * equivalent → rows-only checks, but their *verified* outputs (exact
+  * Jaccard over candidate pairs) are asserted in unit tests.
+  */
+object Pipeline {
+
+  /** dedup_exact: exact duplicate groups by normalized-text fingerprint —
+    * keep the smallest doc_id per group, count members. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.groupBy(Text.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("fp"), col("keep_id"), col("n_dups"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** dedup_minhash_lsh: near-dup candidate pairs from MinHash LSH banding,
+    * verified with exact 3-gram Jaccard ≥ 0.5. No SQL oracle (seeded
+    * xxhash64) → rows-only. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
+    val cand = Dedup.minhashCandidates(d, "doc_id", "sh")
+    val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"),
+        floor(col("jaccard") * 10000).cast("long").as("jaccard_q"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** dedup_simhash: 64-bit SimHash sketch per document plus hamming
+    * distance to the doc's exact-dup fingerprint bucket — rows-only
+    * (seeded hashing), asserted in unit tests. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
+    d.select(col("doc_id"), Dedup.simhash(col("sh")).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** dedup_ngram_jaccard: exact 3-gram Jaccard for a deterministic sample
+    * of candidate pairs — blocking on (same lang, close n_chars) with a
+    * sampled left side (doc_id % 50 == 0), threshold 0.2. The verification
+    * operator of the near-dup pipeline, fully SQL-expressible; blocking is
+    * the standard way pairwise verification stays sub-quadratic at scale. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), Text.tokens(col("text")).as("sh"))
+    val sample = d.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("id_a"), col("lang"), col("n_chars").as("nc_a"), col("sh").as("sh_a"))
+    val rest = d.select(col("doc_id").as("id_b"), col("lang"), col("n_chars").as("nc_b"), col("sh").as("sh_b"))
+    sample.join(rest, Seq("lang"))
+      .filter(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= 50)
+      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), floor(col("jaccard") * 10000).cast("long").as("jaccard_q"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** text_token_stats: token counting per document (whitespace + distinct
+    * + BPE-ish subword proxy). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"),
+      Text.tokenCount(col("text")).as("n_tokens"),
+      Text.distinctTokenCount(col("text")).as("n_distinct"),
+      Text.subwordCount(col("text")).as("n_subwords"),
+      length(col("text")).as("n_chars_actual"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** text_quality: quality-score components and composite per document.
+    * All doubles are ratios of exact integers (deterministic bits). */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"),
+      Text.punctRatio(col("text")).as("punct_ratio"),
+      Text.stopwordRatio(col("text")).as("stopword_ratio"),
+      Text.meanTokenLen(col("text")).as("mean_token_len"),
+      Text.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** text_langid: heuristic language id vs. the labeled lang column,
+    * aggregated to a per-(label, prediction) confusion count. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("lang"), Text.langId(col("text")).as("pred"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
+  /** text_fingerprint: md5 document fingerprints (normalized), plus source
+    * grouping stats — the lineage/dedup key operator. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"),
+      substring(Text.fingerprint(col("text")), 1, 8).as("fp_prefix"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ann_brute_topk: brute-force top-10 neighbors (quantized dot product)
+    * for the deterministic query subset vec_id % 100 == 0. */
+  def annBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Vectors.bruteForceTopK(e, q => q % 100 === 0, 10)
+      .select(col("query_id"), col("neighbor_id"), col("sim_q"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** ann_lsh_topk: LSH-bucketed approximate top-10 for the same query set —
+    * rows-only (seeded hyperplanes); recall vs. brute force is asserted in
+    * unit tests. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Vectors.lshTopK(e, q => q % 100 === 0, 10)
+      .select(col("query_id"), col("neighbor_id"), col("sim_q"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** mm_decode_meta: multimodal plumbing, oracle-checkable part — binary
+    * payload byte length + format classification from the bytes. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Multimodal.withMedia(Tables.documents(spark, dir), "text")
+    d.select(col("doc_id"),
+      col("media_meta.byte_len").as("byte_len"),
+      col("media_meta.format").as("format"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** mm_media_plan: the hash-derived decode fields + resize plan + frame
+    * sampling (rows-only: xxhash64-based stub has no SQL equivalent;
+    * invariants asserted in unit tests). */
+  def multimodalPlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = Multimodal.withMedia(Tables.documents(spark, dir), "text")
+    d.select(col("doc_id"),
+      col("media_meta.width").as("width"),
+      col("media_meta.height").as("height"),
+      Multimodal.resizeMeta(col("media_meta"), 320, 240).getField("width").as("resized_w"),
+      Multimodal.resizeMeta(col("media_meta"), 320, 240).getField("height").as("resized_h"),
+      size(Multimodal.sampleFrameIdx(col("media_meta"), 5, 4)).as("n_sampled_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash_lsh" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram_jaccard" -> ngramJaccard,
+    "text_token_stats" -> tokenStats,
+    "text_quality" -> quality,
+    "text_langid" -> langId,
+    "text_fingerprint" -> fingerprints,
+    "ann_brute_topk" -> annBrute,
+    "ann_lsh_topk" -> annLsh,
+    "mm_decode_meta" -> multimodalMeta,
+    "mm_media_plan" -> multimodalPlan)
+
+  // DuckDB equivalents. Shingle construction in SQL mirrors Text.shingles:
+  // trimmed whitespace split, 3-gram windows space-joined, short docs → the
+  // whole text as one shingle.
+  private val shingleSql =
+    """CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3
+      |  THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+      |  ELSE [array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')
+      |        FOR i IN range(1, len(string_split_regex(trim(text), '\s+')) - 1)]
+      |END""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "text_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS INT) AS n_distinct,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}|[^a-z0-9\s]')) AS INT) AS n_subwords,
+        |  CAST(length(text) AS INT) AS n_chars_actual
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 8) AS fp_prefix
+        |FROM documents""".stripMargin,
+    "dedup_ngram_jaccard" -> {
+      """WITH sh AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE string_split_regex(trim(text), '\s+') END AS s
+         |  FROM documents
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE) /
+         |    CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |    AND abs(a.n_chars - b.n_chars) <= 50
+         |  WHERE a.doc_id % 50 = 0
+         |)
+         |SELECT id_a, id_b, CAST(floor(jaccard * 10000) AS BIGINT) AS jaccard_q
+         |FROM pairs WHERE jaccard >= 0.5""".stripMargin
+    },
+    "text_quality" -> {
+      val toks = "string_split_regex(trim(text), '\\s+')"
+      val stop = Text.Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN length(trim(text)) = 0 THEN [] ELSE $toks END AS toks,
+         |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) /
+         |      CAST(length(text) AS DOUBLE) AS punct_ratio
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, punct_ratio,
+         |    len(toks) AS n,
+         |    CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) AS n_stop,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct,
+         |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS tot_len
+         |  FROM t
+         |)
+         |SELECT doc_id, punct_ratio,
+         |  CASE WHEN n = 0 THEN 0.0 ELSE n_stop / CAST(n AS DOUBLE) END AS stopword_ratio,
+         |  CASE WHEN n = 0 THEN 0.0 ELSE tot_len / CAST(n AS DOUBLE) END AS mean_token_len,
+         |  ((CASE WHEN n >= 20 AND n <= 2000 THEN 1.0 WHEN n > 0 THEN 0.5 ELSE 0.0 END) * 0.4)
+         |    + ((1.0 - punct_ratio) * 0.2)
+         |    + ((CASE WHEN n = 0 THEN 0.0 ELSE n_stop / CAST(n AS DOUBLE) END) * 0.1)
+         |    + ((CASE WHEN n = 0 THEN 0.0 ELSE n_distinct / CAST(n AS DOUBLE) END) * 0.3) AS quality
+         |FROM s""".stripMargin
+    },
+    "text_langid" -> {
+      val langs = Text.LangMarkers.toSeq.sortBy(_._1)
+      val hitCols = langs.map { case (l, ms) =>
+        s"len(list_filter(toks, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS h_$l"
+      }.mkString(",\n    ")
+      val structs = langs.map { case (l, _) =>
+        s"{'hits': h_$l, 'lang': '$l'}"
+      }.mkString(", ")
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+         |  FROM documents
+         |), h AS (
+         |  SELECT lang,
+         |    $hitCols
+         |  FROM t
+         |), p AS (
+         |  SELECT lang, list_max([$structs]) AS best FROM h
+         |)
+         |SELECT lang,
+         |  CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS pred,
+         |  count(*) AS n
+         |FROM p GROUP BY lang, pred""".stripMargin
+    },
+    "ann_brute_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id % 100 = 0
+        |), c AS (
+        |  SELECT vec_id AS neighbor_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2])) AS sim_q
+        |  FROM q, c WHERE query_id <> neighbor_id
+        |)
+        |SELECT query_id, neighbor_id, CAST(sim_q AS BIGINT) AS sim_q, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim_q DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored) t WHERE rank <= 10""".stripMargin,
+    "mm_decode_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CASE WHEN octet_length(encode(text)) = 0 THEN 'empty'
+        |       WHEN ascii(substring(text, 1, 1)) % 3 = 0 THEN 'img'
+        |       WHEN ascii(substring(text, 1, 1)) % 3 = 1 THEN 'aud'
+        |       ELSE 'vid' END AS format
+        |FROM documents""".stripMargin)
+}

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the hash-seeded pipeline operators that have no SQL
+  * oracle: minhash estimates track exact Jaccard, simhash hamming distance
+  * is small for near-identical docs, LSH top-k recalls the brute-force
+  * top-1, multimodal stub invariants hold.
+  */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again!"), // near-dup of 0
+    (2L, "a completely different document about spark query engines"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (4L, "spark query engines process completely different documents")
+  ).toDF("doc_id", "text")
+
+  test("minhash estimate tracks exact jaccard for near-dups") {
+    val sh = docs.select($"doc_id", Text.shingles($"text", 3).as("sh"),
+      Dedup.minhashSignature(Text.shingles($"text", 3), 64).as("sig"))
+    val a = sh.filter($"doc_id" === 0).select($"sh".as("sha"), $"sig".as("siga"))
+    val b = sh.filter($"doc_id" === 1).select($"sh".as("shb"), $"sig".as("sigb"))
+    val r = a.crossJoin(b)
+      .select(Dedup.jaccard($"sha", $"shb").as("exact"),
+        Dedup.estimatedJaccard($"siga", $"sigb").as("est"))
+      .head()
+    val (exact, est) = (r.getDouble(0), r.getDouble(1))
+    assert(exact > 0.7, s"near-dup exact jaccard $exact")
+    assert(math.abs(exact - est) < 0.3, s"estimate $est vs exact $exact")
+  }
+
+  test("minhash LSH candidates include the exact duplicate pair") {
+    val sh = docs.select($"doc_id", Text.shingles($"text", 3).as("sh"))
+    val cands = Dedup.minhashCandidates(sh, "doc_id", "sh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 3L)), s"exact dup pair missing from $cands")
+  }
+
+  test("simhash: identical docs equal, near-dups close, distinct docs far") {
+    val sh = docs.select($"doc_id", Dedup.simhash(Text.shingles($"text", 3)).as("s"))
+    val m = sh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(m(a) ^ m(b))
+    assert(ham(0, 3) === 0, "exact dups must have identical simhash")
+    assert(ham(0, 1) < ham(0, 2), "near-dup must be closer than unrelated")
+  }
+
+  test("LSH top-k finds the brute-force top-1 for most queries (recall)") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val brute = Vectors.bruteForceTopK(emb, q => q % 100 === 0, 1)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Vectors.lshTopK(emb, q => q % 100 === 0, 10, nPlanes = 4)
+      .select($"query_id", $"neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalled = brute.count { case (q, n1) => lsh.get(q).exists(_.contains(n1)) }
+    // approximate: expect at least some queries to recall their true top-1
+    assert(recalled >= 1, s"LSH recalled $recalled of ${brute.size} top-1 neighbors")
+  }
+
+  test("multimodal stub: deterministic, resize bounded, frames within range") {
+    val d = Multimodal.withMedia(docs, "text")
+      .select($"doc_id", $"media_meta",
+        Multimodal.resizeMeta($"media_meta", 320, 240).as("rm"),
+        Multimodal.sampleFrameIdx($"media_meta", 5, 4).as("frames"))
+    val rows = d.collect()
+    rows.foreach { r =>
+      val meta = r.getStruct(1)
+      val rm = r.getStruct(2)
+      assert(meta.getAs[Long]("byte_len") > 0)
+      assert(rm.getAs[Int]("width") <= 320 && rm.getAs[Int]("height") <= 240)
+      val frames = r.getSeq[Int](3)
+      assert(frames.nonEmpty && frames.length <= 4)
+      assert(frames.forall(f => f >= 1 && f <= meta.getAs[Int]("n_frames")))
+    }
+    // determinism: same text → same meta
+    val metas = rows.map(r => (r.getLong(0), r.getStruct(1).toString())).toMap
+    assert(metas(0L) === metas(3L))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.projector.{Derivations, EventLog, LogGen, Sim}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+import java.nio.file.Files
+import scala.util.Random
+
+/** Replay-equivalence (SURVEY.md §5.5): streaming catch-up over an event
+  * log split into micro-batches must converge to the same final state as
+  * the batch backfill — the reference's two-phase lifecycle
+  * (`RelationalDatabaseProjection.cs:460-495`).
+  *
+  * The log is written as two parquet files; a file-source stream with
+  * maxFilesPerTrigger=1 delivers them as two micro-batches, so keyed state
+  * genuinely persists across batch boundaries.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private val envelopeSchema = StructType.fromDDL("seq BIGINT, event_type STRING, payload STRING")
+
+  test("streaming CDC converges to the batch fold (installation, work_task, interests)") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+
+    val events = LogGen.scenario(new Random(11))
+    val rows = events.zipWithIndex.map { case (e, i) => Row((i + 1).toLong, e.typ, e.payload) }
+    val (a, b) = rows.splitAt(rows.length / 2)
+
+    val dir = Files.createTempDirectory("graft-stream").toFile
+    val inDir = new java.io.File(dir, "in"); inDir.mkdirs()
+    // two files → two micro-batches (file source lists in name order)
+    spark.createDataFrame(a.asJava, envelopeSchema).coalesce(1)
+      .write.parquet(inDir.getPath + "/batch_a")
+    spark.createDataFrame(b.asJava, envelopeSchema).coalesce(1)
+      .write.parquet(inDir.getPath + "/batch_b")
+
+    val raw = spark.readStream.schema(envelopeSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.getPath + "/*")
+    val decoded = Processors.decode(raw)
+
+    val instQ = Processors.installationCdc(Processors.installationEvents(decoded))
+      .writeStream.outputMode("append").format("memory").queryName("inst_cdc")
+      .trigger(Trigger.AvailableNow()).start()
+    val wtQ = Processors.workTaskCdc(Processors.workTaskEvents(decoded))
+      .writeStream.outputMode("append").format("memory").queryName("wt_cdc")
+      .trigger(Trigger.AvailableNow()).start()
+    val woiQ = Processors.interestCdc(Processors.interestEvents(decoded))
+      .writeStream.outputMode("append").format("memory").queryName("woi_cdc")
+      .trigger(Trigger.AvailableNow()).start()
+    instQ.awaitTermination(120000); wtQ.awaitTermination(120000); woiQ.awaitTermination(120000)
+
+    // apply CDC in arrival order per key → final sink state (last wins)
+    def lastPerKey(table: String, keyIdx: Int): Map[String, Row] =
+      spark.table(table).collect().zipWithIndex
+        .groupBy(_._1.getString(keyIdx))
+        .view.mapValues(_.maxBy(_._2)._1).toMap
+
+    // batch oracle over the same full log
+    val batchRaw = spark.createDataFrame(rows.asJava, envelopeSchema)
+    val ev = EventLog.decode(batchRaw).cache()
+
+    // installation
+    val instFinal = lastPerKey("inst_cdc", 1).filter(_._2.getString(0) == Cdc.Upsert)
+    val instBatch = Derivations.installation(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(instFinal.keySet === instBatch.keySet)
+    instBatch.foreach { case (id, br) =>
+      val sr = instFinal(id)
+      assert(Option(sr.getString(2)) === Option(br.getString(1)), s"installation_id $id")
+      assert(Option(sr.getString(3)) === Option(br.getString(2)), s"unit_address_id $id")
+      assert(Option(sr.getString(4)) === Option(br.getString(3)), s"status $id")
+      assert(Option(sr.getString(5)) === Option(br.getString(4)), s"location_remark $id")
+    }
+
+    // work task
+    val wtFinal = lastPerKey("wt_cdc", 1).filter(_._2.getString(0) == Cdc.Upsert)
+    val wtBatch = Derivations.workTask(ev).collect().map(r => r.getString(0) -> r).toMap
+    assert(wtFinal.keySet === wtBatch.keySet)
+    wtBatch.foreach { case (id, br) =>
+      val sr = wtFinal(id)
+      assert(Option(sr.getString(2)) === Option(br.getString(1)), s"number $id")
+      assert(Option(sr.getString(3)) === Option(br.getString(2)), s"status $id")
+    }
+
+    // interests: surviving upserts must equal the batch interest state
+    val woiRows = lastPerKey("woi_cdc", 1)
+    val woiFinal = woiRows.filter(_._2.getString(0) == Cdc.Upsert)
+      .map { case (id, r) => id -> r.getSeq[String](2) }
+    val woiBatch = Derivations.interestState(ev).filter($"alive")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(woiFinal === woiBatch)
+
+    instQ.stop(); wtQ.stop(); woiQ.stop()
+  }
+}
