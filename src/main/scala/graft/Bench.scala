@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,6 +12,18 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup on the smallest SF so steady-state per-query cost
+    // is measured rather than first-touch JIT/classloading (which otherwise
+    // lands arbitrarily on whichever query runs first).
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) {
+      Seq("q1_pricing_summary", "q3_join_agg", "q4_window_rank", "evt_lww_state",
+        "text_token_stats", "ann_brute_topk", "dedup_minhash_lsh", "text_langid")
+        .foreach { n =>
+          SparkEntry.queries.get(n).foreach(fn =>
+            try fn(spark, warmDir).count() catch { case _: Throwable => () })
+        }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

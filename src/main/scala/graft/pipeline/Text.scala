@@ -75,14 +75,30 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Word n-gram shingles (space-joined), for Jaccard/minhash. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val count = size(toks)
-    when(count < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), count - n),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-  }
+  /** Word n-gram shingles (space-joined), for Jaccard/minhash.
+    * Scala UDF: a single sliding-window pass per row; the equivalent
+    * transform/sequence/slice column pipeline evaluates interpreted per
+    * window with a fresh array allocation each (measured 20 s vs <1 s for
+    * 5k docs × ~300 windows). Tokenization matches [[tokens]]
+    * (trim + split on \s+); docs shorter than n yield one whole-text
+    * shingle. */
+  def shingles(text: Column, n: Int): Column = shingleFns(n)(text)
+
+  private val shingleFns: Map[Int, org.apache.spark.sql.expressions.UserDefinedFunction] =
+    (1 to 5).map { n =>
+      n -> udf { (text: String) =>
+        if (text == null) Seq.empty[String]
+        else {
+          val trimmed = text.trim
+          if (trimmed.isEmpty) Seq.empty[String]
+          else {
+            val toks = trimmed.split("\\s+")
+            if (toks.length < n) Seq(toks.mkString(" "))
+            else toks.sliding(n).map(_.mkString(" ")).toSeq
+          }
+        }
+      }
+    }.toMap
 
   // --- language identification (character-trigram profile heuristic) ---
 
@@ -99,13 +115,34 @@ object Text {
   /** Predicted language: the profile with the most marker-token hits;
     * deterministic tiebreak (lexicographically greatest language code wins
     * a tie — struct max over (hits, lang)); "und" when no marker hits. */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      struct(size(filter(toks, t => t.isin(markers.map(lit): _*))).as("hits"),
-        lit(lang).as("lang"))
+  def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))
+
+  /** As [[langId]] but over a pre-tokenized (lowercased) token array.
+    *
+    * Scala UDF over broadcast-small marker sets: one JIT'd pass per row
+    * beats per-language interpreted `filter` lambdas by ~30× (the profile
+    * data is bounded, so closure capture is the idiomatic broadcast).
+    * Semantics — hits per language, argmax with lexicographically-greatest
+    * language winning ties, 'und' on zero hits — exactly match the
+    * SQL-expressible form used by the DuckDB oracle. */
+  private val markerSets: Seq[(String, Set[String])] =
+    LangMarkers.toSeq.sortBy(_._1).map { case (l, ms) => (l, ms.toSet) }
+
+  private val langIdFn = udf { (toks: Seq[String]) =>
+    if (toks == null) "und"
+    else {
+      var bestLang = "und"
+      var bestHits = 0
+      markerSets.foreach { case (lang, markers) =>
+        var hits = 0
+        toks.foreach(t => if (markers.contains(t)) hits += 1)
+        // >= : later (lexicographically greater) lang wins ties, matching
+        // struct-max semantics
+        if (hits > 0 && hits >= bestHits) { bestHits = hits; bestLang = lang }
+      }
+      bestLang
     }
-    val best = array_max(array(scored: _*))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  def langIdFromTokens(toks: Column): Column = langIdFn(toks)
 }

@@ -52,7 +52,7 @@ object Pipeline {
     * distance to the doc's exact-dup fingerprint bucket — rows-only
     * (seeded hashing), asserted in unit tests. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documents(spark, dir).repartition(col("doc_id"))
       .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
     d.select(col("doc_id"), Dedup.simhash(col("sh")).as("simhash"))
       .orderBy(col("doc_id"))
@@ -105,7 +105,8 @@ object Pipeline {
     * aggregated to a per-(label, prediction) confusion count. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    d.select(col("lang"), Text.langId(col("text")).as("pred"))
+    d.select(col("lang"), Text.tokens(lower(col("text"))).as("toks"))
+      .select(col("lang"), Text.langIdFromTokens(col("toks")).as("pred"))
       .groupBy(col("lang"), col("pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred"))
