@@ -26,5 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // single local[32] JVM on a 128 GiB box: leave generous headroom so
+  // broadcasts/aggs never thrash GC (override with SPARK_DRIVER_MEM)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -470,7 +470,7 @@ object Derivations {
       .withColumn("walk_asof", last(col("w"), ignoreNulls = true).over(w).getField("walk"))
       .filter(col("cable_id").isNotNull && col("walk_asof").isNotNull)
       .select(col("cable_id").as("fiber_cable_id"),
-        HopSubtract.hopSubtract(col("walk_asof"), col("hops")).as("walk"))
+        graft.functions.HopSubtractExpr.hopSubtract(col("walk_asof"), col("hops")).as("walk"))
 
     Walks.explodeOrdered(resolved, "walk", "route_network_element_id", "seq_no")
       .select(col("fiber_cable_id"), col("route_network_element_id"), col("seq_no"))

@@ -143,6 +143,31 @@ object EventFold {
       .orderBy(col("user_id"))
   }
 
+  /** evt_hop_walk: the reference's one custom sequence algorithm — utility-
+    * hop subtraction (`ProjektorState.cs:178-221`, here the native Catalyst
+    * expression) — driven by driver data: each user's ordered event-id walk
+    * with a deterministic hop (2nd element → 4th element) subtracted, then
+    * exploded with 1-based seq_no (`posexplode`). For this fixed hop shape
+    * the scan's outcome is closed-form (keep walk[1], drop walk[2..3],
+    * keep from walk[4]) so the DuckDB oracle checks the native expression
+    * exactly; general hop lists need the stack scan (simulator-tested).
+    */
+  def hopWalk(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val walks = ev.groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("event_id"))).as("ids"))
+      .select(col("user_id"), expr("transform(ids, x -> cast(x as string))").as("walk"))
+    val withHops = walks.withColumn("hops",
+      when(size(col("walk")) >= 4,
+        array(struct(element_at(col("walk"), 2).as("fromNodeId"),
+          element_at(col("walk"), 4).as("toNodeId")))))
+    val subtracted = withHops.select(col("user_id"),
+      graft.functions.HopSubtractExpr.hopSubtract(col("walk"), col("hops")).as("walk"))
+    graft.ops.Walks.explodeOrdered(subtracted, "walk", "element_id", "seq_no")
+      .select(col("user_id"), col("element_id"), col("seq_no"))
+      .orderBy(col("user_id"), col("seq_no"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_lww_state" -> lwwState,
     "evt_dispatch_stats" -> dispatchStats,
@@ -150,7 +175,8 @@ object EventFold {
     "evt_walk_dedup" -> walkDedup,
     "evt_asof_value" -> asofValue,
     "evt_cdc_classify" -> cdcClassify,
-    "evt_session_agg" -> sessionAgg)
+    "evt_session_agg" -> sessionAgg,
+    "evt_hop_walk" -> hopWalk)
 
   val oracleSql: Map[String, String] = Map(
     "evt_lww_state" ->
@@ -202,5 +228,17 @@ object EventFold {
         |    SELECT user_id, ts,
         |      lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_us
         |    FROM events) a) b
-        |GROUP BY user_id""".stripMargin)
+        |GROUP BY user_id""".stripMargin,
+    "evt_hop_walk" ->
+      """WITH w AS (
+        |  SELECT user_id, list_sort(list(event_id)) AS ids FROM events GROUP BY user_id
+        |), r2 AS (
+        |  SELECT user_id,
+        |    list_transform(CASE WHEN len(ids) >= 4 THEN list_concat([ids[1]], ids[4:]) ELSE ids END,
+        |                   x -> CAST(x AS VARCHAR)) AS walk
+        |  FROM w
+        |)
+        |SELECT user_id, unnest(walk) AS element_id,
+        |  CAST(generate_subscripts(walk, 1) AS INT) AS seq_no
+        |FROM r2""".stripMargin)
 }

@@ -40,7 +40,10 @@ object Pipeline {
     val cand = Dedup.minhashCandidates(d, "doc_id", "sh")
     val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+    // broadcast the candidate PAIRS (small), never the shingle-array side:
+    // parquet size stats undercount the exploded arrays by ~100× and would
+    // otherwise pick a huge broadcast build side
+    broadcast(cand).join(a, Seq("id_a")).join(b, Seq("id_b"))
       .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"),

@@ -1,14 +1,14 @@
 package graft.ops
 
-import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
 import org.scalacheck.Prop.forAll
 import org.scalacheck.{Gen, Test => SCTest}
 
 /** hopSubtract against hand-built cases derived from the reference's edge
   * behaviors (`ProjektorState.cs:178-221`) plus ScalaCheck invariants
-  * (SURVEY.md §5.1-2).
+  * (SURVEY.md §5.1-2), and native-Expression ↔ Scala-scan parity.
   */
-class HopSubtractSpec extends AnyFunSuite {
+class HopSubtractSpec extends SparkTestBase {
 
   private def sub(walk: Seq[String], hops: (String, String)*): Seq[String] =
     HopSubtract.subtract(walk, hops.map(_._1), hops.map(_._2))
@@ -51,6 +51,25 @@ class HopSubtractSpec extends AnyFunSuite {
 
   test("duplicate from nodes: only first occurrence pops the hop") {
     assert(sub(Seq("a", "b", "c", "b", "d"), ("b", "c")) === Seq("a", "c", "b", "d"))
+  }
+
+  test("scalacheck: native Catalyst expression agrees with the Scala scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val elems = Gen.oneOf("a", "b", "c", "d", "e")
+    val caseGen = Gen.zip(Gen.listOf(elems), Gen.listOf(Gen.zip(elems, elems)))
+    val cases = Gen.listOfN(60, caseGen).sample.get
+    val df = cases.zipWithIndex.map { case ((walk, hops), i) =>
+      (i, walk, hops.map(_._1), hops.map(_._2))
+    }.toDF("i", "walk", "from", "to")
+    val hopsCol = expr("zip_with(from, to, (f, t) -> named_struct('fromNodeId', f, 'toNodeId', t))")
+    val out = df.select(col("i"),
+        graft.functions.HopSubtractExpr.hopSubtract(col("walk"), hopsCol).as("native"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    cases.zipWithIndex.foreach { case ((walk, hops), i) =>
+      val expected = HopSubtract.subtract(walk, hops.map(_._1), hops.map(_._2))
+      assert(out(i) === expected, s"case $i walk=$walk hops=$hops")
+    }
   }
 
   test("scalacheck: output is a subsequence of the walk; empty hops = identity") {
