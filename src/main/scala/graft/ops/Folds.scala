@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * The reference folds a globally-ordered event log into per-entity
   * dictionary state with field-wise overwrites
   * (`/root/reference/OpenFTTH.RelationalProjector/State/ProjektorState.cs:20-690`).
-  * In Spark we express that fold as a single hash aggregate per entity key
+  * In Spark we express that fold as a single aggregate per entity key
   * using `max_by` — partial aggregation happens map-side, so the shuffle
   * carries one row per (partition, key) instead of the full event stream.
   * This is deliberately NOT a `Window.partitionBy(id).orderBy(seq)` +
-  * `last(...)`: a window needs a full shuffle + per-partition sort of every
-  * event, while `max_by` folds in O(1) state per key and scales to a
-  * 100 TB log as an ordinary partial/final aggregate.
+  * `last(...)`: a window must shuffle and sort EVERY event row, while the
+  * aggregate folds to O(1) state per key before the exchange. Note:
+  * string-typed `max_by` buffers plan as SortAggregate (HashAggregate
+  * needs fixed-width mutable buffers) — the per-partition sort is
+  * spillable and the partial/final shape is unchanged, which is the
+  * property that matters at 100 TB.
   */
 object Folds {
 

@@ -110,6 +110,58 @@ object Vectors {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style coarse quantization: assign each vector to its
+    * highest-scoring of `nlist` fixed probe directions (deterministic
+    * pseudo-random ±1 directions from a seed — a stand-in for trained
+    * centroids; the operator shape is identical). One JIT'd pass per row.
+    */
+  def ivfListId(vec: Column, nlist: Int, seed: Int = 77): Column = {
+    val fn = udf { (v: Seq[Float]) =>
+      var best = 0
+      var bestScore = Double.MinValue
+      var l = 0
+      while (l < nlist) {
+        var s = 0.0
+        var i = 0
+        while (i < v.length) {
+          var z = seed.toLong * 0x9E3779B97F4A7C15L + l.toLong * 0xBF58476D1CE4E5B9L + i.toLong
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z = z ^ (z >>> 31)
+          s += (if ((z & 1L) == 0L) v(i).toDouble else -v(i).toDouble)
+          i += 1
+        }
+        if (s > bestScore) { bestScore = s; best = l }
+        l += 1
+      }
+      best
+    }
+    fn(vec)
+  }
+
+  /** IVF top-k: queries search only vectors assigned to the same coarse
+    * list (single-probe). The list id keys the shuffle — the standard
+    * inverted-file ANN shape: at 100 TB the corpus is partitioned by list
+    * and only matching partitions are scanned per query. Same output
+    * contract as [[bruteForceTopK]].
+    */
+  def ivfTopK(emb: DataFrame, isQuery: Column => Column, k: Int, nlist: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withList = emb.repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding"), ivfListId(col("embedding"), nlist).as("list_id"))
+    val queries = withList.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("list_id"))
+    val corpus = withList
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c"), col("list_id"))
+    val scored = corpus.join(broadcast(queries), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), quantizedDot(col("q"), col("c")).as("sim_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_q").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: same contract as [[bruteForceTopK]]
     * but candidates restricted to the query's hyperplane bucket —
     * the bucket id becomes the shuffle key, so the corpus is never

@@ -143,6 +143,41 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ann_ivf_topk: IVF (inverted-file) approximate top-10 — single-probe
+    * coarse quantization; rows-only (seeded probe directions), recall
+    * asserted in unit tests. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Vectors.ivfTopK(e, q => q % 100 === 0, 10)
+      .select(col("query_id"), col("neighbor_id"), col("sim_q"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** dedup_embedding_cosine: embedding-space near-dup pairs — LSH-bucketed
+    * candidates verified by quantized cosine ≥ 0.4 (the synthetic corpus
+    * peaks at ~0.51 intra-cluster; a production near-dup threshold of
+    * 0.95+ uses the identical plan). Integer-exact comparison:
+    * cos ≥ t ⇔ dot² ≥ t²·|a|²·|b|² over quantized values. Rows-only
+    * (seeded hyperplanes); invariants asserted in unit tests. */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).repartition(col("vec_id"))
+    val withBucket = e.select(col("vec_id"), col("embedding"),
+      Vectors.hyperplaneBucket(col("embedding"), 6).as("bucket"))
+    val a = withBucket.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("bucket"))
+    val b = withBucket.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Vectors.quantizedDot(col("ea"), col("eb")).as("dot_q"),
+        Vectors.quantizedDot(col("ea"), col("ea")).as("na_q"),
+        Vectors.quantizedDot(col("eb"), col("eb")).as("nb_q"))
+      // cosine ≥ 0.4  ⇔  dot² ≥ 0.16·|a|²·|b|²  (integer-exact compare)
+      .filter(col("dot_q") > 0 &&
+        col("dot_q") * col("dot_q") * lit(100L) >= col("na_q") * col("nb_q") * lit(16L))
+      .select(col("id_a"), col("id_b"), col("dot_q"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** mm_decode_meta: multimodal plumbing, oracle-checkable part — binary
     * payload byte length + format classification from the bytes. */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
@@ -178,6 +213,8 @@ object Pipeline {
     "text_fingerprint" -> fingerprints,
     "ann_brute_topk" -> annBrute,
     "ann_lsh_topk" -> annLsh,
+    "ann_ivf_topk" -> annIvf,
+    "dedup_embedding_cosine" -> dedupEmbedding,
     "mm_decode_meta" -> multimodalMeta,
     "mm_media_plan" -> multimodalPlan)
 

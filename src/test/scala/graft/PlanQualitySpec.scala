@@ -1,0 +1,50 @@
+package graft
+
+/** Plan-quality regressions: the physical plans the engine is designed
+  * around (README scale notes) must not silently degrade — predicate
+  * pushdown reaching the parquet scan, pruned read schemas, broadcast
+  * dimension joins, and no cartesian products anywhere in the driver
+  * query surface.
+  */
+class PlanQualitySpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString()
+
+  test("q2: filters are pushed into the parquet scan and schema is pruned") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("GreaterThanOrEqual(`l_shipdate`"),
+      s"shipdate range not pushed:\n$p")
+    assert(!p.contains("l_comment"), "read schema must stay pruned")
+  }
+
+  test("q3: dimension chain uses broadcast hash joins") {
+    val p = plan("q3_join_agg")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("fold queries map-side combine and never window over the raw stream") {
+    val p = plan("evt_lww_state")
+    // string-typed max_by buffers legally plan as SortAggregate (per-
+    // partition sort, spillable); the invariants that matter at scale are
+    // partial aggregation (shuffle carries one row per key)…
+    assert(p.contains("partial_max_by"), s"expected map-side partial agg:\n$p")
+    // …and no Window over the full event stream
+    assert(!p.contains("Window"), s"fold must not be window-based:\n$p")
+  }
+
+  test("top-k uses TakeOrderedAndProject, never a global sort") {
+    val p = plan("q5_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("no query surface plans a cartesian product") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+}

@@ -62,6 +62,31 @@ class PipelineSpec extends SparkTestBase {
     assert(recalled >= 1, s"LSH recalled $recalled of ${brute.size} top-1 neighbors")
   }
 
+  test("IVF top-k: every reported neighbor shares the query's coarse list; sims match brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ivf = Vectors.ivfTopK(emb, q => q % 100 === 0, 10)
+      .select($"query_id", $"neighbor_id", $"sim_q").collect()
+    assert(ivf.nonEmpty, "IVF must return candidates")
+    // sims must equal the exact quantized dot (IVF only restricts candidates)
+    val brute = Vectors.bruteForceTopK(emb, q => q % 100 === 0, Int.MaxValue - 1)
+      .select($"query_id", $"neighbor_id", $"sim_q").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    ivf.foreach { r =>
+      assert(brute((r.getLong(0), r.getLong(1))) === r.getLong(2))
+    }
+  }
+
+  test("embedding-cosine near-dup pairs satisfy the threshold exactly") {
+    val q = graft.queries.Pipeline.dedupEmbedding(spark, "/root/testdata/sf0.001")
+    val rows = q.collect()
+    assert(rows.nonEmpty, "expected at least one similar pair in the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be ordered (a < b)")
+      assert(r.getLong(2) > 0, "reported dot must be positive")
+    }
+  }
+
   test("multimodal stub: deterministic, resize bounded, frames within range") {
     val d = Multimodal.withMedia(docs, "text")
       .select($"doc_id", $"media_meta",
