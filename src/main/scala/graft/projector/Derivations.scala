@@ -41,7 +41,16 @@ import org.apache.spark.sql.functions._
   *   - `conduit_slack.id` is a fresh random Guid in the reference
   *     (`ProjektorState.cs:484`); here it is a deterministic UUID derived
   *     from route_node_id so runs are reproducible — compare on
-  *     (route_node_id, number_of_ends).
+  *     (route_node_id, number_of_ends);
+  *   - the reference's ±1 slack arithmetic DOUBLE-COUNTS in two
+  *     pathological sequences (verified against the simulator): (a) the
+  *     same child affixed twice to one parent without an intervening
+  *     detach, and (b) two children sharing a parent where both detach —
+  *     each detach iterates the stored parent list and re-increments after
+  *     the flag is already cleared (`ProjektorState.cs:398-414`). The
+  *     batch recount here reflects the *invariant* count (alive eligible
+  *     ends), which is the defensible semantics; well-formed logs from the
+  *     upstream system do not produce these sequences.
   *
   * Specification dimensions are assumed immutable once added (true of
   * well-formed logs; the reference would snapshot attributes at placement

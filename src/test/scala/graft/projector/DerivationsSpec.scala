@@ -72,4 +72,42 @@ class DerivationsSpec extends SparkTestBase {
   test("all 8 tables match the reference simulator (seed 1)") { checkAll(1) }
   test("all 8 tables match the reference simulator (seed 2)") { checkAll(2) }
   test("all 8 tables match the reference simulator (seed 3)") { checkAll(3) }
+
+  /** Property-style bulk check: 30 random scenarios under disjoint id
+    * namespaces concatenated into ONE log — a single Spark pass validates
+    * 30 independent random interleavings against the simulator (cheap
+    * breadth that 3 individual seeds can't give).
+    */
+  test("30 merged random scenarios match the reference simulator") {
+    val events = (0 until 30).flatMap { i =>
+      LogGen.scenario(new Random(1000 + i), pfx = s"s$i-")
+    }
+    val (sim, tables) = runLog(events)
+    val relInterest = tables("rel_interest_to_route_element").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(relInterest === sim.relInterest)
+    val relCable = tables("rel_fiber_cable_to_route_element").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(relCable === sim.relFiberCable)
+    val nc = tables("node_container").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(nc === sim.nodeContainers)
+    val se = tables("span_equipment").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getBoolean(3), r.getString(4), r.getString(5), opt(r.get(6)), opt(r.get(7)))).toSet
+    assert(se === sim.spanEquipments)
+    val st = tables("service_termination").collect()
+      .map(r => (r.getString(0), r.getString(1), opt(r.get(2)), opt(r.get(3)), opt(r.get(4)))).toSet
+    assert(st === sim.serviceTerminations)
+    val slack = tables("conduit_slack").collect()
+      .map(r => (r.getString(1), r.getInt(2))).toSet
+    assert(slack === sim.conduitSlacks)
+    val wt = tables("work_task").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(wt === sim.workTasks)
+    val inst = tables("installation").collect()
+      .map(r => (r.getString(0), r.getString(1), opt(r.get(2)), opt(r.get(3)), opt(r.get(4)))).toSet
+    assert(inst === sim.installations)
+  }
 }
