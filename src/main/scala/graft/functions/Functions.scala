@@ -2,7 +2,6 @@ package graft.functions
 
 import graft.pipeline.{Dedup, Text, Vectors}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
 
 /** SQL-surface registration: exposes the engine's custom functions to
   * `spark.sql` users (the API-completeness counterpart of the Column API).

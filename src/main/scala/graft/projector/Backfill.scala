@@ -11,6 +11,17 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.projector.Backfill <eventsParquet> <outDir>
   */
 object Backfill {
+
+  /** Full-log derivation + overwrite of all 8 tables; returns the high-
+    * water `seq` the incremental catch-up should start from. */
+  def run(spark: SparkSession, eventsPath: String, outDir: String): Long = {
+    val ev = EventLog.decode(spark.read.parquet(eventsPath)).cache()
+    try {
+      JdbcSink.writeParquet(Derivations.deriveAll(ev), outDir)
+      ev.agg(org.apache.spark.sql.functions.max("seq")).head().getLong(0)
+    } finally ev.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(eventsPath, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,10 +33,7 @@ object Backfill {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    val ev = EventLog.decode(spark.read.parquet(eventsPath)).cache()
-    JdbcSink.writeParquet(Derivations.deriveAll(ev), outDir)
-    val highWater = ev.agg(org.apache.spark.sql.functions.max("seq")).head().getLong(0)
+    val highWater = run(spark, eventsPath, outDir)
     println(s"""{"backfill":"done","high_water":$highWater,"out":"$outDir"}""")
     spark.stop()
   }
