@@ -168,7 +168,21 @@ object EventFold {
       .orderBy(col("user_id"), col("seq_no"))
   }
 
+  /** evt_type_pivot: per-user wide counts by event type — the dispatch
+    * table pivoted (one pass, conditional sums; the shape a 28-type
+    * dispatcher compiles to). */
+  def typePivot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    ev.groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === types.head, 1L).otherwise(0L)).as(s"n_${types.head}"),
+        types.tail.map(t =>
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")): _*)
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_type_pivot" -> typePivot,
     "evt_lww_state" -> lwwState,
     "evt_dispatch_stats" -> dispatchStats,
     "evt_lifecycle_alive" -> lifecycleAlive,
@@ -179,6 +193,14 @@ object EventFold {
     "evt_hop_walk" -> hopWalk)
 
   val oracleSql: Map[String, String] = Map(
+    "evt_type_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id""".stripMargin,
     "evt_lww_state" ->
       """SELECT user_id,
         |  arg_max(event_type, event_id) AS last_type,

@@ -153,7 +153,18 @@ object Relational {
       .orderBy(col("l_partkey"))
   }
 
+  /** q11: rollup — hierarchical subtotal aggregation (returnflag →
+    * linestatus → grand total). */
+  def q11Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_rollup" -> q11Rollup,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_project" -> q2FilterProject,
     "q3_join_agg" -> q3JoinAgg,
@@ -166,6 +177,11 @@ object Relational {
     "q10_having" -> q10Having)
 
   val oracleSql: Map[String, String] = Map(
+    "q11_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
