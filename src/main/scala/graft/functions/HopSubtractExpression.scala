@@ -41,11 +41,14 @@ case class HopSubtractExpr(walk: Expression, fromNodes: Expression, toNodes: Exp
     val wArr = w.asInstanceOf[ArrayData]
     val f = fromNodes.eval(input)
     val t = toNodes.eval(input)
-    if (f == null || t == null) return wArr
+    // pass-through paths must COPY: returning the input ArrayData (often an
+    // UnsafeArrayData view over the row buffer) aliases memory that buffering
+    // operators may overwrite before consuming the result
+    if (f == null || t == null) return wArr.copy()
     val fArr = f.asInstanceOf[ArrayData]
     val tArr = t.asInstanceOf[ArrayData]
     val nHops = fArr.numElements()
-    if (nHops == 0) return wArr
+    if (nHops == 0) return wArr.copy()
 
     val n = wArr.numElements()
     val out = new java.util.ArrayList[UTF8String](n)

@@ -202,10 +202,14 @@ object EventFold {
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         |FROM events GROUP BY user_id""".stripMargin,
     "evt_lww_state" ->
+      // value columns are struct-wrapped: DuckDB arg_max skips rows whose
+      // value argument is NULL, while Spark max_by returns the (possibly
+      // NULL) value at the max event_id — wrapping in a never-NULL struct
+      // makes DuckDB carry the NULL through, matching Spark's LWW semantics
       """SELECT user_id,
         |  arg_max(event_type, event_id) AS last_type,
-        |  arg_max(value, event_id) AS last_value,
-        |  arg_max(value, event_id) FILTER (WHERE event_type = 'purchase') AS last_purchase_value,
+        |  (arg_max({'v': value}, event_id)).v AS last_value,
+        |  (arg_max({'v': value}, event_id) FILTER (WHERE event_type = 'purchase')).v AS last_purchase_value,
         |  count(*) AS n_events,
         |  max(event_id) AS high_water
         |FROM events GROUP BY user_id""".stripMargin,

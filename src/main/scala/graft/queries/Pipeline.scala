@@ -268,8 +268,9 @@ object Pipeline {
       s"""WITH t AS (
          |  SELECT doc_id, text,
          |    CASE WHEN length(trim(text)) = 0 THEN [] ELSE $toks END AS toks,
-         |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) /
-         |      CAST(length(text) AS DOUBLE) AS punct_ratio
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) /
+         |              CAST(length(text) AS DOUBLE) END AS punct_ratio
          |  FROM documents
          |), s AS (
          |  SELECT doc_id, punct_ratio,

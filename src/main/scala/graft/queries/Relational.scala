@@ -96,13 +96,19 @@ object Relational {
       .limit(20)
   }
 
-  /** q6: set ops — customers ordering in 1994 minus those ordering in 1995,
+  /** q6: set ops — customers ordering in 1995 minus those ordering in 1996,
     * the reference's delete-then-reinsert "except on key" pattern
     * (SURVEY.md §2.7). */
   def q6SetOps(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val y95 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey")).distinct()
-    val y96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")).distinct()
+    // half-open date ranges instead of year(col)===y: a function-wrapped
+    // column defeats parquet predicate pushdown; range literals reach
+    // PushedFilters and prune row groups (pinned by PlanQualitySpec)
+    def inYear(y: Int) =
+      col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp")
+    val y95 = o.filter(inYear(1995)).select(col("o_custkey")).distinct()
+    val y96 = o.filter(inYear(1996)).select(col("o_custkey")).distinct()
     y95.except(y96).orderBy(col("o_custkey"))
   }
 

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Key-bucketed parquet state store for the incremental catch-up.
+  *
+  * Each table is laid out as `root/<table>/bucket=<b>/part-*.parquet` with
+  * `b = pmod(xxhash64(bucketKey), nBuckets)`. A micro-batch that touches a
+  * set of keys only ever
+  *
+  *   - READS the buckets those keys hash to (Spark partition pruning on the
+  *     `bucket` directory column — untouched buckets are never opened), and
+  *   - REWRITES exactly those buckets (dynamic partition overwrite — the
+  *     commit protocol stages and atomically swaps only the partitions
+  *     present in the written frame).
+  *
+  * So per-batch I/O is proportional to the touched key set's bucket span,
+  * not to table size — the property the reference gets from its in-memory
+  * dictionaries (`ProjektorState.cs:23-125`) and a 1000-executor cluster
+  * gets from a MERGE-capable table format. On an object store the same
+  * layout works unchanged (no directory renames — the committer only
+  * relies on task-file atomicity).
+  *
+  * The bucket-id collection per batch is a driver-side `collect()` of at
+  * most `nBuckets` integers (bounded, not data-sized).
+  */
+class StateStore(spark: SparkSession, root: String, val nBuckets: Int = 64) {
+
+  private def path(table: String) = s"$root/$table"
+
+  def bucketOf(key: Column): Column = pmod(xxhash64(key.cast("string")), lit(nBuckets))
+
+  def exists(table: String): Boolean = {
+    val d = new java.io.File(path(table))
+    // a bare _SUCCESS/empty dir (all-bucket overwrite of an empty frame)
+    // counts as existing-but-empty only if some bucket dir is present
+    d.isDirectory && d.listFiles() != null && d.listFiles().exists(_.getName.startsWith("bucket="))
+  }
+
+  private def emptyDf(schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Full scan of a bucketed table (bucket column dropped). Used only for
+    * bounded-size tables (folded state ≪ event log) and final reads. */
+  def readAll(table: String, schemaDdl: String): DataFrame =
+    if (exists(table)) spark.read.parquet(path(table)).drop("bucket")
+    else emptyDf(StructType.fromDDL(schemaDdl))
+
+  /** Rows of `table` whose `keyCol` is in `keys` (a one-column frame named
+    * `k`). Reads only the buckets the keys hash to; the key restriction is
+    * a broadcast semi join (keys are batch-bounded). */
+  def readKeyed(table: String, schemaDdl: String, keyCol: String, keys: DataFrame): DataFrame = {
+    if (!exists(table)) return emptyDf(StructType.fromDDL(schemaDdl))
+    val buckets = keys.select(bucketOf(col("k")).as("b")).distinct()
+      .collect().map(_.getLong(0))
+    if (buckets.isEmpty) return emptyDf(StructType.fromDDL(schemaDdl))
+    spark.read.parquet(path(table))
+      .filter(col("bucket").isin(buckets.toSeq: _*))
+      .join(broadcast(keys.withColumnRenamed("k", keyCol)), Seq(keyCol), "left_semi")
+      .drop("bucket")
+  }
+
+  /** Delete-then-insert merge: remove every row whose `keyCol` is in
+    * `touchedKeys` (one column `k`), insert `replacement`, rewriting only
+    * the buckets involved. `bucketSrcCol` is the column bucketing the
+    * table's layout (defaults to the merge key); when they differ (e.g.
+    * eligible-ends bucketed by route node but deleted by equipment id),
+    * `extraBucketValues` must carry the bucket-source values of the rows
+    * being deleted (their OLD positions) so those buckets are rewritten too.
+    */
+  def mergeReplace(table: String, schemaDdl: String, keyCol: String,
+      touchedKeys: DataFrame, replacement: DataFrame,
+      bucketSrcCol: Option[String] = None,
+      extraBucketValues: Option[DataFrame] = None): Unit = {
+    val bcol = bucketSrcCol.getOrElse(keyCol)
+    val withBucket = replacement.withColumn("bucket", bucketOf(col(bcol)))
+    if (!exists(table)) {
+      withBucket.write.mode("overwrite").partitionBy("bucket").parquet(path(table))
+      return
+    }
+    val keyBuckets =
+      if (bucketSrcCol.isEmpty) touchedKeys.select(bucketOf(col("k")).as("b"))
+      else emptyDf(StructType.fromDDL("b BIGINT"))
+    val buckets = withBucket.select(col("bucket").as("b"))
+      .unionByName(keyBuckets)
+      .unionByName(extraBucketValues.map(_.select(bucketOf(col("b")).as("b")))
+        .getOrElse(emptyDf(StructType.fromDDL("b BIGINT"))))
+      .distinct().collect().map(_.getLong(0))
+    if (buckets.isEmpty) return
+    val kept = spark.read.parquet(path(table))
+      .filter(col("bucket").isin(buckets.toSeq: _*))
+      .join(broadcast(touchedKeys.withColumnRenamed("k", keyCol)), Seq(keyCol), "left_anti")
+    // localCheckpoint cuts the lineage back to the store files we are about
+    // to overwrite (Spark refuses to write a path it is also reading, and a
+    // lazy plan would otherwise re-read post-overwrite files); the
+    // checkpointed frame is bounded by the touched buckets' size
+    val merged = kept.unionByName(withBucket.select(kept.columns.map(col): _*))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path(table))
+  }
+
+  /** Unbucketed tiny table (specification dimensions): full overwrite via
+    * tmp+swap (content is a handful of rows; atomicity via rename checked). */
+  def writeSmall(table: String, df: DataFrame): Unit = {
+    val out = df.localCheckpoint(true)
+    val tmp = new java.io.File(s"$root/.tmp_$table")
+    val target = new java.io.File(path(table))
+    deleteRec(tmp)
+    out.write.mode("overwrite").parquet(tmp.getPath)
+    val trash = new java.io.File(s"$root/.old_$table")
+    deleteRec(trash)
+    if (target.exists() && !target.renameTo(trash))
+      sys.error(s"StateStore: failed to move aside $target")
+    if (!tmp.renameTo(target))
+      sys.error(s"StateStore: failed to promote $tmp to $target")
+    deleteRec(trash)
+  }
+
+  def readSmall(table: String, schemaDdl: String): DataFrame = {
+    val d = new java.io.File(path(table))
+    if (d.isDirectory) spark.read.parquet(d.getPath)
+    else emptyDf(StructType.fromDDL(schemaDdl))
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+  }
+}

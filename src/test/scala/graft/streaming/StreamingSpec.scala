@@ -32,11 +32,21 @@ class StreamingSpec extends SparkTestBase {
 
     val dir = Files.createTempDirectory("graft-stream").toFile
     val inDir = new java.io.File(dir, "in"); inDir.mkdirs()
-    // two files → two micro-batches (file source lists in name order)
+    // two files → two micro-batches. FileStreamSource orders new files by
+    // modification timestamp; two files written within the same mtime
+    // granularity could arrive reordered, so pin distinct mtimes explicitly
+    // (batch_a strictly older) instead of relying on write-time ordering.
     spark.createDataFrame(a.asJava, envelopeSchema).coalesce(1)
       .write.parquet(inDir.getPath + "/batch_a")
     spark.createDataFrame(b.asJava, envelopeSchema).coalesce(1)
       .write.parquet(inDir.getPath + "/batch_b")
+    val now = System.currentTimeMillis()
+    def pinMtime(sub: String, t: Long): Unit =
+      new java.io.File(inDir, sub).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => assert(f.setLastModified(t), s"setLastModified failed for $f"))
+    pinMtime("batch_a", now - 60000)
+    pinMtime("batch_b", now)
 
     val raw = spark.readStream.schema(envelopeSchema)
       .option("maxFilesPerTrigger", "1")
