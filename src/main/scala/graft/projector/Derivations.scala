@@ -233,7 +233,27 @@ object Derivations {
     * root_segment_id, root_has_from, root_has_to, access_address_id,
     * unit_address_id.
     */
-  def spanEquipmentState(ev: DataFrame): DataFrame = {
+  def spanEquipmentState(ev: DataFrame): DataFrame =
+    spanPartialWithFacts(spanEquipmentPartial(ev))
+      .filter(col("placed_seq").isNotNull)
+      .select(
+        col("id"),
+        (col("last_lifecycle") === "SpanEquipmentPlacedInRouteNetwork").as("alive"),
+        col("placed_seq"), col("name"), col("walk_of_interest_id"), col("is_cable"),
+        col("placement_spec_id"), col("eff_spec_id"), col("nodes"),
+        element_at(col("nodes"), 1).as("from_node_id"),
+        element_at(col("nodes"), -1).as("to_node_id"),
+        col("root_segment_id"), col("root_has_from"), col("root_has_to"),
+        col("addr").getField("accessAddressId").as("access_address_id"),
+        col("addr").getField("unitAddressId").as("unit_address_id"))
+
+  /** Partial (mergeable) span-equipment fold: one row per id with the raw
+    * fold accumulators and per-family presence markers — NO placed filter,
+    * so the incremental catch-up can merge a batch-only fold onto stored
+    * state (all batch seqs are greater than every stored seq, so cross-
+    * batch merge is field-wise "batch value if present, else state").
+    */
+  private[graft] def spanEquipmentPartial(ev: DataFrame): DataFrame = {
     val placed = typeIs("SpanEquipmentPlacedInRouteNetwork")
     val moved = typeIs("SpanEquipmentMoved") || typeIs("SpanEquipmentMerged")
     val removed = typeIs("SpanEquipmentRemoved")
@@ -265,32 +285,32 @@ object Derivations {
         (placed || removed).as("is_lifecycle"))
 
     val seq = col("seq")
-    val folded = fam.groupBy(col("id"))
+    fam.groupBy(col("id"))
       .agg(
         Folds.lastNonNull(col("pl"), seq).as("pl"),
         max(when(placed, seq)).as("placed_seq"),
         Folds.lastNonNull(col("nodes_now"), seq).as("nodes"),
         Folds.lastNonNull(col("spec_now"), seq).as("eff_spec_id"),
         Folds.lastEvenNull(col("addr_now"), seq, col("is_addr_event")).as("addr"),
-        (Folds.lastWhere(col("event_type"), seq, col("is_lifecycle"))
-          === "SpanEquipmentPlacedInRouteNetwork").as("alive"))
-      .filter(col("placed_seq").isNotNull)
+        max(when(col("is_addr_event"), seq)).as("last_addr_seq"),
+        Folds.lastWhere(col("event_type"), seq, col("is_lifecycle")).as("last_lifecycle"))
+  }
 
-    // Placement-frozen root-segment facts (`SpanEquipmentState.Create`):
-    // any segment with from-index 0 and a real from-terminal / to-index
-    // len-1 and a real to-terminal, across all structures.
+  /** Projects the placement-frozen facts out of a partial fold's `pl`
+    * struct (`SpanEquipmentState.Create`): root-segment id, whether any
+    * segment with from-index 0 / to-index len-1 has a real terminal. Null
+    * `pl` (no placement among the folded events) yields null facts.
+    */
+  private[graft] def spanPartialWithFacts(part: DataFrame): DataFrame = {
     val segs = flatten(col("pl.structures").getField("spanSegments"))
     val nPlacedNodes = size(col("pl.nodes"))
-    folded.select(
-      col("id"), col("alive"), col("placed_seq"),
+    part.select(
+      col("id"), col("placed_seq"), col("nodes"), col("eff_spec_id"),
+      col("addr"), col("last_addr_seq"), col("last_lifecycle"),
       col("pl.name").as("name"),
       col("pl.walk_of_interest_id").as("walk_of_interest_id"),
       col("pl.is_cable").as("is_cable"),
       col("pl.spec_id").as("placement_spec_id"),
-      col("eff_spec_id"),
-      col("nodes"),
-      element_at(col("nodes"), 1).as("from_node_id"),
-      element_at(col("nodes"), -1).as("to_node_id"),
       col("pl.structures").getItem(0).getField("spanSegments").getItem(0).getField("id")
         .as("root_segment_id"),
       exists(segs, s => s.getField("fromNodeOfInterestIndex") === 0 &&
@@ -298,9 +318,7 @@ object Derivations {
         s.getField("fromTerminalId") =!= EmptyUuid).as("root_has_from"),
       exists(segs, s => s.getField("toNodeOfInterestIndex") === (nPlacedNodes - 1) &&
         s.getField("toTerminalId").isNotNull &&
-        s.getField("toTerminalId") =!= EmptyUuid).as("root_has_to"),
-      col("addr.accessAddressId").as("access_address_id"),
-      col("addr.unitAddressId").as("unit_address_id"))
+        s.getField("toTerminalId") =!= EmptyUuid).as("root_has_to"))
   }
 
   /** Final has-child flag per parent equipment id.
@@ -456,9 +474,18 @@ object Derivations {
       .select(col("cable_id"), col("a.seq").as("seq"), col("a.interest_id").as("interest_id"),
         col("a.hops").as("hops"))
 
-    // as-of join: the interest walk value at the apply seq, via forward-
-    // fill over the per-interest timeline (walk events ∪ apply events)
-    val walkEvents = ev.filter(col("event_type").isin(interestTypes: _*))
+    Walks.explodeOrdered(cableWalkResolve(interestWalkEvents(ev), lastApply),
+      "walk", "route_network_element_id", "seq_no")
+      .select(col("fiber_cable_id"), col("route_network_element_id"), col("seq_no"))
+  }
+
+  /** Interest walk-change timeline rows in the cable-resolve shape:
+    * (seq, interest_id, w STRUCT<walk>, cable_id NULL, hops NULL). An
+    * Unregistered event writes w = struct(null): the marker survives
+    * forward fill, so an apply after unregistration yields a null walk
+    * (dropped — the reference would have thrown). */
+  private[graft] def interestWalkEvents(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type").isin(interestTypes: _*))
       .select(col("seq"),
         coalesce(col("p.interest.id"), col("p.interestId")).as("interest_id"),
         struct(array_distinct(
@@ -467,22 +494,23 @@ object Derivations {
         ).as("walk")).as("w"),
         lit(null.asInstanceOf[String]).as("cable_id"),
         lit(null).cast(EventLog.payloadSchema("newUtilityHopList").dataType).as("hops"))
-    // an Unregistered event writes w = struct(null): the marker survives
-    // forward fill, so an apply after unregistration yields a null walk
-    // (dropped — the reference would have thrown)
+
+  /** As-of resolve + hop subtraction: forward-fill the interest walk over
+    * (walk events ∪ apply rows) per interest, take the walk at each apply's
+    * seq, subtract the apply's hops. `lastApply` columns: (seq, interest_id,
+    * cable_id, hops). Returns (fiber_cable_id, walk). Shared by the full
+    * derivation and the incremental catch-up (which injects stored interest
+    * state as pseudo walk events at a negative seq). */
+  private[graft] def cableWalkResolve(walkEvents: DataFrame, lastApply: DataFrame): DataFrame = {
     val applyRows = lastApply.select(col("seq"), col("interest_id"),
       lit(null).cast(walkEvents.schema("w").dataType).as("w"), col("cable_id"), col("hops"))
-
     val w = Window.partitionBy(col("interest_id")).orderBy(col("seq"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val resolved = walkEvents.unionByName(applyRows)
+    walkEvents.unionByName(applyRows)
       .withColumn("walk_asof", last(col("w"), ignoreNulls = true).over(w).getField("walk"))
       .filter(col("cable_id").isNotNull && col("walk_asof").isNotNull)
       .select(col("cable_id").as("fiber_cable_id"),
         graft.functions.HopSubtractExpr.hopSubtract(col("walk_asof"), col("hops")).as("walk"))
-
-    Walks.explodeOrdered(resolved, "walk", "route_network_element_id", "seq_no")
-      .select(col("fiber_cable_id"), col("route_network_element_id"), col("seq_no"))
   }
 
   // ---------------------------------------------------------------------
@@ -532,27 +560,38 @@ object Derivations {
       .select(col("seq"), col("t.id").as("id"), col("route_node_id"),
         col("t.name").as("name"), col("t.address_info").as("address_info"))
 
-    // fold surviving placements with naming/address updates and removals
-    val namingChanged = typeIs("TerminalEquipmentNamingInfoChanged")
-    val addrChanged = typeIs("TerminalEquipmentAddressInfoChanged")
-    val updates = ev.filter(namingChanged || addrChanged || typeIs("TerminalEquipmentRemoved"))
-      .select(col("seq"), col("event_type"), col("p.terminalEquipmentId").as("id"),
-        when(namingChanged, struct(col("p.namingInfo.name").as("name"))).as("naming"),
-        when(addrChanged, col("p.addressInfo")).as("addr"))
-
     val placementRows = eligible.select(col("seq"), lit("placement").as("event_type"), col("id"),
       struct(col("name")).as("naming"), col("address_info").as("addr"),
       col("route_node_id"), col("seq").as("placement_seq"))
-    val updateRows = updates.select(col("seq"), col("event_type"), col("id"),
-      col("naming"), col("addr"),
-      lit(null.asInstanceOf[String]).as("route_node_id"), lit(null).cast("long").as("placement_seq"))
 
+    serviceTerminationFold(placementRows, terminalUpdateRows(ev))
+  }
+
+  /** Naming/address/removal update rows for the terminal fold. */
+  private[graft] def terminalUpdateRows(ev: DataFrame): DataFrame = {
+    val namingChanged = typeIs("TerminalEquipmentNamingInfoChanged")
+    val addrChanged = typeIs("TerminalEquipmentAddressInfoChanged")
+    ev.filter(namingChanged || addrChanged || typeIs("TerminalEquipmentRemoved"))
+      .select(col("seq"), col("event_type"), col("p.terminalEquipmentId").as("id"),
+        when(namingChanged, struct(col("p.namingInfo.name").as("name"))).as("naming"),
+        when(addrChanged, col("p.addressInfo")).as("addr"),
+        lit(null.asInstanceOf[String]).as("route_node_id"), lit(null).cast("long").as("placement_seq"))
+  }
+
+  /** Terminal fold tail: surviving placements + naming/address updates and
+    * removals → final service_termination rows. Shared by the full batch
+    * derivation and the incremental catch-up (which injects stored state as
+    * pseudo-placement rows at a negative seq — hence the Long.MinValue
+    * removal default rather than -1).
+    */
+  private[graft] def serviceTerminationFold(placementRows: DataFrame,
+      updateRows: DataFrame): DataFrame = {
     val seq = col("seq")
     placementRows.unionByName(updateRows)
       .groupBy(col("id"))
       .agg(
         max(col("placement_seq")).as("placement_seq"),
-        coalesce(max(when(typeIs("TerminalEquipmentRemoved"), seq)), lit(-1L)).as("removed_seq"),
+        coalesce(max(when(typeIs("TerminalEquipmentRemoved"), seq)), lit(Long.MinValue)).as("removed_seq"),
         Folds.lastNonNull(col("route_node_id"), seq).as("route_node_id"),
         Folds.lastEvenNull(col("naming"), seq,
           col("event_type").isin("placement", "TerminalEquipmentNamingInfoChanged"))
