@@ -12,6 +12,16 @@ import org.apache.spark.sql.SparkSession
   *   - failures are NOT swallowed: a failing query reports -1 with its
   *     error class in an `"errors"` map and the process exits nonzero,
   *     so a broken query can never masquerade as a fast one.
+  *
+  * Round-3 hardening — query isolation. Round 1/2 numbers carried a
+  * wandering ~15 s stall that landed on whichever query followed the
+  * broadcast/UDF-heavy block (GC + ContextCleaner backlog draining inside
+  * the next query's timing window). Each query is now timed in isolation:
+  * cache cleared and a synchronous GC forced *before* the timed runs, so a
+  * preceding query's cleanup can never be billed to the next one. The JSON
+  * additionally reports per-query `queries_min` — min is robust to any
+  * residual one-off stall, so a median/min gap flags harness noise rather
+  * than silently distorting the round-over-round comparison.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,8 +48,16 @@ object Bench {
         }
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Optional comma-separated query filter for isolated probing.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+      // Isolate from the previous query: drop cached plans/broadcasts and
+      // drain GC + ContextCleaner debt outside the timing window.
+      spark.catalog.clearCache()
+      System.gc()
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -55,13 +73,16 @@ object Bench {
       val median =
         if (times.isEmpty) -1.0
         else times.sorted.apply(times.size / 2)
-      name -> median
+      val minT = if (times.isEmpty) -1.0 else times.min
+      (name, median, minT)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsMin = results.map { case (k, _, m) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

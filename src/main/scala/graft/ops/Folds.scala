@@ -43,4 +43,27 @@ object Folds {
     */
   def lastEvenNull(value: Column, seq: Column, cond: Column): Column =
     max_by(struct(value.as("v")), when(cond, seq)).getField("v")
+
+  /** Merge partial fold frames (same schema) into one row per key.
+    *
+    * A partial fold row carries, per logical field, the folded value plus a
+    * marker: the greatest event `seq` that contributed to it (NULL when no
+    * event in that partial touched the field). Because the event log is
+    * globally ordered, merging partials from disjoint seq ranges is exact:
+    * for each `(value, marker)` pair take the value at the greatest non-null
+    * marker (the struct wrap keeps NULL *values* distinct from absent
+    * fields), and for each bare `seqs` column take the max. This is the
+    * distributive-aggregate property that lets the incremental catch-up
+    * fold ONLY the batch and merge onto stored state — the Spark analogue
+    * of the reference's per-event dictionary writes
+    * (`ProjektorState.cs:23-125`) that stays O(delta) per micro-batch.
+    */
+  def mergePartials(parts: Seq[org.apache.spark.sql.DataFrame], idCol: String,
+      pairs: Seq[(String, String)], seqs: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val all = parts.reduce(_.unionByName(_))
+    val aggs = pairs.flatMap { case (v, s) =>
+      Seq(max_by(struct(col(v).as("v")), col(s)).getField("v").as(v), max(col(s)).as(s))
+    } ++ seqs.map(s => max(col(s)).as(s))
+    all.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

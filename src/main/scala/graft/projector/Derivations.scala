@@ -69,36 +69,59 @@ object Derivations {
   // Specification dimensions (tiny; always broadcast)
   // ---------------------------------------------------------------------
 
-  /** node container spec: id → (name, category). `ProjektorState.cs:30-33`. */
-  def nodeContainerSpecs(ev: DataFrame): DataFrame =
+  /** Partial dim folds carry `d_seq` (greatest contributing seq) so the
+    * incremental catch-up can merge a batch fold onto stored dims with
+    * [[graft.ops.Folds.mergePartials]]; the public accessors drop it. */
+  private[graft] def nodeContainerSpecsPartial(ev: DataFrame): DataFrame =
     ofType(ev, "NodeContainerSpecificationAdded")
       .groupBy(col("p.specification.id").as("spec_id"))
       .agg(max_by(struct(col("p.specification.name").as("name"),
-        col("p.specification.category").as("category")), col("seq")).as("s"))
-      .select(col("spec_id"), col("s.name").as("spec_name"), col("s.category").as("spec_category"))
+        col("p.specification.category").as("category")), col("seq")).as("s"),
+        max(col("seq")).as("d_seq"))
 
-  /** span equipment spec: id → (name, isCable, rootStructureSpecId). `ProjektorState.cs:325-328`. */
-  def spanEquipmentSpecs(ev: DataFrame): DataFrame =
+  /** node container spec: id → (name, category). `ProjektorState.cs:30-33`. */
+  def nodeContainerSpecs(ev: DataFrame): DataFrame =
+    nodeContainerSpecsFromPartial(nodeContainerSpecsPartial(ev))
+
+  private[graft] def nodeContainerSpecsFromPartial(p: DataFrame): DataFrame =
+    p.select(col("spec_id"), col("s.name").as("spec_name"), col("s.category").as("spec_category"))
+
+  private[graft] def spanEquipmentSpecsPartial(ev: DataFrame): DataFrame =
     ofType(ev, "SpanEquipmentSpecificationAdded")
       .groupBy(col("p.specification.id").as("spec_id"))
       .agg(max_by(struct(col("p.specification.name").as("name"),
         col("p.specification.isCable").as("is_cable"),
         col("p.specification.rootTemplate.spanStructureSpecificationId").as("structure_spec_id")),
-        col("seq")).as("s"))
-      .select(col("spec_id"), col("s.name").as("spec_name"),
-        col("s.is_cable").as("spec_is_cable"), col("s.structure_spec_id").as("structure_spec_id"))
+        col("seq")).as("s"),
+        max(col("seq")).as("d_seq"))
+
+  /** span equipment spec: id → (name, isCable, rootStructureSpecId). `ProjektorState.cs:325-328`. */
+  def spanEquipmentSpecs(ev: DataFrame): DataFrame =
+    spanEquipmentSpecsFromPartial(spanEquipmentSpecsPartial(ev))
+
+  private[graft] def spanEquipmentSpecsFromPartial(p: DataFrame): DataFrame =
+    p.select(col("spec_id"), col("s.name").as("spec_name"),
+      col("s.is_cable").as("spec_is_cable"), col("s.structure_spec_id").as("structure_spec_id"))
+
+  private[graft] def spanStructureSpecsPartial(ev: DataFrame): DataFrame =
+    ofType(ev, "SpanStructureSpecificationAdded")
+      .groupBy(col("p.specification.id").as("structure_spec_id"))
+      .agg(max_by(col("p.specification.outerDiameter"), col("seq")).as("outer_diameter"),
+        max(col("seq")).as("d_seq"))
 
   /** span structure spec: id → outerDiameter. `ProjektorState.cs:330-333`. */
   def spanStructureSpecs(ev: DataFrame): DataFrame =
-    ofType(ev, "SpanStructureSpecificationAdded")
-      .groupBy(col("p.specification.id").as("structure_spec_id"))
-      .agg(max_by(col("p.specification.outerDiameter"), col("seq")).as("outer_diameter"))
+    spanStructureSpecsPartial(ev).drop("d_seq")
+
+  private[graft] def terminalSpecsPartial(ev: DataFrame): DataFrame =
+    ofType(ev, "TerminalEquipmentSpecificationAdded")
+      .groupBy(col("p.specification.id").as("spec_id"))
+      .agg(max_by(col("p.specification.isCustomerTermination"), col("seq")).as("is_customer_termination"),
+        max(col("seq")).as("d_seq"))
 
   /** terminal equipment spec: id → isCustomerTermination. `ProjektorState.cs:524-527`. */
   def terminalSpecs(ev: DataFrame): DataFrame =
-    ofType(ev, "TerminalEquipmentSpecificationAdded")
-      .groupBy(col("p.specification.id").as("spec_id"))
-      .agg(max_by(col("p.specification.isCustomerTermination"), col("seq")).as("is_customer_termination"))
+    terminalSpecsPartial(ev).drop("d_seq")
 
   // ---------------------------------------------------------------------
   // Interests (walks of interest)
@@ -107,11 +130,9 @@ object Derivations {
   private val interestTypes = Seq("WalkOfInterestRegistered",
     "WalkOfInterestRouteNetworkElementsModified", "InterestUnregistered")
 
-  /** Final per-interest state: (interest_id, walk ARRAY<STRING>, alive).
-    * Walks are deduped keeping first occurrence at ingest
-    * (`ProjektorState.cs:673-689` via `array_distinct`).
-    */
-  def interestState(ev: DataFrame): DataFrame = {
+  /** Mergeable per-interest partial fold: walk (last non-null, marker
+    * `w_seq`) and the family's last event type (marker `lt_seq`). */
+  private[graft] def interestPartial(ev: DataFrame): DataFrame = {
     val fam = ev.filter(col("event_type").isin(interestTypes: _*))
       .select(col("seq"), col("event_type"),
         coalesce(col("p.interest.id"), col("p.interestId")).as("interest_id"),
@@ -122,8 +143,24 @@ object Derivations {
     fam.groupBy(col("interest_id"))
       .agg(
         Folds.lastNonNull(col("walk"), col("seq")).as("walk"),
-        (max_by(col("event_type"), col("seq")) =!= "InterestUnregistered").as("alive"))
+        max(when(col("walk").isNotNull, col("seq"))).as("w_seq"),
+        max_by(col("event_type"), col("seq")).as("last_type"),
+        max(col("seq")).as("lt_seq"))
   }
+
+  private[graft] val interestPartialPairs: Seq[(String, String)] =
+    Seq("walk" -> "w_seq", "last_type" -> "lt_seq")
+
+  private[graft] def interestFromPartial(p: DataFrame): DataFrame =
+    p.select(col("interest_id"), col("walk"),
+      (col("last_type") =!= "InterestUnregistered").as("alive"))
+
+  /** Final per-interest state: (interest_id, walk ARRAY<STRING>, alive).
+    * Walks are deduped keeping first occurrence at ingest
+    * (`ProjektorState.cs:673-689` via `array_distinct`).
+    */
+  def interestState(ev: DataFrame): DataFrame =
+    interestFromPartial(interestPartial(ev))
 
   /** Table 1: rel_interest_to_route_element (interest_id, route_network_element_id, seq_no).
     * `PostgresWriter.cs:27-38,42-70` — seq_no is 1-based walk order. */
@@ -137,9 +174,9 @@ object Derivations {
   // Node containers
   // ---------------------------------------------------------------------
 
-  /** Final per-container state incl. route-node relation; join to spec dim
-    * for name/category. `ProjektorState.cs:30-84`, `NodeContainerState.cs`. */
-  def nodeContainerState(ev: DataFrame): DataFrame = {
+  /** Mergeable per-container partial fold (route node / spec / lifecycle,
+    * each with its marker seq). */
+  private[graft] def nodeContainerPartial(ev: DataFrame): DataFrame = {
     val types = Seq("NodeContainerPlacedInRouteNetwork", "NodeContainerRemovedFromRouteNetwork",
       "NodeContainerSpecificationChanged")
     val placed = typeIs("NodeContainerPlacedInRouteNetwork")
@@ -149,15 +186,30 @@ object Derivations {
         coalesce(col("p.container.id"), col("p.nodeContainerId")).as("id"),
         when(placed, col("p.container.routeNodeId")).as("route_node_id"),
         when(placed, col("p.container.specificationId"))
-          .when(typeIs("NodeContainerSpecificationChanged"), col("p.newSpecificationId")).as("spec_id"))
+          .when(typeIs("NodeContainerSpecificationChanged"), col("p.newSpecificationId")).as("spec_id"),
+        lifecycle.as("is_lifecycle"))
     fam.groupBy(col("id"))
       .agg(
         Folds.lastNonNull(col("route_node_id"), col("seq")).as("route_node_id"),
+        max(when(col("route_node_id").isNotNull, col("seq"))).as("rn_seq"),
         Folds.lastNonNull(col("spec_id"), col("seq")).as("spec_id"),
-        (Folds.lastWhere(col("event_type"), col("seq"), lifecycle) === "NodeContainerPlacedInRouteNetwork")
-          .as("alive"))
-      .filter(col("alive"))
+        max(when(col("spec_id").isNotNull, col("seq"))).as("sp_seq"),
+        Folds.lastWhere(col("event_type"), col("seq"), col("is_lifecycle")).as("last_lifecycle"),
+        max(when(col("is_lifecycle"), col("seq"))).as("lc_seq"))
   }
+
+  private[graft] val nodeContainerPartialPairs: Seq[(String, String)] =
+    Seq("route_node_id" -> "rn_seq", "spec_id" -> "sp_seq", "last_lifecycle" -> "lc_seq")
+
+  private[graft] def nodeContainerFromPartial(p: DataFrame): DataFrame =
+    p.withColumn("alive", col("last_lifecycle") === "NodeContainerPlacedInRouteNetwork")
+      .filter(col("alive"))
+      .select(col("id"), col("route_node_id"), col("spec_id"), col("alive"))
+
+  /** Final per-container state incl. route-node relation; join to spec dim
+    * for name/category. `ProjektorState.cs:30-84`, `NodeContainerState.cs`. */
+  def nodeContainerState(ev: DataFrame): DataFrame =
+    nodeContainerFromPartial(nodeContainerPartial(ev))
 
   /** Table 3: node_container (id, route_node_id, spec_name, spec_category).
     * Spec lookup throws on miss in the reference (`ProjektorState.cs:56-58`)
@@ -171,8 +223,8 @@ object Derivations {
   // Work tasks / installations (pure LWW folds)
   // ---------------------------------------------------------------------
 
-  /** Table 7: work_task (id, number, status). `ProjektorState.cs:591-613`. */
-  def workTask(ev: DataFrame): DataFrame = {
+  /** Mergeable per-work-task partial fold. */
+  private[graft] def workTaskPartial(ev: DataFrame): DataFrame = {
     val validCreate = typeIs("WorkTaskCreated") &&
       col("p.workTask.status").isNotNull && col("p.workTask.status") =!= ""
     val statusChanged = typeIs("WorkTaskStatusChanged")
@@ -188,18 +240,30 @@ object Derivations {
       .agg(
         Folds.lastWhere(col("number"), col("seq"), col("is_valid_create")).as("number"),
         Folds.lastEvenNull(col("status"), col("seq"), col("in_status_family")).as("status"),
+        max(when(col("in_status_family"), col("seq"))).as("st_seq"),
         max(when(col("is_valid_create"), col("seq"))).as("created_seq"))
-      .filter(col("created_seq").isNotNull)
-      .select(col("id"), col("number"), col("status"))
   }
 
-  /** Table 8: installation (id, installation_id, unit_address_id, status,
-    * location_remark). Field-family wholesale overwrites incl. nulls
-    * (`ProjektorState.cs:623-668`, `InstallationState.cs:21-33`). */
-  def installation(ev: DataFrame): DataFrame = {
+  private[graft] val workTaskPartialPairs: Seq[(String, String)] =
+    Seq("number" -> "created_seq", "status" -> "st_seq")
+
+  private[graft] def workTaskFromPartial(p: DataFrame): DataFrame =
+    p.filter(col("created_seq").isNotNull)
+      .select(col("id"), col("number"), col("status"))
+
+  /** Table 7: work_task (id, number, status). `ProjektorState.cs:591-613`. */
+  def workTask(ev: DataFrame): DataFrame =
+    workTaskFromPartial(workTaskPartial(ev))
+
+  /** Mergeable per-installation partial fold (field families with marker
+    * seqs). */
+  private[graft] def installationPartial(ev: DataFrame): DataFrame = {
     val created = typeIs("InstallationCreated")
     val types = Seq("InstallationCreated", "InstallationUnitAddressChanged",
       "InstallationStatusChanged", "InstallationLocationRemarkChanged")
+    val condUa = created || typeIs("InstallationUnitAddressChanged")
+    val condSt = created || typeIs("InstallationStatusChanged")
+    val condLr = created || typeIs("InstallationLocationRemarkChanged")
     val fam = ev.filter(col("event_type").isin(types: _*))
       .select(col("seq"), col("event_type"), col("p.id").as("id"),
         col("p.installationId").as("installation_id"),
@@ -209,18 +273,30 @@ object Derivations {
     val seq = col("seq")
     fam.groupBy(col("id"))
       .agg(
-        Folds.lastWhere(col("installation_id"), seq, typeIs("InstallationCreated")).as("installation_id"),
-        Folds.lastEvenNull(col("unit_address_id"), seq,
-          created || typeIs("InstallationUnitAddressChanged")).as("unit_address_id"),
-        Folds.lastEvenNull(col("status"), seq,
-          created || typeIs("InstallationStatusChanged")).as("status"),
-        Folds.lastEvenNull(col("location_remark"), seq,
-          created || typeIs("InstallationLocationRemarkChanged")).as("location_remark"),
+        Folds.lastWhere(col("installation_id"), seq, created).as("installation_id"),
+        Folds.lastEvenNull(col("unit_address_id"), seq, condUa).as("unit_address_id"),
+        max(when(condUa, seq)).as("ua_seq"),
+        Folds.lastEvenNull(col("status"), seq, condSt).as("status"),
+        max(when(condSt, seq)).as("st_seq"),
+        Folds.lastEvenNull(col("location_remark"), seq, condLr).as("location_remark"),
+        max(when(condLr, seq)).as("lr_seq"),
         max(when(created, seq)).as("created_seq"))
-      .filter(col("created_seq").isNotNull)
+  }
+
+  private[graft] val installationPartialPairs: Seq[(String, String)] =
+    Seq("installation_id" -> "created_seq", "unit_address_id" -> "ua_seq",
+      "status" -> "st_seq", "location_remark" -> "lr_seq")
+
+  private[graft] def installationFromPartial(p: DataFrame): DataFrame =
+    p.filter(col("created_seq").isNotNull)
       .select(col("id"), col("installation_id"), col("unit_address_id"),
         col("status"), col("location_remark"))
-  }
+
+  /** Table 8: installation (id, installation_id, unit_address_id, status,
+    * location_remark). Field-family wholesale overwrites incl. nulls
+    * (`ProjektorState.cs:623-668`, `InstallationState.cs:21-33`). */
+  def installation(ev: DataFrame): DataFrame =
+    installationFromPartial(installationPartial(ev))
 
   // ---------------------------------------------------------------------
   // Span equipment (fold + dimension joins + child-flag timeline)
@@ -234,7 +310,11 @@ object Derivations {
     * unit_address_id.
     */
   def spanEquipmentState(ev: DataFrame): DataFrame =
-    spanPartialWithFacts(spanEquipmentPartial(ev))
+    spanStateFromPartial(spanEquipmentPartial(ev))
+
+  /** Finalize a (merged) span partial into the folded state frame. */
+  private[graft] def spanStateFromPartial(part: DataFrame): DataFrame =
+    spanPartialWithFacts(part)
       .filter(col("placed_seq").isNotNull)
       .select(
         col("id"),
@@ -290,11 +370,19 @@ object Derivations {
         Folds.lastNonNull(col("pl"), seq).as("pl"),
         max(when(placed, seq)).as("placed_seq"),
         Folds.lastNonNull(col("nodes_now"), seq).as("nodes"),
+        max(when(col("nodes_now").isNotNull, seq)).as("n_seq"),
         Folds.lastNonNull(col("spec_now"), seq).as("eff_spec_id"),
+        max(when(col("spec_now").isNotNull, seq)).as("sp_seq"),
         Folds.lastEvenNull(col("addr_now"), seq, col("is_addr_event")).as("addr"),
         max(when(col("is_addr_event"), seq)).as("last_addr_seq"),
-        Folds.lastWhere(col("event_type"), seq, col("is_lifecycle")).as("last_lifecycle"))
+        Folds.lastWhere(col("event_type"), seq, col("is_lifecycle")).as("last_lifecycle"),
+        max(when(col("is_lifecycle"), seq)).as("lc_seq"))
   }
+
+  /** (value, marker) pairs for merging span partials across batches. */
+  private[graft] val spanPartialPairs: Seq[(String, String)] =
+    Seq("pl" -> "placed_seq", "nodes" -> "n_seq", "eff_spec_id" -> "sp_seq",
+      "addr" -> "last_addr_seq", "last_lifecycle" -> "lc_seq")
 
   /** Projects the placement-frozen facts out of a partial fold's `pl`
     * struct (`SpanEquipmentState.Create`): root-segment id, whether any
@@ -331,37 +419,16 @@ object Derivations {
     * at the greatest timeline `seq`.
     */
   def hasChildFlags(ev: DataFrame, spanState: DataFrame): DataFrame = {
-    val placedWithHops = typeIs("SpanEquipmentPlacedInRouteNetwork") &&
-      size(col("p.equipment.utilityNetworkHops")) > 0
-    val affixHops =
-      when(typeIs("SpanEquipmentAffixedToParent"), col("p.newUtilityHopList"))
-        .when(placedWithHops, col("p.equipment.utilityNetworkHops"))
-
-    // (child_id, seq, parent_root_segment_id) per affix edge
-    val affixes = ev.filter(typeIs("SpanEquipmentAffixedToParent") || placedWithHops)
-      .select(col("seq"),
-        coalesce(col("p.spanEquipmentId"), col("p.equipment.id")).as("child_id"),
-        explode(flatten(affixHops.getField("parentAffixes"))).as("affix"))
-      .select(col("seq"), col("child_id"), col("affix.spanSegmentId").as("root_segment_id"))
-      // resolve parent via root segment id (final-state join; parents are
-      // placed before affixes in well-formed logs)
+    // resolve parent via root segment id (final-state join; parents are
+    // placed before affixes in well-formed logs)
+    val affixes = affixEdges(ev)
       .join(spanState.select(col("root_segment_id"), col("id").as("parent_id")), Seq("root_segment_id"))
       .select(col("child_id"), col("seq"), col("parent_id"))
 
     val detaches = ev.filter(typeIs("SpanEquipmentDetachedFromParent"))
-      .select(col("p.spanEquipmentId").as("child_id"), col("seq").as("detach_seq"))
+      .select(col("p.spanEquipmentId").as("child_id"), col("seq"))
 
-    // each affix is cleared by the child's next detach (if any)
-    val wNext = Window.partitionBy(col("child_id")).orderBy(col("seq"))
-    val union = affixes.select(col("child_id"), col("seq"), col("parent_id"), lit(false).as("is_detach"))
-      .unionByName(detaches.select(col("child_id"), col("detach_seq").as("seq"),
-        lit(null.asInstanceOf[String]).as("parent_id"), lit(true).as("is_detach")))
-    val withNextDetach = union
-      .withColumn("next_detach_seq",
-        min(when(col("is_detach"), col("seq")))
-          .over(wNext.rowsBetween(1, Window.unboundedFollowing)))
-      .filter(!col("is_detach"))
-
+    val withNextDetach = affixNextDetach(affixes, detaches)
     val setRows = withNextDetach.select(col("parent_id"), col("seq"), lit(true).as("flag"))
     val clearRows = withNextDetach.filter(col("next_detach_seq").isNotNull)
       .select(col("parent_id"), col("next_detach_seq").as("seq"), lit(false).as("flag"))
@@ -373,37 +440,86 @@ object Derivations {
       .agg(max_by(col("flag"), col("seq")).as("has_child"))
   }
 
+  /** (child_id, seq, root_segment_id) per affix edge in `ev`: explicit
+    * affix events plus placements carrying utility hops
+    * (`ProjektorState.cs:349-424`). */
+  private[graft] def affixEdges(ev: DataFrame): DataFrame = {
+    val placedWithHops = typeIs("SpanEquipmentPlacedInRouteNetwork") &&
+      size(col("p.equipment.utilityNetworkHops")) > 0
+    val affixHops =
+      when(typeIs("SpanEquipmentAffixedToParent"), col("p.newUtilityHopList"))
+        .when(placedWithHops, col("p.equipment.utilityNetworkHops"))
+    ev.filter(typeIs("SpanEquipmentAffixedToParent") || placedWithHops)
+      .select(col("seq"),
+        coalesce(col("p.spanEquipmentId"), col("p.equipment.id")).as("child_id"),
+        explode(flatten(affixHops.getField("parentAffixes"))).as("affix"))
+      .select(col("child_id"), col("seq"), col("affix.spanSegmentId").as("root_segment_id"))
+  }
+
+  /** Attach to each affix row (child_id, seq, extra...) the child's first
+    * detach seq strictly after it (`next_detach_seq`, NULL if none). The
+    * per-child window partitions are bounded by a child's affix/detach
+    * history — no global sort. Shared by the batch [[hasChildFlags]] and
+    * the incremental catch-up (which injects stored not-yet-detached
+    * affixes as rows at their original seqs). */
+  private[graft] def affixNextDetach(affixRows: DataFrame, detachRows: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("child_id")).orderBy(col("seq"))
+    affixRows.withColumn("is_detach", lit(false))
+      .unionByName(detachRows.select(col("child_id"), col("seq"))
+        .withColumn("is_detach", lit(true)), allowMissingColumns = true)
+      .withColumn("next_detach_seq",
+        min(when(col("is_detach"), col("seq")))
+          .over(w.rowsBetween(1, Window.unboundedFollowing)))
+      .filter(!col("is_detach"))
+      .drop("is_detach")
+  }
+
   /** Enriched span-equipment state: + is_customer_conduit (placement-time
     * spec name contains "ø12", `SpanEquipmentState.cs:53`), current
     * spec_name, outer_diameter (2-hop dimension chain), has_child.
     */
+  /** Placement-spec dimension view: is_customer_conduit (spec name contains
+    * "ø12", `SpanEquipmentState.cs:53`) keyed by placement_spec_id. */
+  private[graft] def placementSpecDim(eqSpecs: DataFrame): DataFrame =
+    eqSpecs.select(col("spec_id").as("placement_spec_id"),
+      lower(col("spec_name")).contains("ø12").as("is_customer_conduit"),
+      col("spec_is_cable").as("placement_spec_is_cable"))
+
+  /** Current-spec dimension view: spec_name + outer_diameter (2-hop chain
+    * through the structure spec) keyed by eff_spec_id. */
+  private[graft] def currentSpecDim(eqSpecs: DataFrame, structSpecs: DataFrame): DataFrame =
+    eqSpecs.join(broadcast(structSpecs), Seq("structure_spec_id"), "left")
+      .select(col("spec_id").as("eff_spec_id"), col("spec_name"), col("outer_diameter"))
+
+  /** Attach both spec dimension views (inner joins — the reference throws
+    * on a missing spec, `ProjektorState.cs:56-58`). */
+  private[graft] def withSpecDims(st: DataFrame, eqSpecs: DataFrame,
+      structSpecs: DataFrame): DataFrame =
+    st.join(broadcast(placementSpecDim(eqSpecs)), Seq("placement_spec_id"))
+      .join(broadcast(currentSpecDim(eqSpecs, structSpecs)), Seq("eff_spec_id"))
+
   def spanEquipmentEnriched(ev: DataFrame): DataFrame = {
     val st = spanEquipmentState(ev)
-    val eqSpecs = spanEquipmentSpecs(ev)
-    val structSpecs = spanStructureSpecs(ev)
-    val placementSpec = eqSpecs
-      .select(col("spec_id").as("placement_spec_id"),
-        lower(col("spec_name")).contains("ø12").as("is_customer_conduit"),
-        col("spec_is_cable").as("placement_spec_is_cable"))
-    val currentSpec = eqSpecs
-      .join(broadcast(structSpecs), Seq("structure_spec_id"), "left")
-      .select(col("spec_id").as("eff_spec_id"), col("spec_name"), col("outer_diameter"))
-    val withSpecs = st
-      .join(broadcast(placementSpec), Seq("placement_spec_id"))
-      .join(broadcast(currentSpec), Seq("eff_spec_id"))
-    withSpecs
+    withSpecDims(st, spanEquipmentSpecs(ev), spanStructureSpecs(ev))
       .join(hasChildFlags(ev, st).withColumnRenamed("parent_id", "id"), Seq("id"), "left")
       .na.fill(false, Seq("has_child"))
   }
+
+  /** span_equipment output rows from folded state + dims. The has_child
+    * flag does not feed this table, so the output path skips the affix
+    * timeline entirely. */
+  private[graft] def spanEquipmentFromState(st: DataFrame, eqSpecs: DataFrame,
+      structSpecs: DataFrame): DataFrame =
+    withSpecDims(st, eqSpecs, structSpecs).filter(col("alive"))
+      .select(col("id"), col("walk_of_interest_id").as("interest_id"),
+        col("outer_diameter"), col("is_cable"), col("name"), col("spec_name"),
+        col("access_address_id"), col("unit_address_id"))
 
   /** Table 4: span_equipment (id, interest_id, outer_diameter, is_cable,
     * name, spec_name, access_address_id, unit_address_id).
     * `PostgresWriter.cs:306-313`. */
   def spanEquipment(ev: DataFrame): DataFrame =
-    spanEquipmentEnriched(ev).filter(col("alive"))
-      .select(col("id"), col("walk_of_interest_id").as("interest_id"),
-        col("outer_diameter"), col("is_cable"), col("name"), col("spec_name"),
-        col("access_address_id"), col("unit_address_id"))
+    spanEquipmentFromState(spanEquipmentState(ev), spanEquipmentSpecs(ev), spanStructureSpecs(ev))
 
   /** Table 6: conduit_slack (id, route_node_id, number_of_ends) — batch
     * recompute of the reference's incrementally-maintained ±1 counter
@@ -411,13 +527,231 @@ object Derivations {
     * customer-conduit ends with no terminal connection and no child span
     * equipment. `id` is a deterministic UUID of route_node_id.
     */
-  def conduitSlack(ev: DataFrame): DataFrame = {
-    val st = spanEquipmentEnriched(ev).filter(col("alive") && col("is_customer_conduit") && !col("has_child"))
-    val fromEnds = st.filter(!col("root_has_from")).select(col("from_node_id").as("route_node_id"))
-    val toEnds = st.filter(!col("root_has_to")).select(col("to_node_id").as("route_node_id"))
-    fromEnds.unionByName(toEnds)
-      .groupBy(col("route_node_id"))
+  def conduitSlack(ev: DataFrame): DataFrame =
+    slackFromEnds(eligibleEnds(spanEquipmentEnriched(ev)))
+
+  /** (id, route_node_id, end_kind) — one row per alive eligible conduit
+    * end. The incremental catch-up materializes exactly these rows as a
+    * state table bucketed by route node so a per-node recount reads only
+    * the touched buckets. */
+  private[graft] def eligibleEnds(enriched: DataFrame): DataFrame = {
+    val st = enriched.filter(col("alive") && col("is_customer_conduit") && !col("has_child"))
+    st.filter(!col("root_has_from"))
+      .select(col("id"), col("from_node_id").as("route_node_id"), lit("from").as("end_kind"))
+      .unionByName(st.filter(!col("root_has_to"))
+        .select(col("id"), col("to_node_id").as("route_node_id"), lit("to").as("end_kind")))
+  }
+
+  private[graft] def slackFromEnds(ends: DataFrame): DataFrame =
+    ends.groupBy(col("route_node_id"))
       .agg(count(lit(1)).cast("int").as("number_of_ends"))
+      .withColumn("id", deterministicUuid(col("route_node_id")))
+      .select(col("id"), col("route_node_id"), col("number_of_ends"))
+
+  /** Table 6 in REFERENCE-EXACT compat mode: replays the reference's ±1
+    * counter arithmetic (`ProjektorState.cs:145-515`) — including its two
+    * path-dependent double-count behaviors (duplicate affixes without an
+    * intervening detach; children sharing a parent where both detach) —
+    * as a relational ledger instead of a sequential loop. The default
+    * [[conduitSlack]] stays the invariant recount; this mode exists for
+    * bit-faithful migration off the reference.
+    *
+    * Reconstruction: every handler's ±1 is a ledger row whose condition is
+    * evaluated against three as-of timelines, each expressible with a
+    * per-entity forward-fill window (partitions bounded by one entity's
+    * history — no global sort):
+    *
+    *   - has-child flag (set per resolved affix edge, cleared per detach
+    *     or re-placement), ordered by (seq, intra-event edge position) with
+    *     each edge's eligibility check sequenced BEFORE its own set — the
+    *     reference checks slack-eligibility before flipping the flag;
+    *   - from/to nodes (placements + moves/merges), move deltas against
+    *     the lagged previous value;
+    *   - root-segment map membership (placed & not removed as of the affix
+    *     seq) for parent resolution.
+    *
+    * Detach increments are per ENTRY of the child's accumulated parent
+    * list (duplicates included, `ProjektorState.cs:398-414`: the flag is
+    * forced false inside the loop, so every entry with an unconnected end
+    * on a customer conduit increments — the double-count).
+    */
+  def conduitSlackCompat(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val placed = typeIs("SpanEquipmentPlacedInRouteNetwork")
+    val eq = col("p.equipment")
+
+    // frozen placement facts + customer-conduit flag
+    val facts = spanPartialWithFacts(spanEquipmentPartial(ev))
+      .filter(col("placed_seq").isNotNull)
+      .join(broadcast(placementSpecDim(spanEquipmentSpecs(ev))
+        .select(col("placement_spec_id"), col("is_customer_conduit"))), Seq("placement_spec_id"))
+      .select(col("id"), col("root_segment_id"), col("is_customer_conduit").as("cust"),
+        col("root_has_from"), col("root_has_to"))
+
+    // node timeline (placements + moves/merges) with lagged previous nodes
+    val nodeTl = ev.filter(placed || typeIs("SpanEquipmentMoved") || typeIs("SpanEquipmentMerged"))
+      .select(col("seq"), coalesce(eq.getField("id"), col("p.spanEquipmentId")).as("id"),
+        coalesce(eq.getField("nodesOfInterestIds"), col("p.nodesOfInterestIds")).as("nodes"),
+        placed.as("is_place"))
+      .select(col("seq"), col("id"), col("is_place"),
+        element_at(col("nodes"), 1).as("from_node"), element_at(col("nodes"), -1).as("to_node"))
+    val wId = Window.partitionBy(col("id")).orderBy(col("seq"))
+    val nodeTlLag = nodeTl
+      .withColumn("prev_from", lag(col("from_node"), 1).over(wId))
+      .withColumn("prev_to", lag(col("to_node"), 1).over(wId))
+
+    // affix edges with intra-event position, resolved against the root map
+    // with reference liveness (parent placed & not removed as of the edge)
+    val placedWithHops = placed && size(eq.getField("utilityNetworkHops")) > 0
+    val affixHops = when(typeIs("SpanEquipmentAffixedToParent"), col("p.newUtilityHopList"))
+      .when(placedWithHops, eq.getField("utilityNetworkHops"))
+    val rawEdges = ev.filter(typeIs("SpanEquipmentAffixedToParent") || placedWithHops)
+      .select(col("seq"), coalesce(col("p.spanEquipmentId"), eq.getField("id")).as("child_id"),
+        posexplode(flatten(affixHops.getField("parentAffixes"))))
+      .select(col("seq"), col("child_id"), (col("pos") + 1).as("pos"),
+        col("col").getField("spanSegmentId").as("root_segment_id"))
+      .join(facts.select(col("root_segment_id"), col("id").as("parent_id")), Seq("root_segment_id"))
+
+    // liveness of the parent as of each edge: forward-fill place/remove
+    val lifeRows = ev.filter(placed || typeIs("SpanEquipmentRemoved"))
+      .select(coalesce(eq.getField("id"), col("p.spanEquipmentId")).as("parent_id"),
+        col("seq"), lit(null).cast("long").as("q_seq"), lit(null).cast("long").as("q_pos"),
+        placed.as("alive"))
+    val lifeQueries = rawEdges.select(col("parent_id"), col("seq"), col("seq").as("q_seq"),
+      col("pos").as("q_pos"), lit(null).cast("boolean").as("alive"))
+    val wLife = Window.partitionBy(col("parent_id"))
+      .orderBy(col("seq"), col("q_seq").isNotNull) // life event sorts before same-seq query
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val edgeAlive = lifeRows.unionByName(lifeQueries)
+      .withColumn("alive_asof", last(col("alive"), ignoreNulls = true).over(wLife))
+      .filter(col("q_seq").isNotNull)
+      .select(col("parent_id"), col("q_seq").as("seq"), col("q_pos").as("pos"),
+        coalesce(col("alive_asof"), lit(false)).as("in_map"))
+    val edges = rawEdges.join(edgeAlive, Seq("parent_id", "seq", "pos"))
+      .filter(col("in_map"))
+      .select(col("seq"), col("pos"), col("child_id"), col("parent_id"))
+
+    // detach events; each edge cleared by the child's next detach
+    val detaches = ev.filter(typeIs("SpanEquipmentDetachedFromParent"))
+      .select(col("p.spanEquipmentId").as("child_id"), col("seq"))
+    val edgesWithClear = affixNextDetach(edges.select(col("child_id"), col("seq"),
+      col("pos"), col("parent_id")), detaches)
+
+    // flag timeline rows: (parent_id, seq, pos, kind, flag)
+    // kind orders same-(seq,pos) rows: queries (0) see state BEFORE changes (1)
+    val flagSets = edges.select(col("parent_id"), col("seq"), col("pos"), lit(true).as("flag"))
+    val flagClears = edgesWithClear.filter(col("next_detach_seq").isNotNull)
+      .select(col("parent_id"), col("next_detach_seq").as("seq"), lit(0L).as("pos"), lit(false).as("flag"))
+      .distinct()
+    val flagResets = ev.filter(placed)
+      .select(eq.getField("id").as("parent_id"), col("seq"), lit(0L).as("pos"), lit(false).as("flag"))
+    val flagChanges = flagSets.unionByName(flagClears).unionByName(flagResets)
+      .withColumn("kind", lit(1))
+
+    // flag queries: affix edges (before own set), moves, removes
+    val moveOps = nodeTlLag.filter(!col("is_place"))
+      .select(col("id").as("parent_id"), col("seq"), lit(0L).as("pos"),
+        col("from_node"), col("to_node"), col("prev_from"), col("prev_to"))
+    val removeOps = ev.filter(typeIs("SpanEquipmentRemoved"))
+      .select(col("p.spanEquipmentId").as("parent_id"), col("seq"), lit(0L).as("pos"))
+    val flagQueries = edges.select(col("parent_id"), col("seq"), col("pos"))
+      .unionByName(moveOps.select(col("parent_id"), col("seq"), col("pos")))
+      .unionByName(removeOps)
+      .withColumn("kind", lit(0)).withColumn("flag", lit(null).cast("boolean"))
+    val wFlag = Window.partitionBy(col("parent_id"))
+      .orderBy(col("seq"), col("pos"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagAt = flagChanges.select(col("parent_id"), col("seq"), col("pos"), col("kind"), col("flag"))
+      .unionByName(flagQueries.select(col("parent_id"), col("seq"), col("pos"), col("kind"), col("flag")))
+      .withColumn("flag_before", coalesce(last(col("flag"), ignoreNulls = true).over(wFlag), lit(false)))
+      .filter(col("kind") === 0)
+      .select(col("parent_id"), col("seq"), col("pos"), col("flag_before"))
+
+    // nodes as of a query seq (strictly before — a move's own row excluded)
+    def nodesAt(queries: DataFrame /*(parent_id, seq)*/): DataFrame = {
+      val wNodes = Window.partitionBy(col("parent_id"))
+        .orderBy(col("seq"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      nodeTl.select(col("id").as("parent_id"), col("seq"), lit(1).as("kind"),
+          col("from_node"), col("to_node"))
+        .unionByName(queries.select(col("parent_id"), col("seq"), lit(0).as("kind"),
+          lit(null).cast("string").as("from_node"), lit(null).cast("string").as("to_node")))
+        .withColumn("from_asof", last(col("from_node"), ignoreNulls = true).over(wNodes))
+        .withColumn("to_asof", last(col("to_node"), ignoreNulls = true).over(wNodes))
+        .filter(col("kind") === 0)
+        .select(col("parent_id"), col("seq"), col("from_asof"), col("to_asof"))
+    }
+
+    // ---- ledger rows: (route_node_id, delta) ----
+    val custFacts = facts.select(col("id").as("parent_id"), col("cust"),
+      col("root_has_from"), col("root_has_to"))
+
+    // placements: +1 per eligible end (flag fresh-false)
+    val placeRows = ev.filter(placed)
+      .select(eq.getField("id").as("parent_id"), col("seq"),
+        element_at(eq.getField("nodesOfInterestIds"), 1).as("from_node"),
+        element_at(eq.getField("nodesOfInterestIds"), -1).as("to_node"))
+      .join(custFacts, Seq("parent_id"))
+    val placeDeltas =
+      placeRows.filter(col("cust") && !col("root_has_from"))
+        .select(col("from_node").as("route_node_id"), lit(1).as("delta"))
+      .unionByName(placeRows.filter(col("cust") && !col("root_has_to"))
+        .select(col("to_node").as("route_node_id"), lit(1).as("delta")))
+
+    // moves: transfer per changed, eligible end
+    val moveFlagged = moveOps.join(flagAt, Seq("parent_id", "seq", "pos"))
+      .join(custFacts, Seq("parent_id"))
+    def moveDelta(changed: Column, eligible: Column, oldNode: Column, newNode: Column) =
+      moveFlagged.filter(changed && eligible && !col("flag_before"))
+        .select(explode(array(struct(oldNode.as("route_node_id"), lit(-1).as("delta")),
+          struct(newNode.as("route_node_id"), lit(1).as("delta")))).as("d"))
+        .select(col("d.route_node_id"), col("d.delta"))
+    val moveDeltas =
+      moveDelta(col("prev_from") =!= col("from_node"), col("cust") && !col("root_has_from"),
+        col("prev_from"), col("from_node"))
+      .unionByName(moveDelta(col("prev_to") =!= col("to_node"), col("cust") && !col("root_has_to"),
+        col("prev_to"), col("to_node")))
+
+    // removals: -1 per eligible end at the then-current nodes
+    val removeFlagged = removeOps.join(flagAt, Seq("parent_id", "seq", "pos"))
+      .join(nodesAt(removeOps.select(col("parent_id"), col("seq"))), Seq("parent_id", "seq"))
+      .join(custFacts, Seq("parent_id"))
+    val removeDeltas =
+      removeFlagged.filter(col("cust") && !col("root_has_from") && !col("flag_before"))
+        .select(col("from_asof").as("route_node_id"), lit(-1).as("delta"))
+      .unionByName(removeFlagged.filter(col("cust") && !col("root_has_to") && !col("flag_before"))
+        .select(col("to_asof").as("route_node_id"), lit(-1).as("delta")))
+
+    // affix edges: -1 per eligible end of the parent, flag checked BEFORE
+    // this edge's own set (the reference's check-then-flip order)
+    val edgeFlagged = edges.join(flagAt, Seq("parent_id", "seq", "pos"))
+      .join(nodesAt(edges.select(col("parent_id"), col("seq")).distinct()), Seq("parent_id", "seq"))
+      .join(custFacts, Seq("parent_id"))
+    val affixDeltas =
+      edgeFlagged.filter(col("cust") && !col("root_has_from") && !col("flag_before"))
+        .select(col("from_asof").as("route_node_id"), lit(-1).as("delta"))
+      .unionByName(edgeFlagged.filter(col("cust") && !col("root_has_to") && !col("flag_before"))
+        .select(col("to_asof").as("route_node_id"), lit(-1).as("delta")))
+
+    // detaches: +1 per LIST ENTRY (duplicates included) per unconnected
+    // customer-conduit end — the flag is forced false in-loop, so no flag
+    // condition applies (`ProjektorState.cs:398-414`)
+    val detachEntries = edgesWithClear.filter(col("next_detach_seq").isNotNull)
+      .select(col("parent_id"), col("next_detach_seq").as("seq"))
+    val detachWithNodes = detachEntries
+      .join(nodesAt(detachEntries.distinct()), Seq("parent_id", "seq"))
+      .join(custFacts, Seq("parent_id"))
+    val detachDeltas =
+      detachWithNodes.filter(col("cust") && !col("root_has_from"))
+        .select(col("from_asof").as("route_node_id"), lit(1).as("delta"))
+      .unionByName(detachWithNodes.filter(col("cust") && !col("root_has_to"))
+        .select(col("to_asof").as("route_node_id"), lit(1).as("delta")))
+
+    placeDeltas.unionByName(moveDeltas).unionByName(removeDeltas)
+      .unionByName(affixDeltas).unionByName(detachDeltas)
+      .groupBy(col("route_node_id"))
+      .agg(sum(col("delta")).cast("int").as("number_of_ends"))
+      .filter(col("number_of_ends") =!= 0)
       .withColumn("id", deterministicUuid(col("route_node_id")))
       .select(col("id"), col("route_node_id"), col("number_of_ends"))
   }
@@ -444,12 +778,25 @@ object Derivations {
     * Entries survive equipment removal.
     */
   def relFiberCableToRouteElement(ev: DataFrame): DataFrame = {
-    val placed = typeIs("SpanEquipmentPlacedInRouteNetwork")
-    val eq = col("p.equipment")
-
-    // placement apply rows (cable spec, or hops present)
     val cableSpecs = spanEquipmentSpecs(ev).select(col("spec_id"), col("spec_is_cable"))
-    val placements = ev.filter(placed)
+    // interest id resolved from the equipment's last placement (forward-fill
+    // not needed: walkOfInterestId is placement-frozen, so the per-entity
+    // fold value is exact)
+    val interestOf = spanEquipmentState(ev).select(col("id").as("cable_id"),
+      col("walk_of_interest_id").as("interest_id"))
+    val applies = cablePlacementApplies(ev, cableSpecs)
+      .unionByName(cableAffixDetachApplies(ev, interestOf))
+    Walks.explodeOrdered(cableWalkResolve(interestWalkEvents(ev), lastApplyOf(applies)),
+      "walk", "route_network_element_id", "seq_no")
+      .select(col("fiber_cable_id"), col("route_network_element_id"), col("seq_no"))
+  }
+
+  /** Placement apply rows: (seq, cable_id, interest_id, hops) for
+    * placements of cable-spec equipment or placements carrying hops
+    * (`ProjektorState.cs:169-172,388,421`). */
+  private[graft] def cablePlacementApplies(ev: DataFrame, cableSpecs: DataFrame): DataFrame = {
+    val eq = col("p.equipment")
+    ev.filter(typeIs("SpanEquipmentPlacedInRouteNetwork"))
       .select(col("seq"), eq.getField("id").as("cable_id"),
         eq.getField("walkOfInterestId").as("interest_id"),
         eq.getField("specificationId").as("spec_id"),
@@ -457,27 +804,23 @@ object Derivations {
       .join(broadcast(cableSpecs), Seq("spec_id"), "left")
       .filter(coalesce(col("spec_is_cable"), lit(false)) || size(col("hops")) > 0)
       .select(col("seq"), col("cable_id"), col("interest_id"), col("hops"))
+  }
 
-    // affix/detach apply rows; interest id resolved from the equipment's
-    // last placement (forward-fill not needed: walkOfInterestId is
-    // placement-frozen, so the per-entity fold value is exact)
-    val affixDetach = ev.filter(typeIs("SpanEquipmentAffixedToParent") ||
+  /** Affix/detach apply rows; `interestOf` maps cable_id → interest_id. */
+  private[graft] def cableAffixDetachApplies(ev: DataFrame, interestOf: DataFrame): DataFrame =
+    ev.filter(typeIs("SpanEquipmentAffixedToParent") ||
         typeIs("SpanEquipmentDetachedFromParent"))
       .select(col("seq"), col("p.spanEquipmentId").as("cable_id"),
         col("p.newUtilityHopList").as("hops"))
-      .join(spanEquipmentState(ev).select(col("id").as("cable_id"),
-        col("walk_of_interest_id").as("interest_id")), Seq("cable_id"))
+      .join(interestOf, Seq("cable_id"))
 
-    val applies = placements.unionByName(affixDetach)
-    val lastApply = applies.groupBy(col("cable_id"))
+  /** The LAST apply event per equipment wins (its hop list snapshots the
+    * walk as of that seq). */
+  private[graft] def lastApplyOf(applies: DataFrame): DataFrame =
+    applies.groupBy(col("cable_id"))
       .agg(max_by(struct(col("seq"), col("interest_id"), col("hops")), col("seq")).as("a"))
       .select(col("cable_id"), col("a.seq").as("seq"), col("a.interest_id").as("interest_id"),
         col("a.hops").as("hops"))
-
-    Walks.explodeOrdered(cableWalkResolve(interestWalkEvents(ev), lastApply),
-      "walk", "route_network_element_id", "seq_no")
-      .select(col("fiber_cable_id"), col("route_network_element_id"), col("seq_no"))
-  }
 
   /** Interest walk-change timeline rows in the cable-resolve shape:
     * (seq, interest_id, w STRUCT<walk>, cable_id NULL, hops NULL). An
@@ -526,24 +869,40 @@ object Derivations {
     * time) — silent skip otherwise. Name/address updates apply only to
     * surviving entities; removal deletes.
     */
-  def serviceTermination(ev: DataFrame): DataFrame = {
-    val placed = typeIs("TerminalEquipmentPlacedInNodeContainer")
-    val eq = col("p.equipment")
+  def serviceTermination(ev: DataFrame): DataFrame =
+    serviceTerminationFromPartial(terminalPartial(
+      terminalPlacementRows(containerRelEvents(ev), terminalPlacements(ev), terminalSpecs(ev)),
+      terminalUpdateRows(ev)))
 
-    // container relation timeline: (container_id, seq, route_node marker)
-    val relEvents = ev.filter(typeIs("NodeContainerPlacedInRouteNetwork") ||
+  /** Container relation timeline rows: (seq, container_id, rel
+    * STRUCT<route_node_id>) — placed writes the node, removed writes a
+    * null marker that survives forward fill. */
+  private[graft] def containerRelEvents(ev: DataFrame): DataFrame =
+    ev.filter(typeIs("NodeContainerPlacedInRouteNetwork") ||
         typeIs("NodeContainerRemovedFromRouteNetwork"))
       .select(col("seq"),
         coalesce(col("p.container.id"), col("p.nodeContainerId")).as("container_id"),
         struct(when(typeIs("NodeContainerPlacedInRouteNetwork"),
           col("p.container.routeNodeId")).as("route_node_id")).as("rel"))
 
-    val termPlacements = ev.filter(placed)
+  /** Raw terminal placement rows: (seq, container_id, t STRUCT). */
+  private[graft] def terminalPlacements(ev: DataFrame): DataFrame = {
+    val eq = col("p.equipment")
+    ev.filter(typeIs("TerminalEquipmentPlacedInNodeContainer"))
       .select(col("seq"), eq.getField("nodeContainerId").as("container_id"),
         struct(eq.getField("id").as("id"), eq.getField("name").as("name"),
           eq.getField("specificationId").as("spec_id"),
           eq.getField("addressInfo").as("address_info")).as("t"))
+  }
 
+  /** Resolve terminal placements against the container relation timeline
+    * **as of each placement's seq** (forward-fill window) and apply the
+    * spec eligibility filter (silent skip, `ProjektorState.cs:529-547`).
+    * Shared by the full derivation and the incremental catch-up, which
+    * injects stored container state as pseudo rel rows at pre-batch seqs.
+    */
+  private[graft] def terminalPlacementRows(relEvents: DataFrame,
+      termPlacements: DataFrame, specDim: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("container_id")).orderBy(col("seq"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val placedResolved = relEvents.select(col("seq"), col("container_id"), col("rel"),
@@ -555,16 +914,14 @@ object Derivations {
 
     // spec filter: must exist and be customer termination (silent skip)
     val eligible = placedResolved
-      .join(broadcast(terminalSpecs(ev)), col("t.spec_id") === col("spec_id"))
+      .join(broadcast(specDim), col("t.spec_id") === col("spec_id"))
       .filter(col("is_customer_termination"))
       .select(col("seq"), col("t.id").as("id"), col("route_node_id"),
         col("t.name").as("name"), col("t.address_info").as("address_info"))
 
-    val placementRows = eligible.select(col("seq"), lit("placement").as("event_type"), col("id"),
+    eligible.select(col("seq"), lit("placement").as("event_type"), col("id"),
       struct(col("name")).as("naming"), col("address_info").as("addr"),
       col("route_node_id"), col("seq").as("placement_seq"))
-
-    serviceTerminationFold(placementRows, terminalUpdateRows(ev))
   }
 
   /** Naming/address/removal update rows for the terminal fold. */
@@ -578,42 +935,90 @@ object Derivations {
         lit(null.asInstanceOf[String]).as("route_node_id"), lit(null).cast("long").as("placement_seq"))
   }
 
-  /** Terminal fold tail: surviving placements + naming/address updates and
-    * removals → final service_termination rows. Shared by the full batch
-    * derivation and the incremental catch-up (which injects stored state as
-    * pseudo-placement rows at a negative seq — hence the Long.MinValue
-    * removal default rather than -1).
-    */
-  private[graft] def serviceTerminationFold(placementRows: DataFrame,
+  /** Mergeable terminal partial fold over placement + update rows. The
+    * incremental catch-up folds only the batch's rows and merges onto
+    * stored partials with [[graft.ops.Folds.mergePartials]]. */
+  private[graft] def terminalPartial(placementRows: DataFrame,
       updateRows: DataFrame): DataFrame = {
     val seq = col("seq")
+    val condNm = col("event_type").isin("placement", "TerminalEquipmentNamingInfoChanged")
+    val condAd = col("event_type").isin("placement", "TerminalEquipmentAddressInfoChanged")
     placementRows.unionByName(updateRows)
       .groupBy(col("id"))
       .agg(
         max(col("placement_seq")).as("placement_seq"),
-        coalesce(max(when(typeIs("TerminalEquipmentRemoved"), seq)), lit(Long.MinValue)).as("removed_seq"),
+        max(when(typeIs("TerminalEquipmentRemoved"), seq)).as("removed_seq"),
         Folds.lastNonNull(col("route_node_id"), seq).as("route_node_id"),
-        Folds.lastEvenNull(col("naming"), seq,
-          col("event_type").isin("placement", "TerminalEquipmentNamingInfoChanged"))
-          .getField("name").as("name"),
-        Folds.lastEvenNull(col("addr"), seq,
-          col("event_type").isin("placement", "TerminalEquipmentAddressInfoChanged")).as("addr"))
-      .filter(col("placement_seq").isNotNull && col("placement_seq") > col("removed_seq"))
-      .select(col("id"), col("route_node_id"), col("name"),
+        max(when(col("route_node_id").isNotNull, seq)).as("rn_seq"),
+        Folds.lastEvenNull(col("naming"), seq, condNm).as("naming"),
+        max(when(condNm, seq)).as("nm_seq"),
+        Folds.lastEvenNull(col("addr"), seq, condAd).as("addr"),
+        max(when(condAd, seq)).as("ad_seq"))
+  }
+
+  private[graft] val terminalPartialPairs: Seq[(String, String)] =
+    Seq("route_node_id" -> "rn_seq", "naming" -> "nm_seq", "addr" -> "ad_seq")
+
+  private[graft] val terminalPartialSeqs: Seq[String] = Seq("placement_seq", "removed_seq")
+
+  /** Surviving terminals only: placed, and not removed since the last
+    * placement (`placement_seq > removed_seq`). */
+  private[graft] def serviceTerminationFromPartial(p: DataFrame): DataFrame =
+    p.filter(col("placement_seq").isNotNull &&
+        col("placement_seq") > coalesce(col("removed_seq"), lit(Long.MinValue)))
+      .select(col("id"), col("route_node_id"), col("naming").getField("name").as("name"),
         col("addr.accessAddressId").as("access_address_id"),
         col("addr.unitAddressId").as("unit_address_id"))
-  }
 
   // ---------------------------------------------------------------------
 
-  /** All 8 tables from a decoded event log. */
-  def deriveAll(ev: DataFrame): Map[String, DataFrame] = Map(
+  /** All 8 tables from a decoded event log. `slackCompat = true` swaps the
+    * conduit_slack derivation for the reference-exact ±1 ledger replay
+    * ([[conduitSlackCompat]], including the reference's double-count
+    * behaviors); the default stays the invariant recount. */
+  def deriveAll(ev: DataFrame, slackCompat: Boolean = false): Map[String, DataFrame] = Map(
     "rel_interest_to_route_element" -> relInterestToRouteElement(ev),
     "rel_fiber_cable_to_route_element" -> relFiberCableToRouteElement(ev),
     "node_container" -> nodeContainer(ev),
     "span_equipment" -> spanEquipment(ev),
     "service_termination" -> serviceTermination(ev),
-    "conduit_slack" -> conduitSlack(ev),
+    "conduit_slack" -> (if (slackCompat) conduitSlackCompat(ev) else conduitSlack(ev)),
     "work_task" -> workTask(ev),
     "installation" -> installation(ev))
+
+  /** All 8 tables with the shared folded subtrees — span-equipment state,
+    * enriched state, spec dims — computed ONCE and cached across the 8
+    * table plans (r1 #7 / r2 #7: `deriveAll` used to re-fold
+    * `spanEquipmentState` independently under span_equipment, conduit_slack
+    * and rel_fiber_cable). Returns the tables plus a release() that
+    * unpersists the shared frames after the caller has written all
+    * outputs. The folded states are one row per entity — orders of
+    * magnitude smaller than the log, safe to cache at any scale.
+    */
+  def deriveAllCached(ev: DataFrame): (Map[String, DataFrame], () => Unit) = {
+    val eqSpecs = spanEquipmentSpecs(ev).cache()
+    val structSpecs = spanStructureSpecs(ev).cache()
+    val st = spanEquipmentState(ev).cache()
+    val enriched = withSpecDims(st, eqSpecs, structSpecs)
+      .join(hasChildFlags(ev, st).withColumnRenamed("parent_id", "id"), Seq("id"), "left")
+      .na.fill(false, Seq("has_child"))
+    val interestOf = st.select(col("id").as("cable_id"),
+      col("walk_of_interest_id").as("interest_id"))
+    val applies = cablePlacementApplies(ev, eqSpecs.select(col("spec_id"), col("spec_is_cable")))
+      .unionByName(cableAffixDetachApplies(ev, interestOf))
+    val relCable = Walks.explodeOrdered(
+      cableWalkResolve(interestWalkEvents(ev), lastApplyOf(applies)),
+      "walk", "route_network_element_id", "seq_no")
+      .select(col("fiber_cable_id"), col("route_network_element_id"), col("seq_no"))
+    val tables = Map(
+      "rel_interest_to_route_element" -> relInterestToRouteElement(ev),
+      "rel_fiber_cable_to_route_element" -> relCable,
+      "node_container" -> nodeContainer(ev),
+      "span_equipment" -> spanEquipmentFromState(st, eqSpecs, structSpecs),
+      "service_termination" -> serviceTermination(ev),
+      "conduit_slack" -> slackFromEnds(eligibleEnds(enriched)),
+      "work_task" -> workTask(ev),
+      "installation" -> installation(ev))
+    (tables, () => { eqSpecs.unpersist(); structSpecs.unpersist(); st.unpersist(); () })
+  }
 }

@@ -1,0 +1,335 @@
+package graft.streaming
+
+import graft.ops.{Folds, Walks}
+import graft.projector.{Derivations, EventLog}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** O(delta) incremental catch-up: fold ONE micro-batch of events into the
+  * materialized tables using only (a) the batch and (b) keyed reads of
+  * stored state — never the cumulative log.
+  *
+  * This is the Spark re-expression of the reference's per-event dictionary
+  * apply (`Worker.cs:40-48`, `ProjektorState.cs:23-125`): where the
+  * reference holds every entity in one process heap and mutates it per
+  * event, this engine keeps per-entity **mergeable partial folds** in a
+  * bucket-partitioned parquet [[StateStore]] and, per micro-batch,
+  *
+  *   1. folds the batch alone into per-family partials (hash aggregates —
+  *      O(batch));
+  *   2. reads stored partials for exactly the touched keys
+  *      ([[StateStore.readKeyed]] — bucket-pruned, O(touched buckets));
+  *   3. merges field-wise with [[Folds.mergePartials]] (exact because the
+  *      log is globally seq-ordered: the batch's markers always win);
+  *   4. finalizes output rows for the touched keys and delete+reinserts
+  *      them into the output tables ([[StateStore.mergeReplace]] and the
+  *      optional JDBC [[Sink]] — the reference's list-replace pattern,
+  *      `RelationalDatabaseProjection.cs:444-452`).
+  *
+  * Cross-entity state the reference keeps in auxiliary dictionaries gets a
+  * state table each, maintained with the same touched-key discipline:
+  *
+  *   - `st_root_segment`: root-segment id → equipment id (affix parent
+  *     resolution, `ProjektorState.cs:349-424`);
+  *   - `st_child_affixes`: per child, the parents affixed since the
+  *     child's last detach (what a detach must clear);
+  *   - `st_has_child`: latest has-child flag per parent (seq-merged);
+  *   - `st_eligible_ends`: one row per alive eligible conduit end,
+  *     bucketed by ROUTE NODE so the per-node slack recount reads only
+  *     touched buckets, while deletes key on equipment id (the
+  *     `extraBucketValues` old-position contract of
+  *     [[StateStore.mergeReplace]]).
+  *
+  * As-of semantics across the batch seam (interest walk at cable-apply
+  * time, container relation at terminal-placement time) are preserved by
+  * injecting the PRE-batch stored state as pseudo-events at their stored
+  * marker seqs — strictly below every batch seq — and running the same
+  * forward-fill windows as the batch derivation over (pseudo ∪ batch).
+  *
+  * Replay safety: every state write is a keyed delete+reinsert of values
+  * that are functions of (stored-before-batch, batch), and every merge is
+  * max-by-marker — re-applying the same batch after a mid-step crash
+  * converges to the same state, so the streaming checkpoint's at-least-once
+  * delivery yields exactly-once table contents.
+  */
+object Incremental {
+
+  /** Output tables and their delete/reinsert keys. */
+  val outputKey: Map[String, String] = Map(
+    "installation" -> "id", "work_task" -> "id", "node_container" -> "id",
+    "rel_interest_to_route_element" -> "interest_id",
+    "service_termination" -> "id", "span_equipment" -> "id",
+    "rel_fiber_cable_to_route_element" -> "fiber_cable_id",
+    "conduit_slack" -> "route_node_id")
+
+  /** Output schemas (for reading a table that does not exist yet). */
+  val outputSchema: Map[String, StructType] = Map(
+    "rel_interest_to_route_element" -> StructType.fromDDL(
+      "interest_id STRING, route_network_element_id STRING, seq_no INT"),
+    "rel_fiber_cable_to_route_element" -> StructType.fromDDL(
+      "fiber_cable_id STRING, route_network_element_id STRING, seq_no INT"),
+    "node_container" -> StructType.fromDDL(
+      "id STRING, route_node_id STRING, spec_name STRING, spec_category STRING"),
+    "span_equipment" -> StructType.fromDDL(
+      "id STRING, interest_id STRING, outer_diameter INT, is_cable BOOLEAN, " +
+        "name STRING, spec_name STRING, access_address_id STRING, unit_address_id STRING"),
+    "service_termination" -> StructType.fromDDL(
+      "id STRING, route_node_id STRING, name STRING, access_address_id STRING, unit_address_id STRING"),
+    "conduit_slack" -> StructType.fromDDL(
+      "id STRING, route_node_id STRING, number_of_ends INT"),
+    "work_task" -> StructType.fromDDL("id STRING, number STRING, status STRING"),
+    "installation" -> StructType.fromDDL(
+      "id STRING, installation_id STRING, unit_address_id STRING, status STRING, location_remark STRING"))
+
+  private val rootSchema = StructType.fromDDL("root_segment_id STRING, id STRING")
+  private val childAffixSchema = StructType.fromDDL("child_id STRING, parent_id STRING, seq BIGINT")
+  private val hcSchema = StructType.fromDDL("parent_id STRING, has_child BOOLEAN, hc_seq BIGINT")
+  private val eligSchema = StructType.fromDDL("id STRING, route_node_id STRING, end_kind STRING")
+
+  /** Per-output-table sink hook, invoked after each table's store merge
+    * with (table, deletedKeys, upserts). `deletedKeys` is a one-column
+    * frame named after the table's primary delete key; semantics are
+    * "delete every row whose key is in deletedKeys, then insert upserts"
+    * — exactly the reference's per-row DML contract
+    * (`PostgresWriter.cs:72-112`). Frames may be empty. */
+  type Sink = (String, DataFrame, DataFrame) => Unit
+  val noSink: Sink = (_, _, _) => ()
+
+  /** Fold one decoded micro-batch into the store. See object doc. */
+  def step(store: StateStore, batchDecoded: DataFrame, sink: Sink = noSink): Unit = {
+    val b = batchDecoded.persist()
+    try {
+      // ---------- dimension tables (tiny; merged first — every family
+      // finalizer joins them) ----------
+      val seSpecP = mergeDim(store, "dim_span_equipment_spec",
+        Derivations.spanEquipmentSpecsPartial(b), "spec_id", Seq("s" -> "d_seq"))
+      val ncSpecP = mergeDim(store, "dim_node_container_spec",
+        Derivations.nodeContainerSpecsPartial(b), "spec_id", Seq("s" -> "d_seq"))
+      val structSpecP = mergeDim(store, "dim_span_structure_spec",
+        Derivations.spanStructureSpecsPartial(b), "structure_spec_id",
+        Seq("outer_diameter" -> "d_seq"))
+      val termSpecP = mergeDim(store, "dim_terminal_spec",
+        Derivations.terminalSpecsPartial(b), "spec_id",
+        Seq("is_customer_termination" -> "d_seq"))
+      val eqSpecs = Derivations.spanEquipmentSpecsFromPartial(seSpecP)
+      val ncSpecs = Derivations.nodeContainerSpecsFromPartial(ncSpecP)
+      val structSpecs = structSpecP.drop("d_seq")
+      val termSpecs = termSpecP.drop("d_seq")
+
+      // ---------- simple per-entity families ----------
+      val (instKeys, _, instMerged) = mergeFamily(store, "st_installation", "id",
+        Derivations.installationPartial(b), Derivations.installationPartialPairs, Nil)
+      writeOutput(store, sink, "installation", instKeys,
+        Derivations.installationFromPartial(instMerged))
+
+      val (wtKeys, _, wtMerged) = mergeFamily(store, "st_work_task", "id",
+        Derivations.workTaskPartial(b), Derivations.workTaskPartialPairs, Nil)
+      writeOutput(store, sink, "work_task", wtKeys,
+        Derivations.workTaskFromPartial(wtMerged))
+
+      // ---------- span equipment: partial merge + root-segment index ----------
+      val bSpan = Derivations.spanEquipmentPartial(b)
+      val (seKeys, seStored, seMerged) = mergeFamily(store, "st_span", "id",
+        bSpan, Derivations.spanPartialPairs, Nil)
+
+      def rootOf(df: DataFrame): DataFrame = df.select(
+        col("pl").getField("structures").getItem(0).getField("spanSegments")
+          .getItem(0).getField("id").as("root_segment_id"),
+        col("id"))
+        .filter(col("root_segment_id").isNotNull)
+      val newRoots = rootOf(seMerged)
+      val rootKeys = newRoots.select(col("root_segment_id").as("k"))
+        .unionByName(rootOf(seStored).select(col("root_segment_id").as("k")))
+        .distinct()
+      store.mergeReplace("st_root_segment", "root_segment_id", rootKeys, newRoots)
+
+      // ---------- affix timeline → child-affix + has-child state ----------
+      val edges = Derivations.affixEdges(b) // (child_id, seq, root_segment_id)
+      val rootIds = edges.select(col("root_segment_id").as("k")).distinct()
+      val rootMap = store.readKeyed("st_root_segment", rootSchema, "root_segment_id", rootIds)
+      val batchAffixes = edges.join(rootMap, Seq("root_segment_id"))
+        .select(col("child_id"), col("seq"), col("id").as("parent_id"),
+          lit(false).as("stored"))
+      val detaches = b.filter(col("event_type") === "SpanEquipmentDetachedFromParent")
+        .select(col("p.spanEquipmentId").as("child_id"), col("seq"))
+      val touchedChildren = batchAffixes.select(col("child_id").as("k"))
+        .unionByName(detaches.select(col("child_id").as("k")))
+        .distinct().localCheckpoint(true)
+      val storedAffixes = store
+        .readKeyed("st_child_affixes", childAffixSchema, "child_id", touchedChildren)
+        .withColumn("stored", lit(true))
+      val timeline = Derivations
+        .affixNextDetach(storedAffixes.unionByName(batchAffixes), detaches)
+        .localCheckpoint(true)
+      store.mergeReplace("st_child_affixes", "child_id", touchedChildren,
+        timeline.filter(col("next_detach_seq").isNull)
+          .select(col("child_id"), col("parent_id"), col("seq")).distinct())
+
+      // flag timeline rows: batch affixes set, detaches clear every affix
+      // they terminate (stored or batch), re-placements reset
+      val setRows = timeline.filter(!col("stored"))
+        .select(col("parent_id"), col("seq"), lit(true).as("has_child"))
+      val clearRows = timeline.filter(col("next_detach_seq").isNotNull)
+        .select(col("parent_id"), col("next_detach_seq").as("seq"), lit(false).as("has_child"))
+      val resetRows = b.filter(col("event_type") === "SpanEquipmentPlacedInRouteNetwork")
+        .select(col("p.equipment.id").as("parent_id"), col("seq"), lit(false).as("has_child"))
+      val batchHc = setRows.unionByName(clearRows).unionByName(resetRows)
+        .groupBy(col("parent_id"))
+        .agg(max_by(col("has_child"), col("seq")).as("has_child"),
+          max(col("seq")).as("hc_seq"))
+      val hcKeys = batchHc.select(col("parent_id").as("k")).distinct().localCheckpoint(true)
+      val hcStored = store.readKeyed("st_has_child", hcSchema, "parent_id", hcKeys)
+      val hcMerged = Folds
+        .mergePartials(Seq(hcStored, batchHc), "parent_id", Seq("has_child" -> "hc_seq"))
+        .localCheckpoint(true)
+      store.mergeReplace("st_has_child", "parent_id", hcKeys, hcMerged)
+
+      // ---------- span_equipment output ----------
+      writeOutput(store, sink, "span_equipment", seKeys,
+        Derivations.spanEquipmentFromState(
+          Derivations.spanStateFromPartial(seMerged), eqSpecs, structSpecs))
+
+      // ---------- node containers (pre-merge snapshot feeds the terminal
+      // as-of resolve) ----------
+      val termPlac = Derivations.terminalPlacements(b) // (seq, container_id, t)
+      val contRefs = termPlac.select(col("container_id").as("k")).distinct()
+      val (ncKeys, ncStored, ncMerged) = mergeFamily(store, "st_node_container", "id",
+        Derivations.nodeContainerPartial(b), Derivations.nodeContainerPartialPairs, Nil,
+        extraReadKeys = Some(contRefs))
+      writeOutput(store, sink, "node_container", ncKeys,
+        Derivations.nodeContainerFromPartial(ncMerged)
+          .join(broadcast(ncSpecs), Seq("spec_id"), "inner")
+          .select(col("id"), col("route_node_id"), col("spec_name"), col("spec_category")))
+
+      // ---------- service terminations ----------
+      val pseudoRel = ncStored.select(col("lc_seq").as("seq"),
+        col("id").as("container_id"),
+        struct(when(col("last_lifecycle") === "NodeContainerPlacedInRouteNetwork",
+          col("route_node_id")).as("route_node_id")).as("rel"))
+      val relRows = pseudoRel.unionByName(Derivations.containerRelEvents(b))
+      val bTerm = Derivations.terminalPartial(
+        Derivations.terminalPlacementRows(relRows, termPlac, termSpecs),
+        Derivations.terminalUpdateRows(b))
+      val (termKeys, _, termMerged) = mergeFamily(store, "st_terminal", "id", bTerm,
+        Derivations.terminalPartialPairs, Derivations.terminalPartialSeqs)
+      writeOutput(store, sink, "service_termination", termKeys,
+        Derivations.serviceTerminationFromPartial(termMerged))
+
+      // ---------- interests + cable walks ----------
+      // cable applies first (affix/detach interest ids resolve from the
+      // POST-merge span partials), then the interest family merge — the
+      // as-of resolve needs the PRE-merge interest snapshot
+      val adChildren = b.filter(col("event_type") === "SpanEquipmentAffixedToParent" ||
+          col("event_type") === "SpanEquipmentDetachedFromParent")
+        .select(col("p.spanEquipmentId").as("k")).distinct()
+      val adSpan = store.readKeyed("st_span", bSpan.schema, "id", adChildren)
+      val interestOf = adSpan.select(col("id").as("cable_id"),
+        col("pl").getField("walk_of_interest_id").as("interest_id"))
+      val applies = Derivations
+        .cablePlacementApplies(b, eqSpecs.select(col("spec_id"), col("spec_is_cable")))
+        .unionByName(Derivations.cableAffixDetachApplies(b, interestOf))
+      val lastApply = Derivations.lastApplyOf(applies).localCheckpoint(true)
+      val applyInterests = lastApply.select(col("interest_id").as("k")).distinct()
+
+      val (intKeys, intStored, intMerged) = mergeFamily(store, "st_interest", "interest_id",
+        Derivations.interestPartial(b), Derivations.interestPartialPairs, Nil,
+        extraReadKeys = Some(applyInterests))
+      writeOutput(store, sink, "rel_interest_to_route_element", intKeys,
+        Walks.explodeOrdered(
+          Derivations.interestFromPartial(intMerged).filter(col("alive"))
+            .select(col("interest_id"), col("walk")),
+          "walk", "route_network_element_id", "seq_no")
+          .select(col("interest_id"), col("route_network_element_id"), col("seq_no")))
+
+      // pre-batch interest state as pseudo walk events at the stored seq
+      // (strictly below every batch seq); an unregistered interest yields
+      // the struct(null) marker that survives forward fill
+      val hopsType = EventLog.payloadSchema("newUtilityHopList").dataType
+      val pseudoWalk = intStored.select(col("lt_seq").as("seq"), col("interest_id"),
+        struct(when(col("last_type") =!= "InterestUnregistered", col("walk")).as("walk")).as("w"),
+        lit(null.asInstanceOf[String]).as("cable_id"),
+        lit(null).cast(hopsType).as("hops"))
+      val walkEvents = Derivations.interestWalkEvents(b).unionByName(pseudoWalk)
+      val cableKeys = lastApply.select(col("cable_id").as("k")).distinct().localCheckpoint(true)
+      writeOutput(store, sink, "rel_fiber_cable_to_route_element", cableKeys,
+        Walks.explodeOrdered(Derivations.cableWalkResolve(walkEvents, lastApply),
+          "walk", "route_network_element_id", "seq_no")
+          .select(col("fiber_cable_id"), col("route_network_element_id"), col("seq_no")))
+
+      // ---------- eligible ends + conduit_slack recount ----------
+      val eligKeys = seKeys.unionByName(hcKeys).distinct().localCheckpoint(true)
+      val spanElig = store.readKeyed("st_span", bSpan.schema, "id", eligKeys)
+        .localCheckpoint(true)
+      val hcFor = store.readKeyed("st_has_child", hcSchema, "parent_id", eligKeys)
+      val enrichedElig = Derivations
+        .withSpecDims(Derivations.spanStateFromPartial(spanElig), eqSpecs, structSpecs)
+        .join(hcFor.select(col("parent_id").as("id"), col("has_child")), Seq("id"), "left")
+        .na.fill(false, Seq("has_child"))
+      val endRows = Derivations.eligibleEnds(enrichedElig)
+      def nodesOf(df: DataFrame): DataFrame = df.select(explode(array(
+          element_at(col("nodes"), 1), element_at(col("nodes"), -1))).as("b"))
+        .filter(col("b").isNotNull)
+      // old ∪ new positions of every touched equipment: the buckets whose
+      // eligible-end rows may change, and the nodes whose count may change
+      val touchedNodeVals = nodesOf(seStored).unionByName(nodesOf(spanElig))
+        .distinct().localCheckpoint(true)
+      store.mergeReplace("st_eligible_ends", "id", eligKeys, endRows,
+        bucketSrcCol = Some("route_node_id"), extraBucketValues = Some(touchedNodeVals))
+      val touchedNodes = touchedNodeVals.withColumnRenamed("b", "k")
+      val slackRows = Derivations.slackFromEnds(
+          store.readKeyed("st_eligible_ends", eligSchema, "route_node_id", touchedNodes))
+        .localCheckpoint(true)
+      store.mergeReplace("conduit_slack", "route_node_id", touchedNodes, slackRows)
+      sink("conduit_slack",
+        touchedNodes.select(Derivations.deterministicUuid(col("k")).as("id")), slackRows)
+      ()
+    } finally {
+      b.unpersist()
+      ()
+    }
+  }
+
+  /** Merge a batch partial onto stored state for its touched keys (plus
+    * `extraReadKeys`, which are read+rewritten unchanged — used when a
+    * downstream as-of resolve needs the pre-batch snapshot of keys the
+    * batch itself does not touch). Returns (touchedKeys, storedSnapshot,
+    * merged), all eagerly materialized so they survive the state
+    * overwrite. */
+  private def mergeFamily(store: StateStore, table: String, idCol: String,
+      batchPartial: DataFrame, pairs: Seq[(String, String)], seqs: Seq[String],
+      extraReadKeys: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
+    val keys0 = batchPartial.select(col(idCol).as("k")).distinct()
+    val keys = extraReadKeys.map(e => keys0.unionByName(e).distinct()).getOrElse(keys0)
+      .localCheckpoint(true)
+    val stored = store.readKeyed(table, batchPartial.schema, idCol, keys).localCheckpoint(true)
+    val merged = Folds.mergePartials(Seq(stored, batchPartial), idCol, pairs, seqs)
+      .localCheckpoint(true)
+    store.mergeReplace(table, idCol, keys, merged)
+    (keys, stored, merged)
+  }
+
+  /** Delete+reinsert the touched keys' output rows, then notify the sink. */
+  private def writeOutput(store: StateStore, sink: Sink, table: String,
+      keys: DataFrame, rows: DataFrame): Unit = {
+    val keyCol = outputKey(table)
+    val out = rows.localCheckpoint(true)
+    store.mergeReplace(table, keyCol, keys, out)
+    sink(table, keys.withColumnRenamed("k", keyCol), out)
+  }
+
+  /** Merge a tiny dimension partial (union + refold + full overwrite);
+    * returns the merged frame. Skipped (stored returned as-is) when the
+    * batch carries no dim events. */
+  private def mergeDim(store: StateStore, table: String, batchPartial: DataFrame,
+      idCol: String, pairs: Seq[(String, String)]): DataFrame = {
+    val stored = store.readSmall(table, batchPartial.schema)
+    if (batchPartial.isEmpty) stored.localCheckpoint(true)
+    else {
+      val merged = Folds.mergePartials(Seq(stored, batchPartial), idCol, pairs)
+        .localCheckpoint(true)
+      store.writeSmall(table, merged)
+      merged
+    }
+  }
+}

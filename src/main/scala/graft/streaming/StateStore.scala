@@ -23,14 +23,19 @@ import org.apache.spark.sql.types.StructType
   * layout works unchanged (no directory renames — the committer only
   * relies on task-file atomicity).
   *
+  * The bucket column is written as INT so the inferred partition type
+  * matches the pruning filter exactly (a long/int mismatch would defeat
+  * directory pruning and silently re-scan every bucket).
+  *
   * The bucket-id collection per batch is a driver-side `collect()` of at
   * most `nBuckets` integers (bounded, not data-sized).
   */
-class StateStore(spark: SparkSession, root: String, val nBuckets: Int = 64) {
+class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64) {
 
   private def path(table: String) = s"$root/$table"
 
-  def bucketOf(key: Column): Column = pmod(xxhash64(key.cast("string")), lit(nBuckets))
+  def bucketOf(key: Column): Column =
+    pmod(xxhash64(key.cast("string")), lit(nBuckets.toLong)).cast("int")
 
   def exists(table: String): Boolean = {
     val d = new java.io.File(path(table))
@@ -44,22 +49,25 @@ class StateStore(spark: SparkSession, root: String, val nBuckets: Int = 64) {
 
   /** Full scan of a bucketed table (bucket column dropped). Used only for
     * bounded-size tables (folded state ≪ event log) and final reads. */
-  def readAll(table: String, schemaDdl: String): DataFrame =
-    if (exists(table)) spark.read.parquet(path(table)).drop("bucket")
-    else emptyDf(StructType.fromDDL(schemaDdl))
+  def readAll(table: String, schema: StructType): DataFrame =
+    if (exists(table)) {
+      val df = spark.read.parquet(path(table)).drop("bucket")
+      df.select(schema.fieldNames.map(col).toSeq: _*)
+    } else emptyDf(schema)
 
   /** Rows of `table` whose `keyCol` is in `keys` (a one-column frame named
     * `k`). Reads only the buckets the keys hash to; the key restriction is
     * a broadcast semi join (keys are batch-bounded). */
-  def readKeyed(table: String, schemaDdl: String, keyCol: String, keys: DataFrame): DataFrame = {
-    if (!exists(table)) return emptyDf(StructType.fromDDL(schemaDdl))
+  def readKeyed(table: String, schema: StructType, keyCol: String, keys: DataFrame): DataFrame = {
+    if (!exists(table)) return emptyDf(schema)
     val buckets = keys.select(bucketOf(col("k")).as("b")).distinct()
-      .collect().map(_.getLong(0))
-    if (buckets.isEmpty) return emptyDf(StructType.fromDDL(schemaDdl))
+      .collect().map(_.getInt(0))
+    if (buckets.isEmpty) return emptyDf(schema)
     spark.read.parquet(path(table))
       .filter(col("bucket").isin(buckets.toSeq: _*))
       .join(broadcast(keys.withColumnRenamed("k", keyCol)), Seq(keyCol), "left_semi")
       .drop("bucket")
+      .select(schema.fieldNames.map(col).toSeq: _*)
   }
 
   /** Delete-then-insert merge: remove every row whose `keyCol` is in
@@ -67,10 +75,11 @@ class StateStore(spark: SparkSession, root: String, val nBuckets: Int = 64) {
     * the buckets involved. `bucketSrcCol` is the column bucketing the
     * table's layout (defaults to the merge key); when they differ (e.g.
     * eligible-ends bucketed by route node but deleted by equipment id),
-    * `extraBucketValues` must carry the bucket-source values of the rows
-    * being deleted (their OLD positions) so those buckets are rewritten too.
+    * `extraBucketValues` must carry the bucket-source values (one column
+    * `b`) of the rows being deleted (their OLD positions) so those buckets
+    * are rewritten too.
     */
-  def mergeReplace(table: String, schemaDdl: String, keyCol: String,
+  def mergeReplace(table: String, keyCol: String,
       touchedKeys: DataFrame, replacement: DataFrame,
       bucketSrcCol: Option[String] = None,
       extraBucketValues: Option[DataFrame] = None): Unit = {
@@ -80,14 +89,15 @@ class StateStore(spark: SparkSession, root: String, val nBuckets: Int = 64) {
       withBucket.write.mode("overwrite").partitionBy("bucket").parquet(path(table))
       return
     }
+    val intB = StructType.fromDDL("b INT")
     val keyBuckets =
       if (bucketSrcCol.isEmpty) touchedKeys.select(bucketOf(col("k")).as("b"))
-      else emptyDf(StructType.fromDDL("b BIGINT"))
+      else emptyDf(intB)
     val buckets = withBucket.select(col("bucket").as("b"))
       .unionByName(keyBuckets)
       .unionByName(extraBucketValues.map(_.select(bucketOf(col("b")).as("b")))
-        .getOrElse(emptyDf(StructType.fromDDL("b BIGINT"))))
-      .distinct().collect().map(_.getLong(0))
+        .getOrElse(emptyDf(intB)))
+      .distinct().collect().map(_.getInt(0))
     if (buckets.isEmpty) return
     val kept = spark.read.parquet(path(table))
       .filter(col("bucket").isin(buckets.toSeq: _*))
@@ -96,11 +106,19 @@ class StateStore(spark: SparkSession, root: String, val nBuckets: Int = 64) {
     // to overwrite (Spark refuses to write a path it is also reading, and a
     // lazy plan would otherwise re-read post-overwrite files); the
     // checkpointed frame is bounded by the touched buckets' size
-    val merged = kept.unionByName(withBucket.select(kept.columns.map(col): _*))
+    val merged = kept.unionByName(withBucket.select(kept.columns.map(col).toSeq: _*))
       .localCheckpoint(true)
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(path(table))
+    // dynamic overwrite only replaces partitions PRESENT in the written
+    // frame — a touched bucket whose rows were all deleted would silently
+    // keep its stale file. Drop those directories explicitly (single-writer
+    // store; bounded by nBuckets).
+    val present = merged.select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
+    (buckets.toSet -- present).foreach { bk =>
+      deleteRec(new java.io.File(s"${path(table)}/bucket=$bk"))
+    }
   }
 
   /** Unbucketed tiny table (specification dimensions): full overwrite via
@@ -120,10 +138,11 @@ class StateStore(spark: SparkSession, root: String, val nBuckets: Int = 64) {
     deleteRec(trash)
   }
 
-  def readSmall(table: String, schemaDdl: String): DataFrame = {
+  def readSmall(table: String, schema: StructType): DataFrame = {
     val d = new java.io.File(path(table))
     if (d.isDirectory) spark.read.parquet(d.getPath)
-    else emptyDf(StructType.fromDDL(schemaDdl))
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    else emptyDf(schema)
   }
 
   private def deleteRec(f: java.io.File): Unit = {

@@ -41,6 +41,14 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
 
+  test("ngram jaccard blocks on (lang, n_chars-bucket) equi-join keys (r2 #5)") {
+    val p = plan("dedup_ngram_jaccard")
+    val joinLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("lang")).getOrElse("")
+    assert(joinLine.contains("bucket"),
+      s"bucket must be an equi-join key next to lang:\n$p")
+  }
+
   test("no query surface plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)

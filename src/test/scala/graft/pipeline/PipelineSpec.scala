@@ -77,6 +77,54 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("trained IVF multi-probe recall beats the LSH variant (r2 #9)") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val brute = Vectors.bruteForceTopK(emb, q => q % 100 === 0, 10)
+      .select($"query_id", $"neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val hits = brute.toSeq.map { case (q, truth) =>
+        approx.get(q).map(a => (a & truth).size).getOrElse(0)
+      }.sum
+      hits.toDouble / brute.values.map(_.size).sum
+    }
+    def collectTopK(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"query_id", $"neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivfRecall = recall(collectTopK(Vectors.ivfTopK(emb, q => q % 100 === 0, 10)))
+    val lshRecall = recall(collectTopK(Vectors.lshTopK(emb, q => q % 100 === 0, 10)))
+    assert(ivfRecall >= lshRecall,
+      s"trained IVF recall $ivfRecall below LSH recall $lshRecall")
+    assert(ivfRecall > 0.3, s"trained IVF recall too low: $ivfRecall")
+  }
+
+  test("multi-band embedding candidates recall planted near-dups; superset of single-band (r2 #6)") {
+    val dir = "/root/testdata/sf0.001"
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+    // plant genuine near-dups (cosine ≈ 0.999): ±5% deterministic
+    // per-component perturbation of the first 40 vectors — the regime the
+    // operator exists for (the synthetic corpus itself peaks at cos ≈ 0.51,
+    // where LSH recall is rightfully low at any honest bucket width)
+    val planted = base.filter($"vec_id" < 40)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding",
+          (x, i) => x * (lit(1.0f) + sin(i.cast("double") + $"vec_id") * lit(0.05f)))
+          .cast("array<float>").as("embedding"))
+    val emb = base.select($"vec_id", $"embedding").unionByName(planted)
+    val truth = (0L until 40L).map(i => (i, i + 100000L)).toSet
+    val cand = Vectors.embeddingCandidates(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (cand & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"multi-band recall of planted near-dups: $recall")
+    // band 0 reuses the single-table seed → multi-band candidates must be
+    // a superset of the old single-band form at the same width
+    val single = Vectors.embeddingCandidates(emb, "vec_id", "embedding", nBands = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(cand), "multi-band must never lose single-band candidates")
+    assert(cand.size >= single.size)
+  }
+
   test("embedding-cosine near-dup pairs satisfy the threshold exactly") {
     val q = graft.queries.Pipeline.dedupEmbedding(spark, "/root/testdata/sf0.001")
     val rows = q.collect()

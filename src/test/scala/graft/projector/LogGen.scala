@@ -17,8 +17,13 @@ import Sim._
 object LogGen {
 
   /** @param pfx id-namespace prefix: scenarios with distinct prefixes use
-    *  disjoint entity/node ids and can be concatenated into one log. */
-  def scenario(rnd: Random, pfx: String = ""): Vector[Evt] = {
+    *  disjoint entity/node ids and can be concatenated into one log.
+    * @param slackPathologies when true, generates the sequences the
+    *  reference double-counts (duplicate affixes without an intervening
+    *  detach; children sharing a parent) — used by the compat-mode spec
+    *  (Derivations.conduitSlackCompat); the default keeps the carve-outs
+    *  so the invariant-mode recount matches the simulator. */
+  def scenario(rnd: Random, pfx: String = "", slackPathologies: Boolean = false): Vector[Evt] = {
     val out = Vector.newBuilder[Evt]
     def emit(e: Evt): Unit = out += e
 
@@ -163,14 +168,19 @@ object LogGen {
     val usedAffixParents = mutable.Set[String]()
     cables.foreach(id => usedAffixParents ++= cablePlacementParents(id))
     affixed.zipWithIndex.foreach { case (id, i) =>
-      val parentPool = rnd.shuffle(conduits.toList).map(rootSegOf)
-        .filterNot(usedAffixParents.contains)
-        .take(1 + rnd.nextInt(2))
+      val pool = rnd.shuffle(conduits.toList).map(rootSegOf)
+      val parentPool =
+        (if (slackPathologies) pool // shared parents allowed → double-counts
+         else pool.filterNot(usedAffixParents.contains))
+          .take(1 + rnd.nextInt(2))
       usedAffixParents ++= parentPool
       val walk = walkOf(cableInterest(id))
       val hops = parentPool.map(p => Hop(walk(rnd.nextInt(walk.length)),
         walk(rnd.nextInt(walk.length)), Seq(p)))
       emit(SeAffixed(id, hops))
+      // duplicate affix without an intervening detach (reference
+      // re-appends the parent → double increment at the next detach)
+      if (slackPathologies && rnd.nextBoolean()) emit(SeAffixed(id, hops))
       if (i % 2 == 0) emit(SeDetached(id, mkHops(walk, parentPool)))
     }
     // walk modified AFTER a cable applied it (as-of snapshot must hold)

@@ -9,9 +9,12 @@ import java.nio.file.Files
 import scala.util.Random
 
 /** Full-scope replay-equivalence for the incremental catch-up: folding an
-  * event log in 3 micro-batch steps through the affected-key re-derivation
-  * + store merge must produce exactly the 8 tables of the one-shot batch
-  * backfill (SURVEY.md §5.5).
+  * event log in micro-batch steps through [[Incremental.step]] — which
+  * sees ONLY each batch plus keyed state reads, never the cumulative log —
+  * must produce exactly the 8 tables of the one-shot batch backfill
+  * (SURVEY.md §5.5). The O(delta) property is structural here (the full
+  * log is never handed to the engine); IncrementalScanSpec additionally
+  * asserts the I/O volume.
   */
 class CatchUpSpec extends SparkTestBase {
 
@@ -27,27 +30,33 @@ class CatchUpSpec extends SparkTestBase {
       df.columns.sorted.map(c => s"$c=${r.getAs[Any](c)}").mkString("|")
     }.toSet
 
-  test("3-step incremental catch-up equals one-shot backfill on all 8 tables") {
-    val events = LogGen.scenario(new Random(21))
-    val rows = events.zipWithIndex.map { case (e, i) => Row((i + 1).toLong, e.typ, e.payload) }
+  private def runChunks(rows: Seq[Row], nChunks: Int, label: String): Unit = {
     val n = rows.length
-    val chunks = Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3), rows.slice(2 * n / 3, n))
+    val bounds = (0 to nChunks).map(i => i * n / nChunks)
+    val chunks = bounds.sliding(2).map { case Seq(a, z) => rows.slice(a, z) }.toSeq
 
-    val stateDir = Files.createTempDirectory("graft-catchup").toFile.getPath
-
-    var cumulative: Seq[Row] = Seq.empty
-    chunks.foreach { chunk =>
-      cumulative = cumulative ++ chunk
-      val fullLog = EventLog.decode(toDf(cumulative)).cache()
-      val batchDecoded = EventLog.decode(toDf(chunk))
-      CatchUp.mergeIntoStore(spark, stateDir, CatchUp.incrementalStep(fullLog, batchDecoded))
-      fullLog.unpersist()
+    val stateDir = Files.createTempDirectory(s"graft-catchup-$label").toFile.getPath
+    val store = new StateStore(spark, stateDir, nBuckets = 16)
+    chunks.filter(_.nonEmpty).foreach { chunk =>
+      Incremental.step(store, EventLog.decode(toDf(chunk)))
     }
 
     val oracle = Derivations.deriveAll(EventLog.decode(toDf(rows)).cache())
     oracle.foreach { case (table, expected) =>
-      val got = spark.read.parquet(s"$stateDir/$table")
-      assert(normalized(got) === normalized(expected), s"table $table diverged")
+      val got = store.readAll(table, Incremental.outputSchema(table))
+      assert(normalized(got) === normalized(expected), s"table $table diverged ($label)")
     }
+  }
+
+  test("3-step incremental catch-up equals one-shot backfill on all 8 tables") {
+    val events = LogGen.scenario(new Random(21))
+    val rows = events.zipWithIndex.map { case (e, i) => Row((i + 1).toLong, e.typ, e.payload) }
+    runChunks(rows, 3, "s21x3")
+  }
+
+  test("7-step incremental catch-up equals one-shot backfill (different seed)") {
+    val events = LogGen.scenario(new Random(87))
+    val rows = events.zipWithIndex.map { case (e, i) => Row((i + 1).toLong, e.typ, e.payload) }
+    runChunks(rows, 7, "s87x7")
   }
 }
