@@ -46,8 +46,11 @@ object Dedup {
     val rowsPerBand = k / bands
     // repartition by id first: hashing cost is per-shingle CPU, and a small
     // parquet input may arrive as a single partition — decouple kernel
-    // parallelism from file layout (no-op at real input widths)
-    val shingleRows = docs.repartition(col(idCol))
+    // parallelism from file layout. Explicit partition count: byte-based
+    // AQE coalescing would re-serialize the CPU-bound hashing onto one
+    // task (REPARTITION_BY_NUM is never coalesced).
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val shingleRows = docs.repartition(par, col(idCol))
       .select(col(idCol).as("id"), explode(col(shinglesCol)).as("s"))
     val minCols = (0 until k).map(seed => min(h(col("s"), seed)).as(s"m$seed"))
     val sigs = shingleRows.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)

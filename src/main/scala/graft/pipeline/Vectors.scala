@@ -117,8 +117,10 @@ object Vectors {
     val queries = emb.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     // repartition: the dot-product kernel is CPU-bound and small parquet
-    // inputs may be a single partition
-    val corpus = emb.repartition(col("vec_id"))
+    // inputs may be a single partition; explicit count so AQE's byte-based
+    // coalescing cannot re-serialize it
+    val corpus = emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c"))
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), quantizedDot(col("q"), col("c")).as("sim_q"))
@@ -126,35 +128,6 @@ object Vectors {
       .orderBy(col("sim_q").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
-  }
-
-  /** IVF-style coarse quantization: assign each vector to its
-    * highest-scoring of `nlist` fixed probe directions (deterministic
-    * pseudo-random ±1 directions from a seed — a stand-in for trained
-    * centroids; the operator shape is identical). One JIT'd pass per row.
-    */
-  def ivfListId(vec: Column, nlist: Int, seed: Int = 77): Column = {
-    val fn = udf { (v: Seq[Float]) =>
-      var best = 0
-      var bestScore = Double.MinValue
-      var l = 0
-      while (l < nlist) {
-        var s = 0.0
-        var i = 0
-        while (i < v.length) {
-          var z = seed.toLong * 0x9E3779B97F4A7C15L + l.toLong * 0xBF58476D1CE4E5B9L + i.toLong
-          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-          z = z ^ (z >>> 31)
-          s += (if ((z & 1L) == 0L) v(i).toDouble else -v(i).toDouble)
-          i += 1
-        }
-        if (s > bestScore) { bestScore = s; best = l }
-        l += 1
-      }
-      best
-    }
-    fn(vec)
   }
 
   /** Train `k` coarse-quantizer centroids with Lloyd's iterations over a
@@ -229,7 +202,8 @@ object Vectors {
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = trainCentroids(emb, "vec_id", "embedding", nlist)
-    val corpus = emb.repartition(col("vec_id"))
+    val corpus = emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c"),
         element_at(centroidProbes(col("embedding"), cents, 1), 1).as("list_id"))
     val queries = emb.filter(isQuery(col("vec_id")))
@@ -304,20 +278,30 @@ object Vectors {
   }
 
   /** LSH-bucketed approximate top-k: same contract as [[bruteForceTopK]]
-    * but candidates restricted to the query's hyperplane bucket —
+    * but candidates restricted to the query's hyperplane bucket(s) —
     * the bucket id becomes the shuffle key, so the corpus is never
     * broadcast-joined in full at scale.
+    *
+    * Recall is MANAGED by `nTables` (independent hash tables with distinct
+    * seeds): a true neighbor is a candidate if it shares the query's
+    * bucket in ANY table, so missed-neighbor probability decays
+    * geometrically with tables while cost grows only linearly (the
+    * standard multi-table LSH trade). `nTables = 1` reproduces the
+    * single-table baseline bit-for-bit (table 0 uses the same seed).
     */
-  def lshTopK(emb: DataFrame, isQuery: Column => Column, k: Int, nPlanes: Int = 8): DataFrame = {
+  def lshTopK(emb: DataFrame, isQuery: Column => Column, k: Int, nPlanes: Int = 8,
+      nTables: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withBucket = emb.select(col("vec_id"), col("embedding"),
-      hyperplaneBucket(col("embedding"), nPlanes).as("bucket"))
-    val queries = withBucket.filter(isQuery(col("vec_id")))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("bucket"))
-    val corpus = withBucket
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c"), col("bucket"))
-    val scored = corpus.join(queries, Seq("bucket"))
+    val withB = emb.select(col("vec_id"), col("embedding"),
+      explode(bandSignatures(col("embedding"), nTables, nPlanes)).as("bb"))
+    val queries = withB.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("bb"))
+    val corpus = withB
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c"), col("bb"))
+    val scored = corpus.join(queries, Seq("bb"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      // a pair can collide in several tables — dedup BEFORE the dot
+      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), quantizedDot(col("q"), col("c")).as("sim_q"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim_q").desc, col("neighbor_id"))

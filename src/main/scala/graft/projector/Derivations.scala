@@ -581,12 +581,19 @@ object Derivations {
     val eq = col("p.equipment")
 
     // frozen placement facts + customer-conduit flag
+    // (the shared subtrees below — facts, node timeline, resolved edges,
+    // flag timeline — each feed MANY of the ±1 ledger branches; without
+    // cutting lineage the final union's plan duplicates them
+    // multiplicatively, exploding optimizer/codegen/broadcast work. They
+    // are bounded by the affix/move/remove event counts, so eager
+    // materialization is cheap at any scale.)
     val facts = spanPartialWithFacts(spanEquipmentPartial(ev))
       .filter(col("placed_seq").isNotNull)
       .join(broadcast(placementSpecDim(spanEquipmentSpecs(ev))
         .select(col("placement_spec_id"), col("is_customer_conduit"))), Seq("placement_spec_id"))
       .select(col("id"), col("root_segment_id"), col("is_customer_conduit").as("cust"),
         col("root_has_from"), col("root_has_to"))
+      .localCheckpoint(true)
 
     // node timeline (placements + moves/merges) with lagged previous nodes
     val nodeTl = ev.filter(placed || typeIs("SpanEquipmentMoved") || typeIs("SpanEquipmentMerged"))
@@ -599,6 +606,7 @@ object Derivations {
     val nodeTlLag = nodeTl
       .withColumn("prev_from", lag(col("from_node"), 1).over(wId))
       .withColumn("prev_to", lag(col("to_node"), 1).over(wId))
+      .localCheckpoint(true)
 
     // affix edges with intra-event position, resolved against the root map
     // with reference liveness (parent placed & not removed as of the edge)
@@ -630,12 +638,13 @@ object Derivations {
     val edges = rawEdges.join(edgeAlive, Seq("parent_id", "seq", "pos"))
       .filter(col("in_map"))
       .select(col("seq"), col("pos"), col("child_id"), col("parent_id"))
+      .localCheckpoint(true)
 
     // detach events; each edge cleared by the child's next detach
     val detaches = ev.filter(typeIs("SpanEquipmentDetachedFromParent"))
       .select(col("p.spanEquipmentId").as("child_id"), col("seq"))
     val edgesWithClear = affixNextDetach(edges.select(col("child_id"), col("seq"),
-      col("pos"), col("parent_id")), detaches)
+      col("pos"), col("parent_id")), detaches).localCheckpoint(true)
 
     // flag timeline rows: (parent_id, seq, pos, kind, flag)
     // kind orders same-(seq,pos) rows: queries (0) see state BEFORE changes (1)
@@ -666,6 +675,7 @@ object Derivations {
       .withColumn("flag_before", coalesce(last(col("flag"), ignoreNulls = true).over(wFlag), lit(false)))
       .filter(col("kind") === 0)
       .select(col("parent_id"), col("seq"), col("pos"), col("flag_before"))
+      .localCheckpoint(true)
 
     // nodes as of a query seq (strictly before — a move's own row excluded)
     def nodesAt(queries: DataFrame /*(parent_id, seq)*/): DataFrame = {

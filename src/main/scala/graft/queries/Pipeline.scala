@@ -55,7 +55,8 @@ object Pipeline {
     * distance to the doc's exact-dup fingerprint bucket — rows-only
     * (seeded hashing), asserted in unit tests. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).repartition(col("doc_id"))
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
     d.select(col("doc_id"), Dedup.simhash(col("sh")).as("simhash"))
       .orderBy(col("doc_id"))
@@ -145,18 +146,20 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** ann_lsh_topk: LSH-bucketed approximate top-10 for the same query set —
-    * rows-only (seeded hyperplanes); recall vs. brute force is asserted in
-    * unit tests. */
+  /** ann_lsh_topk: LSH-bucketed approximate top-10 for the same query set,
+    * two independent hash tables (recall managed by table count — see
+    * [[Vectors.lshTopK]]); rows-only (seeded hyperplanes); recall vs.
+    * brute force is asserted in unit tests. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    Vectors.lshTopK(e, q => q % 100 === 0, 10)
+    Vectors.lshTopK(e, q => q % 100 === 0, 10, nTables = 2)
       .select(col("query_id"), col("neighbor_id"), col("sim_q"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** ann_ivf_topk: IVF (inverted-file) approximate top-10 — single-probe
-    * coarse quantization; rows-only (seeded probe directions), recall
+  /** ann_ivf_topk: IVF (inverted-file) approximate top-10 — trained
+    * coarse-quantizer centroids (sampled Lloyd's), multi-probe queries
+    * (nprobe = 4); rows-only (sampled training), recall vs. brute force
     * asserted in unit tests. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)

@@ -128,6 +128,24 @@ object JdbcSink {
       df.write.mode("overwrite").parquet(s"$outDir/$name")
     }
 
+  /** Bulk truncate+load over live connections — the reference's
+    * end-of-dehydration write (`RelationalDatabaseProjection.cs:460-495`:
+    * truncate, then stream every row of the folded state; binary COPY
+    * there, batched inserts here — same contract, portable SQL). Truncate
+    * runs once per table on the driver; rows stream from the executors,
+    * connection-per-partition. Inserts use the upsert form, so a partial
+    * retry (Spark re-running a failed partition) is idempotent. */
+  def bulkLoad(connFactory: () => java.sql.Connection, schema: String,
+      tables: Map[String, DataFrame], batchSize: Int = 500): Unit =
+    tables.foreach { case (name, df) =>
+      withConnection(connFactory) { conn =>
+        val st = conn.createStatement()
+        try st.execute(s"TRUNCATE TABLE $schema.$name") finally st.close()
+      }
+      val cols = df.columns.toSeq
+      writeBatched(df, upsertSql(schema, name, cols), cols.length, connFactory, batchSize)
+    }
+
   /** Execute the DDL bootstrap (schema + 8 tables + indexes) over a live
     * connection — the analogue of the reference's migration step
     * (`RelationalDatabaseProjection.cs:43-68`). */
@@ -157,40 +175,33 @@ object JdbcSink {
   def jdbcSink(connFactory: () => java.sql.Connection, schema: String,
       batchSize: Int = 500): (String, DataFrame, DataFrame) => Unit = {
     (table, deletedKeys, upserts) => {
-      val delSql = deleteSql(schema, table)
-      deletedKeys.foreachPartition { (rows: Iterator[Row]) =>
-        if (rows.hasNext) withConnection(connFactory) { conn =>
-          val ps = conn.prepareStatement(delSql)
-          try {
-            var n = 0
-            rows.foreach { r =>
-              ps.setObject(1, r.get(0)); ps.addBatch(); n += 1
-              if (n % batchSize == 0) { ps.executeBatch(); () }
-            }
-            ps.executeBatch()
-          } finally ps.close()
-        }
-        ()
-      }
+      writeBatched(deletedKeys, deleteSql(schema, table), 1, connFactory, batchSize)
       val cols = upserts.columns.toSeq
-      val upSql = upsertSql(schema, table, cols)
-      upserts.foreachPartition { (rows: Iterator[Row]) =>
-        if (rows.hasNext) withConnection(connFactory) { conn =>
-          val ps = conn.prepareStatement(upSql)
-          try {
-            var n = 0
-            rows.foreach { r =>
-              cols.indices.foreach(i => ps.setObject(i + 1, r.get(i)))
-              ps.addBatch(); n += 1
-              if (n % batchSize == 0) { ps.executeBatch(); () }
-            }
-            ps.executeBatch()
-          } finally ps.close()
-        }
-        ()
-      }
+      writeBatched(upserts, upsertSql(schema, table, cols), cols.length, connFactory, batchSize)
     }
   }
+
+  /** Stream a frame's rows into one parameterized statement: per
+    * partition, one connection, one transaction, `batchSize` rows per
+    * round trip; the first `nCols` columns bind positionally. */
+  private def writeBatched(df: DataFrame, sql: String, nCols: Int,
+      connFactory: () => java.sql.Connection, batchSize: Int): Unit =
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) withConnection(connFactory) { conn =>
+        val ps = conn.prepareStatement(sql)
+        try {
+          var n = 0
+          rows.foreach { r =>
+            var i = 0
+            while (i < nCols) { ps.setObject(i + 1, r.get(i)); i += 1 }
+            ps.addBatch(); n += 1
+            if (n % batchSize == 0) { ps.executeBatch(); () }
+          }
+          ps.executeBatch()
+        } finally ps.close()
+      }
+      ()
+    }
 
   private def withConnection[A](connFactory: () => java.sql.Connection)
       (f: java.sql.Connection => A): A = {

@@ -37,6 +37,17 @@ object CatchUp {
     spark.sparkContext.setLogLevel("WARN")
 
     val store = new StateStore(spark, stateDir)
+    // processed-events metric per micro-batch (the reference logs the
+    // per-poll event count, Worker.cs:42-45) — listener-side, so it costs
+    // no extra action on the data path
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        println(s"graft-catchup: processed ${e.progress.numInputRows} events " +
+          s"(batch ${e.progress.batchId})")
+    })
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "seq BIGINT, event_type STRING, payload STRING")
     val raw = spark.readStream.schema(schema).parquet(eventsDir)

@@ -98,6 +98,13 @@ object Incremental {
 
   /** Fold one decoded micro-batch into the store. See object doc. */
   def step(store: StateStore, batchDecoded: DataFrame, sink: Sink = noSink): Unit = {
+    val sc = batchDecoded.sparkSession.sparkContext
+    // Snapshot the persisted-RDD set: every localCheckpoint below caches
+    // blocks that outlive the step (ContextCleaner frees them only on GC),
+    // and a long-running stream — or a long test suite — accumulates them
+    // until the MemoryStore chokes. All step outputs land in the store
+    // files, so everything persisted WITHIN the step is garbage at exit.
+    val persistedBefore = sc.getPersistentRDDs.keySet
     val b = batchDecoded.persist()
     try {
       // ---------- dimension tables (tiny; merged first — every family
@@ -286,7 +293,9 @@ object Incremental {
       ()
     } finally {
       b.unpersist()
-      ()
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!persistedBefore.contains(id)) rdd.unpersist(blocking = false)
+      }
     }
   }
 

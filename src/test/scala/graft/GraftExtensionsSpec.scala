@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{GraftExtensionsBridge, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** `spark.sql.extensions=graft.GraftExtensions` must make `hop_subtract`
+  * resolvable in plain SQL with no user registration call. The config is
+  * STATIC (read from the SparkContext at session build), so a suite
+  * sharing one context cannot build a fresh extension-configured session;
+  * instead the spec applies the extension's injected functions to the
+  * live session's registry through the same `registerFunctions` hook the
+  * session builder invokes, and drives SQL end-to-end.
+  */
+class GraftExtensionsSpec extends SparkTestBase {
+
+  test("extension-injected hop_subtract resolves in SQL; 3-arg contract enforced") {
+    val registry = spark.sessionState.functionRegistry
+    val ident = FunctionIdentifier("hop_subtract")
+    // start from a session with NO user registration
+    registry.dropFunction(ident)
+    val err = intercept[Exception](
+      spark.sql("SELECT hop_subtract(array('a'), array('a'), array('a'))").collect())
+    assert(err.getMessage.contains("hop_subtract"), s"expected unresolved routine: ${err.getMessage}")
+
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyFunctions(ext, registry)
+
+    val out = spark.sql(
+      """SELECT hop_subtract(array('a','b','c','d'), array('b'), array('d')) AS walk"""
+    ).collect()(0).getSeq[String](0)
+    // hop (b→d): 'b' and 'c' dropped, 'd' (the to-node) kept
+    assert(out === Seq("a", "d"))
+
+    val arity = intercept[Exception](
+      spark.sql("SELECT hop_subtract(array('a'))").collect())
+    assert(arity.getMessage.contains("3 arguments"), s"got: ${arity.getMessage}")
+  }
+}

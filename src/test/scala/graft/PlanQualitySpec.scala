@@ -49,6 +49,15 @@ class PlanQualitySpec extends SparkTestBase {
       s"bucket must be an equi-join key next to lang:\n$p")
   }
 
+  test("CPU-bound pipeline kernels pin explicit partition counts (AQE must not serialize them)") {
+    // byte-based AQE coalescing would collapse these compute-heavy stages
+    // onto one task at small SF; REPARTITION_BY_NUM exchanges are exempt
+    Seq("dedup_embedding_cosine", "dedup_minhash_lsh", "dedup_simhash").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("REPARTITION_BY_NUM"), s"$name must pin kernel parallelism:\n$p")
+    }
+  }
+
   test("no query surface plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)

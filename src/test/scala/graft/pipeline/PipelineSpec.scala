@@ -62,6 +62,25 @@ class PipelineSpec extends SparkTestBase {
     assert(recalled >= 1, s"LSH recalled $recalled of ${brute.size} top-1 neighbors")
   }
 
+  test("multi-table LSH top-k: recall never below single-table; candidate sets are supersets") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def collect(nTables: Int): Map[Long, Set[Long]] =
+      Vectors.lshTopK(emb, q => q % 100 === 0, Int.MaxValue - 1, nPlanes = 4, nTables = nTables)
+        .select($"query_id", $"neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val one = collect(1)
+    val four = collect(4)
+    // every single-table candidate survives adding tables (k unbounded)
+    one.foreach { case (q, ns) =>
+      assert(ns.subsetOf(four.getOrElse(q, Set.empty)),
+        s"query $q lost candidates going 1 -> 4 tables")
+    }
+    // and at least one query gains a candidate (recall actually moved)
+    assert(four.map(_._2.size).sum > one.map(_._2.size).sum,
+      "4 tables produced no additional candidates over 1")
+  }
+
   test("IVF top-k: every reported neighbor shares the query's coarse list; sims match brute force") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -45,6 +45,7 @@ object FakeDb {
   private val insertRe =
     """INSERT INTO (\S+)\.(\S+) \(([^)]*)\) VALUES \([^)]*\) ON CONFLICT \(([^)]*)\) (DO NOTHING|DO UPDATE SET .*)""".r
   private val deleteRe = """DELETE FROM (\S+)\.(\S+) WHERE (\S+) = \?""".r
+  private val truncateRe = """TRUNCATE TABLE (\S+)\.(\S+)""".r
 
   private def execDdl(sql: String): Unit = sql match {
     case createTableRe(schema, table, body) =>
@@ -59,6 +60,8 @@ object FakeDb {
       tables.putIfAbsent(s"$schema.$table", new Table(cols, pk))
       ()
     case s if s.startsWith("CREATE SCHEMA") || s.startsWith("CREATE INDEX") => ()
+    case truncateRe(schema, table) =>
+      tables.getOrElse(s"$schema.$table", sys.error(s"no table $schema.$table")).rows.clear()
     case other => sys.error(s"FakeDb: unsupported DDL: $other")
   }
 

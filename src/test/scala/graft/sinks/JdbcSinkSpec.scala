@@ -45,6 +45,28 @@ class JdbcSinkSpec extends SparkTestBase {
     assert(FakeDb.sqlLog.asScala.count(_.startsWith("CREATE INDEX")) === idxCount)
   }
 
+  test("bulk truncate+load replaces stale contents with the backfill on every table") {
+    FakeDb.reset()
+    JdbcSink.bootstrap(FakeDb.connection(), "graft")
+    // seed stale rows that a pure upsert would leave behind
+    val staleSink = JdbcSink.jdbcSink(() => FakeDb.connection(), "graft")
+    staleSink("work_task", spark.emptyDataFrame.select(),
+      spark.createDataFrame(Seq(("stale-id", "W-0", "closed")))
+        .toDF("id", "number", "status"))
+    assert(FakeDb.contents("graft.work_task").nonEmpty)
+
+    val events = LogGen.scenario(new Random(17))
+    val rows = events.zipWithIndex.map { case (e, i) => Row((i + 1).toLong, e.typ, e.payload) }
+    val tables = Derivations.deriveAll(EventLog.decode(toDf(rows)).cache())
+    JdbcSink.bulkLoad(() => FakeDb.connection(), "graft", tables, batchSize = 7)
+    tables.foreach { case (table, expected) =>
+      assert(FakeDb.contents(s"graft.$table") === oracleContents(expected),
+        s"table $table diverged after bulk load")
+    }
+    // the stale pre-load row is gone (truncate ran before the load)
+    assert(!FakeDb.contents("graft.work_task").exists(_("id") == "stale-id"))
+  }
+
   test("incremental catch-up through the JDBC sink converges to the backfill; replay is idempotent") {
     FakeDb.reset()
     JdbcSink.bootstrap(FakeDb.connection(), "graft")
