@@ -233,7 +233,74 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** samp_stratified: deterministic per-stratum (language) sampling —
+    * keep a doc iff an arithmetic hash of its id falls under the
+    * stratum's keep-rate. Row-local predicate: no shuffle, pushes to the
+    * scan, trivially reproducible across runs and engines (the production
+    * variant swaps the arithmetic hash for xxhash64 — same shape, not
+    * SQL-portable). The domain-mixing primitive of a training-data
+    * pipeline. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val rate = coalesce(
+      when(col("lang") === "en", 50).when(col("lang") === "de", 25)
+        .when(col("lang") === "fr", 25).when(col("lang") === "es", 10)
+        .when(col("lang") === "zh", 10), lit(5)).as("kept_rate")
+    d.select(col("doc_id"), col("lang"), rate)
+      .filter(pmod(col("doc_id") * lit(2654435761L), lit(100)) < col("kept_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** pack_sequences: token-budget packing — assign each document to a
+    * training-sequence bin by its running token offset within a
+    * (lang, shard) stream, the concat-and-split packing used to build
+    * fixed-context training batches. Windows partition by (lang, shard):
+    * shards bound every partition's size, so no global sort exists and
+    * the plan survives a 100× corpus (more shards, same per-partition
+    * work). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+      Text.tokenCount(col("text")).as("n_tokens"),
+      pmod(col("doc_id"), lit(4)).as("shard"))
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+    d.withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin_id", floor(col("start_tok") / lit(512.0)).cast("long"))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"), col("bin_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** contamination_ngram: benchmark-contamination check — per corpus doc,
+    * how many of its distinct 3-gram shingles appear anywhere in the
+    * probe (benchmark) set, with a quantized overlap ratio and a ≥ 50%
+    * flag. Probe set here: doc_id % 97 == 0 (stand-in for a benchmark
+    * table). Shape at scale: explode → distinct (doc, shingle) pairs →
+    * semi-join keyed on the shingle — the probe side is benchmark-sized
+    * (thousands of docs), so AQE broadcasts it and the corpus is never
+    * shuffled on the shingle key. */
+  def contaminationNgram(spark: SparkSession, dir: String): DataFrame = {
+    val docSh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.shingles(col("text"), 3)).as("s"))
+      .distinct()
+    val probe = docSh.filter(col("doc_id") % 97 === 0).select(col("s")).distinct()
+    val corpus = docSh.filter(col("doc_id") % 97 =!= 0)
+    val totals = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val shared = corpus.join(probe, Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .withColumn("overlap_q",
+        floor(col("n_shared") * lit(10000.0) / col("n_shingles")).cast("long"))
+      .withColumn("contaminated", when(col("overlap_q") >= 5000, 1).otherwise(0))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        col("overlap_q"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp_stratified" -> stratifiedSample,
+    "pack_sequences" -> packSequences,
+    "contamination_ngram" -> contaminationNgram,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
@@ -260,6 +327,53 @@ object Pipeline {
       |END""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "samp_stratified" ->
+      """SELECT doc_id, lang,
+        |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 WHEN 'fr' THEN 25
+        |            WHEN 'es' THEN 10 WHEN 'zh' THEN 10 ELSE 5 END AS kept_rate
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 100 <
+        |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 WHEN 'fr' THEN 25
+        |            WHEN 'es' THEN 10 WHEN 'zh' THEN 10 ELSE 5 END""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_tokens,
+        |    doc_id % 4 AS shard
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, shard, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id)
+        |    - n_tokens) / 512.0) AS BIGINT) AS bin_id
+        |FROM t""".stripMargin,
+    "contamination_ngram" ->
+      """WITH sh0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         WHEN len(string_split_regex(trim(text), '\s+')) < 3
+        |           THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+        |         ELSE [array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')
+        |               FOR i IN range(1, len(string_split_regex(trim(text), '\s+')) - 1)]
+        |    END AS shl
+        |  FROM documents
+        |), ds AS (
+        |  SELECT DISTINCT doc_id, unnest(shl) AS s FROM sh0
+        |), tot AS (
+        |  SELECT doc_id, count(*) AS n_shingles FROM ds WHERE doc_id % 97 <> 0 GROUP BY 1
+        |), shr AS (
+        |  SELECT doc_id, count(*) AS n_shared FROM ds
+        |  WHERE doc_id % 97 <> 0
+        |    AND s IN (SELECT DISTINCT s FROM ds WHERE doc_id % 97 = 0)
+        |  GROUP BY 1
+        |)
+        |SELECT t.doc_id,
+        |  CAST(t.n_shingles AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(shr.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CAST(floor(coalesce(shr.n_shared, 0) * 10000.0 / t.n_shingles) AS BIGINT) AS overlap_q,
+        |  CAST(CASE WHEN floor(coalesce(shr.n_shared, 0) * 10000.0 / t.n_shingles) >= 5000
+        |       THEN 1 ELSE 0 END AS INT) AS contaminated
+        |FROM tot t LEFT JOIN shr USING (doc_id)""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS n_dups
