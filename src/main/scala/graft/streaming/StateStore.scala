@@ -32,16 +32,24 @@ import org.apache.spark.sql.types.StructType
   */
 class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64) {
 
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
   private def path(table: String) = s"$root/$table"
+
+  // all store I/O goes through the Hadoop FileSystem API, so the same
+  // layout runs on local disk, HDFS, or an object store unchanged
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def bucketOf(key: Column): Column =
     pmod(xxhash64(key.cast("string")), lit(nBuckets.toLong)).cast("int")
 
   def exists(table: String): Boolean = {
-    val d = new java.io.File(path(table))
+    val p = new Path(path(table))
     // a bare _SUCCESS/empty dir (all-bucket overwrite of an empty frame)
     // counts as existing-but-empty only if some bucket dir is present
-    d.isDirectory && d.listFiles() != null && d.listFiles().exists(_.getName.startsWith("bucket="))
+    fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("bucket="))
   }
 
   private def emptyDf(schema: StructType): DataFrame =
@@ -117,36 +125,34 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64) 
     // store; bounded by nBuckets).
     val present = merged.select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
     (buckets.toSet -- present).foreach { bk =>
-      deleteRec(new java.io.File(s"${path(table)}/bucket=$bk"))
+      fs.delete(new Path(s"${path(table)}/bucket=$bk"), true)
     }
   }
 
   /** Unbucketed tiny table (specification dimensions): full overwrite via
-    * tmp+swap (content is a handful of rows; atomicity via rename checked). */
+    * tmp+swap (content is a handful of rows; atomicity via rename checked —
+    * on stores without atomic rename the window is a missing-table read,
+    * never a torn one, and the next batch rewrites it). */
   def writeSmall(table: String, df: DataFrame): Unit = {
     val out = df.localCheckpoint(true)
-    val tmp = new java.io.File(s"$root/.tmp_$table")
-    val target = new java.io.File(path(table))
-    deleteRec(tmp)
-    out.write.mode("overwrite").parquet(tmp.getPath)
-    val trash = new java.io.File(s"$root/.old_$table")
-    deleteRec(trash)
-    if (target.exists() && !target.renameTo(trash))
+    val tmp = new Path(s"$root/.tmp_$table")
+    val target = new Path(path(table))
+    fs.delete(tmp, true)
+    out.write.mode("overwrite").parquet(tmp.toString)
+    val trash = new Path(s"$root/.old_$table")
+    fs.delete(trash, true)
+    if (fs.exists(target) && !fs.rename(target, trash))
       sys.error(s"StateStore: failed to move aside $target")
-    if (!tmp.renameTo(target))
+    if (!fs.rename(tmp, target))
       sys.error(s"StateStore: failed to promote $tmp to $target")
-    deleteRec(trash)
+    fs.delete(trash, true)
+    ()
   }
 
   def readSmall(table: String, schema: StructType): DataFrame = {
-    val d = new java.io.File(path(table))
-    if (d.isDirectory) spark.read.parquet(d.getPath)
-      .select(schema.fieldNames.map(col).toSeq: _*)
+    val p = new Path(path(table))
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+      spark.read.parquet(p.toString).select(schema.fieldNames.map(col).toSeq: _*)
     else emptyDf(schema)
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-    f.delete()
   }
 }
