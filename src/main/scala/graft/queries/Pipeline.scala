@@ -297,7 +297,23 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** text_repetition: degenerate-text detection — the fraction of a
+    * document's 3-gram shingles that are repeats (1 − distinct/total),
+    * quantized. The standard quality filter for looping/boilerplate text.
+    * Row-local (shingle + two sizes per row): no shuffle, scales linearly. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    d.select(col("doc_id"), size(col("sh")).as("n_3grams"),
+      size(array_distinct(col("sh"))).as("n_distinct_3grams"))
+      .withColumn("rep_q", floor((lit(1.0) -
+        col("n_distinct_3grams").cast("double") / col("n_3grams").cast("double")) * 10000).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> textRepetition,
     "samp_stratified" -> stratifiedSample,
     "pack_sequences" -> packSequences,
     "contamination_ngram" -> contaminationNgram,
@@ -327,6 +343,23 @@ object Pipeline {
       |END""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH sh0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         WHEN len(string_split_regex(trim(text), '\s+')) < 3
+        |           THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+        |         ELSE [array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')
+        |               FOR i IN range(1, len(string_split_regex(trim(text), '\s+')) - 1)]
+        |    END AS shl
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(shl) AS INT) AS n_3grams,
+        |  CAST(len(list_distinct(shl)) AS INT) AS n_distinct_3grams,
+        |  CAST(floor((1.0 - CAST(len(list_distinct(shl)) AS DOUBLE)
+        |    / CAST(len(shl) AS DOUBLE)) * 10000) AS BIGINT) AS rep_q
+        |FROM sh0 WHERE len(shl) > 0""".stripMargin,
     "samp_stratified" ->
       """SELECT doc_id, lang,
         |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 WHEN 'fr' THEN 25
