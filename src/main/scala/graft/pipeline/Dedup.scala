@@ -18,10 +18,16 @@ object Dedup {
   /** 64-bit stable hash of a shingle with a seed (xxhash64, codegen'd). */
   private def h(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
 
-  /** MinHash signature: for each of `k` hash seeds, the minimum hash over
-    * the document's shingle set. Row-local; ARRAY<BIGINT> length k. */
-  def minhashSignature(shingleArr: Column, k: Int): Column =
-    array((0 until k).map(seed => array_min(transform(shingleArr, s => h(s, seed)))): _*)
+  /** MinHash signature: for each of `k` permutation hashes, the minimum
+    * over the document's shingle set. Permutation i re-hashes ONE 8-byte
+    * base hash (`xxhash64(i, h1)`) instead of re-hashing the shingle
+    * string k times — k cheap fixed-width hashes per shingle, matching
+    * [[minhashCandidates]]. Row-local; ARRAY<BIGINT> length k. */
+  def minhashSignature(shingleArr: Column, k: Int): Column = {
+    val base = transform(shingleArr, s => h(s, 1))
+    array((0 until k).map(i =>
+      array_min(transform(base, b => xxhash64(lit(i), b)))): _*)
+  }
 
   /** LSH band keys: the signature split into `bands` rows-per-band groups,
     * each hashed to one bucket key. ARRAY<STRUCT<band INT, key BIGINT>>. */
@@ -52,7 +58,13 @@ object Dedup {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val shingleRows = docs.repartition(par, col(idCol))
       .select(col(idCol).as("id"), explode(col(shinglesCol)).as("s"))
-    val minCols = (0 until k).map(seed => min(h(col("s"), seed)).as(s"m$seed"))
+      // the k permutation hashes re-hash ONE 8-byte base hash
+      // (xxhash64(i, h1)) instead of re-hashing the shingle STRING k
+      // times — the string is hashed once, the k mixers are fixed-width
+      // long hashes (far cheaper per round). Additive double hashing
+      // would be cheaper still but overflows under ANSI arithmetic.
+      .select(col("id"), h(col("s"), 1).as("h1"))
+    val minCols = (0 until k).map(i => min(xxhash64(lit(i), col("h1"))).as(s"m$i"))
     val sigs = shingleRows.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
