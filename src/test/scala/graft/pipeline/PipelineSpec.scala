@@ -19,6 +19,49 @@ class PipelineSpec extends SparkTestBase {
     (4L, "spark query engines process completely different documents")
   ).toDF("doc_id", "text")
 
+  test("sampling/packing/contamination invariants on the sf0.001 corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val spark_ = spark
+
+    // stratified sampling: the kept set is exactly the predicate's set
+    val kept = graft.queries.Pipeline.stratifiedSample(spark_, dir).collect()
+    kept.foreach { r =>
+      val (id, rate) = (r.getLong(0), r.getInt(2))
+      assert(((id * 2654435761L) % 100) < rate, s"doc $id kept but hash >= rate $rate")
+    }
+    assert(kept.nonEmpty)
+
+    // packing: bin id is exactly start-offset / budget, offsets contiguous
+    // per (lang, shard) in doc_id order
+    val packed = graft.queries.Pipeline.packSequences(spark_, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(0), r.getInt(3), r.getLong(4)))
+    packed.groupBy(p => (p._1, p._2)).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._3).foreach { case (_, _, id, nTok, bin) =>
+        assert(bin === cum / 512, s"doc $id bin $bin != ${cum / 512}")
+        cum += nTok
+      }
+    }
+
+    // contamination: probe docs never appear; shared <= total; the flag
+    // matches the quantized ratio
+    val cont = graft.queries.Pipeline.contaminationNgram(spark_, dir).collect()
+    cont.foreach { r =>
+      val (id, total, shared, q, flag) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      assert(id % 97 != 0, s"probe doc $id in corpus output")
+      assert(shared <= total)
+      assert(flag === (if (q >= 5000) 1 else 0))
+    }
+
+    // repetition: quantized ratio consistent with its own counts
+    graft.queries.Pipeline.textRepetition(spark_, dir).collect().foreach { r =>
+      val (total, distinct, q) = (r.getInt(1), r.getInt(2), r.getLong(3))
+      assert(distinct <= total && total > 0)
+      assert(q === math.floor((1.0 - distinct.toDouble / total) * 10000).toLong)
+    }
+  }
+
   test("minhash estimate tracks exact jaccard for near-dups") {
     val sh = docs.select($"doc_id", Text.shingles($"text", 3).as("sh"),
       Dedup.minhashSignature(Text.shingles($"text", 3), 64).as("sig"))
