@@ -181,7 +181,20 @@ object EventFold {
       .orderBy(col("user_id"))
   }
 
+  /** evt_window_counts: per-minute event-time tumbling-window counts by
+    * type — the batch twin of [[graft.streaming.Windowed.eventCounts]]
+    * (same operator; in batch the watermark is a no-op and every window
+    * closes). Window bounds formatted as strings (oracle-parity rule: no
+    * raw timestamps in outputs). */
+  def windowCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Windowed.eventCounts(Tables.events(spark, dir), "1 minute", "0 seconds")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+        col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_window_counts" -> windowCounts,
     "evt_type_pivot" -> typePivot,
     "evt_lww_state" -> lwwState,
     "evt_dispatch_stats" -> dispatchStats,
@@ -193,6 +206,11 @@ object EventFold {
     "evt_hop_walk" -> hopWalk)
 
   val oracleSql: Map[String, String] = Map(
+    "evt_window_counts" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 minute, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(time_bucket(INTERVAL 1 minute, ts) + INTERVAL 1 minute, '%Y-%m-%d %H:%M:%S') AS window_end,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "evt_type_pivot" ->
       """SELECT user_id,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
