@@ -2,7 +2,8 @@ package graft.streaming
 
 import graft.projector.EventLog
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** EP2 — incremental catch-up service (SURVEY.md §3): a Structured
   * Streaming query over the event-log directory; each micro-batch is
@@ -16,13 +17,46 @@ import org.apache.spark.sql.streaming.Trigger
   * MERGE INTO or the JDBC sink of [[graft.sinks.JdbcSink]] via the
   * [[Incremental.Sink]] hook; the derivation logic is identical.
   *
+  * Phase handoff (the reference's `_bulkMode` flip,
+  * `RelationalDatabaseProjection.cs:460-495`, `Worker.cs:32-48`): when the
+  * store was seeded by a backfill ([[Incremental.seed]]), the stream
+  * filters `seq > highWater` — parquet row-group stats push the predicate
+  * into the scan, so event files wholly below the high-water cost only a
+  * footer read and the catch-up phase's I/O is bounded by the log TAIL,
+  * not the replayed prefix.
+  *
   * Exactly-once: the file-source checkpoint gives at-least-once batch
-  * delivery, and [[Incremental.step]]'s merges are replay-idempotent, so
-  * table contents are exactly-once.
+  * delivery; [[Incremental.step]] skips batches already recorded as
+  * applied and replays interrupted ones from pre-merge snapshots
+  * (see its object doc), so table contents are exactly-once.
   *
   * Usage: runMain graft.streaming.CatchUp <eventsDir> <stateDir>
   */
 object CatchUp {
+
+  /** Start the catch-up stream. Split from [[main]] so the end-to-end
+    * kill/restart spec drives the REAL query (same source, checkpoint,
+    * foreachBatch wiring). */
+  def startQuery(spark: SparkSession, eventsDir: String, store: StateStore,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
+      onBatch: Long => Unit = _ => ()): StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "seq BIGINT, event_type STRING, payload STRING")
+    val highWater = store.highWater
+    val raw = spark.readStream.schema(schema).parquet(eventsDir)
+      .filter(col("seq") > highWater)
+    raw.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", s"${store.root}/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Incremental.step(store, EventLog.decode(batch), batchId = batchId)
+          onBatch(batchId)
+        }
+        ()
+      }
+      .start()
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(eventsDir, stateDir) = args
@@ -48,21 +82,9 @@ object CatchUp {
         println(s"graft-catchup: processed ${e.progress.numInputRows} events " +
           s"(batch ${e.progress.batchId})")
     })
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "seq BIGINT, event_type STRING, payload STRING")
-    val raw = spark.readStream.schema(schema).parquet(eventsDir)
-    val q = raw.writeStream
-      .trigger(Trigger.ProcessingTime("2 seconds"))
-      .option("checkpointLocation", s"$stateDir/_checkpoint")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          Incremental.step(store, EventLog.decode(batch))
-          // health signal after first successful fold (Worker.cs:37-38)
-          new java.io.File("/tmp/graft-healthy").createNewFile()
-        }
-        ()
-      }
-      .start()
+    val q = startQuery(spark, eventsDir, store,
+      // health signal after first successful fold (Worker.cs:37-38)
+      onBatch = _ => { new java.io.File("/tmp/graft-healthy").createNewFile(); () })
     q.awaitTermination()
   }
 }

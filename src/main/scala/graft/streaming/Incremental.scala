@@ -47,11 +47,26 @@ import org.apache.spark.sql.types.StructType
   * marker seqs — strictly below every batch seq — and running the same
   * forward-fill windows as the batch derivation over (pseudo ∪ batch).
   *
-  * Replay safety: every state write is a keyed delete+reinsert of values
-  * that are functions of (stored-before-batch, batch), and every merge is
-  * max-by-marker — re-applying the same batch after a mid-step crash
-  * converges to the same state, so the streaming checkpoint's at-least-once
-  * delivery yields exactly-once table contents.
+  * Replay safety (two layers, both per foreachBatch `batchId`):
+  *
+  *   1. a COMPLETED step records its batchId in the store
+  *      ([[StateStore.setLastAppliedBatch]]); a redelivered batch whose id
+  *      is ≤ that is skipped outright — the common crash-between-step-and-
+  *      checkpoint-commit case costs one metadata read;
+  *   2. a step that crashed MID-way is redelivered and re-run, but every
+  *      PRE-merge read it performs (family/dim/affix/has-child snapshots)
+  *      was persisted under `_snap/batch=<id>/` before the first merge
+  *      ([[StateStore.readKeyedSnap]]), so the replay consumes the true
+  *      pre-batch state even from tables the crashed attempt already
+  *      merged. Post-merge reads (root map, affix/detach span lookups,
+  *      eligible-end recount inputs) re-derive identically because the
+  *      merges themselves are deterministic delete+reinserts of
+  *      (snapshot, batch) functions. Without the snapshots, a crash after
+  *      the st_span merge would lose a moved equipment's vacated route
+  *      nodes and permanently overcount conduit_slack there.
+  *
+  * Batch-mode callers (the [[CatchUp]] stream) pass the foreachBatch id;
+  * `batchId = -1` (tests, ad-hoc folds) keeps plain non-snapshotted reads.
   */
 object Incremental {
 
@@ -96,8 +111,21 @@ object Incremental {
   type Sink = (String, DataFrame, DataFrame) => Unit
   val noSink: Sink = (_, _, _) => ()
 
-  /** Fold one decoded micro-batch into the store. See object doc. */
-  def step(store: StateStore, batchDecoded: DataFrame, sink: Sink = noSink): Unit = {
+  /** Dimension table → the single event type that feeds it (used to skip
+    * all dim merges in one pass when a batch carries no spec events). */
+  private val dimEventType: Map[String, String] = Map(
+    "dim_span_equipment_spec" -> "SpanEquipmentSpecificationAdded",
+    "dim_node_container_spec" -> "NodeContainerSpecificationAdded",
+    "dim_span_structure_spec" -> "SpanStructureSpecificationAdded",
+    "dim_terminal_spec" -> "TerminalEquipmentSpecificationAdded")
+
+  /** Fold one decoded micro-batch into the store. See object doc.
+    * `batchId` ≥ 0 enables the two replay-safety layers (skip-if-applied +
+    * pre-merge snapshots); pass the foreachBatch id from a stream. */
+  def step(store: StateStore, batchDecoded: DataFrame, sink: Sink = noSink,
+      batchId: Long = -1L): Unit = {
+    if (batchId >= 0 && store.lastAppliedBatch.exists(_ >= batchId)) return
+    if (batchId >= 0) store.clearSnapshots(batchId) // drop other batches' leftovers
     val sc = batchDecoded.sparkSession.sparkContext
     // Snapshot the persisted-RDD set: every localCheckpoint below caches
     // blocks that outlive the step (ContextCleaner frees them only on GC),
@@ -109,16 +137,26 @@ object Incremental {
     try {
       // ---------- dimension tables (tiny; merged first — every family
       // finalizer joins them) ----------
+      // ONE action decides which dim merges run (instead of 4 isEmpty jobs
+      // on the 2-second hot path): the dim event types present in the batch
+      val dimTypesPresent = b
+        .filter(col("event_type").isin(dimEventType.values.toSeq: _*))
+        .select(col("event_type")).distinct().collect().map(_.getString(0)).toSet
+      def dimHas(table: String): Boolean = dimTypesPresent(dimEventType(table))
       val seSpecP = mergeDim(store, "dim_span_equipment_spec",
-        Derivations.spanEquipmentSpecsPartial(b), "spec_id", Seq("s" -> "d_seq"))
+        Derivations.spanEquipmentSpecsPartial(b), "spec_id", Seq("s" -> "d_seq"),
+        dimHas("dim_span_equipment_spec"), batchId)
       val ncSpecP = mergeDim(store, "dim_node_container_spec",
-        Derivations.nodeContainerSpecsPartial(b), "spec_id", Seq("s" -> "d_seq"))
+        Derivations.nodeContainerSpecsPartial(b), "spec_id", Seq("s" -> "d_seq"),
+        dimHas("dim_node_container_spec"), batchId)
       val structSpecP = mergeDim(store, "dim_span_structure_spec",
         Derivations.spanStructureSpecsPartial(b), "structure_spec_id",
-        Seq("outer_diameter" -> "d_seq"))
+        Seq("outer_diameter" -> "d_seq"),
+        dimHas("dim_span_structure_spec"), batchId)
       val termSpecP = mergeDim(store, "dim_terminal_spec",
         Derivations.terminalSpecsPartial(b), "spec_id",
-        Seq("is_customer_termination" -> "d_seq"))
+        Seq("is_customer_termination" -> "d_seq"),
+        dimHas("dim_terminal_spec"), batchId)
       val eqSpecs = Derivations.spanEquipmentSpecsFromPartial(seSpecP)
       val ncSpecs = Derivations.nodeContainerSpecsFromPartial(ncSpecP)
       val structSpecs = structSpecP.drop("d_seq")
@@ -126,28 +164,25 @@ object Incremental {
 
       // ---------- simple per-entity families ----------
       val (instKeys, _, instMerged) = mergeFamily(store, "st_installation", "id",
-        Derivations.installationPartial(b), Derivations.installationPartialPairs, Nil)
+        Derivations.installationPartial(b), Derivations.installationPartialPairs, Nil,
+        batchId = batchId)
       writeOutput(store, sink, "installation", instKeys,
         Derivations.installationFromPartial(instMerged))
 
       val (wtKeys, _, wtMerged) = mergeFamily(store, "st_work_task", "id",
-        Derivations.workTaskPartial(b), Derivations.workTaskPartialPairs, Nil)
+        Derivations.workTaskPartial(b), Derivations.workTaskPartialPairs, Nil,
+        batchId = batchId)
       writeOutput(store, sink, "work_task", wtKeys,
         Derivations.workTaskFromPartial(wtMerged))
 
       // ---------- span equipment: partial merge + root-segment index ----------
       val bSpan = Derivations.spanEquipmentPartial(b)
       val (seKeys, seStored, seMerged) = mergeFamily(store, "st_span", "id",
-        bSpan, Derivations.spanPartialPairs, Nil)
+        bSpan, Derivations.spanPartialPairs, Nil, batchId = batchId)
 
-      def rootOf(df: DataFrame): DataFrame = df.select(
-        col("pl").getField("structures").getItem(0).getField("spanSegments")
-          .getItem(0).getField("id").as("root_segment_id"),
-        col("id"))
-        .filter(col("root_segment_id").isNotNull)
-      val newRoots = rootOf(seMerged)
+      val newRoots = rootIndexOf(seMerged)
       val rootKeys = newRoots.select(col("root_segment_id").as("k"))
-        .unionByName(rootOf(seStored).select(col("root_segment_id").as("k")))
+        .unionByName(rootIndexOf(seStored).select(col("root_segment_id").as("k")))
         .distinct()
       store.mergeReplace("st_root_segment", "root_segment_id", rootKeys, newRoots)
 
@@ -164,7 +199,7 @@ object Incremental {
         .unionByName(detaches.select(col("child_id").as("k")))
         .distinct().localCheckpoint(true)
       val storedAffixes = store
-        .readKeyed("st_child_affixes", childAffixSchema, "child_id", touchedChildren)
+        .readKeyedSnap(batchId, "st_child_affixes", childAffixSchema, "child_id", touchedChildren)
         .withColumn("stored", lit(true))
       val timeline = Derivations
         .affixNextDetach(storedAffixes.unionByName(batchAffixes), detaches)
@@ -186,7 +221,7 @@ object Incremental {
         .agg(max_by(col("has_child"), col("seq")).as("has_child"),
           max(col("seq")).as("hc_seq"))
       val hcKeys = batchHc.select(col("parent_id").as("k")).distinct().localCheckpoint(true)
-      val hcStored = store.readKeyed("st_has_child", hcSchema, "parent_id", hcKeys)
+      val hcStored = store.readKeyedSnap(batchId, "st_has_child", hcSchema, "parent_id", hcKeys)
       val hcMerged = Folds
         .mergePartials(Seq(hcStored, batchHc), "parent_id", Seq("has_child" -> "hc_seq"))
         .localCheckpoint(true)
@@ -203,7 +238,7 @@ object Incremental {
       val contRefs = termPlac.select(col("container_id").as("k")).distinct()
       val (ncKeys, ncStored, ncMerged) = mergeFamily(store, "st_node_container", "id",
         Derivations.nodeContainerPartial(b), Derivations.nodeContainerPartialPairs, Nil,
-        extraReadKeys = Some(contRefs))
+        extraReadKeys = Some(contRefs), batchId = batchId)
       writeOutput(store, sink, "node_container", ncKeys,
         Derivations.nodeContainerFromPartial(ncMerged)
           .join(broadcast(ncSpecs), Seq("spec_id"), "inner")
@@ -219,7 +254,7 @@ object Incremental {
         Derivations.terminalPlacementRows(relRows, termPlac, termSpecs),
         Derivations.terminalUpdateRows(b))
       val (termKeys, _, termMerged) = mergeFamily(store, "st_terminal", "id", bTerm,
-        Derivations.terminalPartialPairs, Derivations.terminalPartialSeqs)
+        Derivations.terminalPartialPairs, Derivations.terminalPartialSeqs, batchId = batchId)
       writeOutput(store, sink, "service_termination", termKeys,
         Derivations.serviceTerminationFromPartial(termMerged))
 
@@ -241,7 +276,7 @@ object Incremental {
 
       val (intKeys, intStored, intMerged) = mergeFamily(store, "st_interest", "interest_id",
         Derivations.interestPartial(b), Derivations.interestPartialPairs, Nil,
-        extraReadKeys = Some(applyInterests))
+        extraReadKeys = Some(applyInterests), batchId = batchId)
       writeOutput(store, sink, "rel_interest_to_route_element", intKeys,
         Walks.explodeOrdered(
           Derivations.interestFromPartial(intMerged).filter(col("alive"))
@@ -290,12 +325,122 @@ object Incremental {
       store.mergeReplace("conduit_slack", "route_node_id", touchedNodes, slackRows)
       sink("conduit_slack",
         touchedNodes.select(Derivations.deterministicUuid(col("k")).as("id")), slackRows)
+      // commit point: record completion FIRST (a crash between the two
+      // leaves a skippable batch with a stale snapshot dir, cleaned by the
+      // next step), then drop this batch's snapshots
+      if (batchId >= 0) {
+        store.setLastAppliedBatch(batchId)
+        store.clearSnapshots(batchId, including = true)
+      }
       ()
     } finally {
       b.unpersist()
       sc.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!persistedBefore.contains(id)) rdd.unpersist(blocking = false)
       }
+    }
+  }
+
+  /** (root_segment_id, id) index rows of a span partial frame. */
+  private def rootIndexOf(spanPartial: DataFrame): DataFrame = spanPartial.select(
+    col("pl").getField("structures").getItem(0).getField("spanSegments")
+      .getItem(0).getField("id").as("root_segment_id"),
+    col("id"))
+    .filter(col("root_segment_id").isNotNull)
+
+  /** Seed the store from a FULL decoded event log using the batch
+    * derivations — the backfill→catch-up phase handoff the reference gets
+    * from `_bulkMode` (`RelationalDatabaseProjection.cs:460-495`,
+    * `Worker.cs:32-48`): one fast batch pass dehydrates the whole log into
+    * the per-family partial folds, auxiliary state tables, and output
+    * tables, in exactly the bucketed layout [[step]] maintains — then the
+    * stream continues strictly past the recorded high-water `seq`
+    * ([[StateStore.setHighWater]], consumed by [[CatchUp.startQuery]]).
+    *
+    * Every state table is the full-log value of the same expression the
+    * incremental path maintains per batch, so `seed(log[0,k])` followed by
+    * `step`s over `(k,n]` equals `seed(log[0,n])` — proven by HandoffSpec.
+    *
+    * Returns the high-water seq (Long.MinValue on an empty log). */
+  def seed(store: StateStore, evDecoded: DataFrame): Long = {
+    val ev = evDecoded.persist()
+    try {
+      // dimension tables
+      store.writeSmall("dim_span_equipment_spec", Derivations.spanEquipmentSpecsPartial(ev))
+      store.writeSmall("dim_node_container_spec", Derivations.nodeContainerSpecsPartial(ev))
+      store.writeSmall("dim_span_structure_spec", Derivations.spanStructureSpecsPartial(ev))
+      store.writeSmall("dim_terminal_spec", Derivations.terminalSpecsPartial(ev))
+      val eqSpecs = Derivations.spanEquipmentSpecs(ev)
+      val structSpecs = Derivations.spanStructureSpecs(ev)
+
+      // per-family partial folds (the state [[step]] merges onto)
+      val spanPart = Derivations.spanEquipmentPartial(ev).persist()
+      store.writeBucketed("st_installation", "id", Derivations.installationPartial(ev))
+      store.writeBucketed("st_work_task", "id", Derivations.workTaskPartial(ev))
+      store.writeBucketed("st_span", "id", spanPart)
+      store.writeBucketed("st_node_container", "id", Derivations.nodeContainerPartial(ev))
+      store.writeBucketed("st_interest", "interest_id", Derivations.interestPartial(ev))
+      store.writeBucketed("st_terminal", "id", Derivations.terminalPartial(
+        Derivations.terminalPlacementRows(Derivations.containerRelEvents(ev),
+          Derivations.terminalPlacements(ev), Derivations.terminalSpecs(ev)),
+        Derivations.terminalUpdateRows(ev)))
+
+      // auxiliary cross-entity state
+      val rootMap = rootIndexOf(spanPart)
+      store.writeBucketed("st_root_segment", "root_segment_id", rootMap)
+      val affixes = Derivations.affixEdges(ev).join(rootMap, Seq("root_segment_id"))
+        .select(col("child_id"), col("seq"), col("id").as("parent_id"))
+      val detaches = ev.filter(col("event_type") === "SpanEquipmentDetachedFromParent")
+        .select(col("p.spanEquipmentId").as("child_id"), col("seq"))
+      val timeline = Derivations.affixNextDetach(affixes, detaches).persist()
+      store.writeBucketed("st_child_affixes", "child_id",
+        timeline.filter(col("next_detach_seq").isNull)
+          .select(col("child_id"), col("parent_id"), col("seq")).distinct())
+      // has-child flag timeline → final flag + greatest contributing seq
+      val setRows = timeline.select(col("parent_id"), col("seq"), lit(true).as("has_child"))
+      val clearRows = timeline.filter(col("next_detach_seq").isNotNull)
+        .select(col("parent_id"), col("next_detach_seq").as("seq"), lit(false).as("has_child"))
+      val resetRows = ev.filter(col("event_type") === "SpanEquipmentPlacedInRouteNetwork")
+        .select(col("p.equipment.id").as("parent_id"), col("seq"), lit(false).as("has_child"))
+      val hc = setRows.unionByName(clearRows).unionByName(resetRows)
+        .groupBy(col("parent_id"))
+        .agg(max_by(col("has_child"), col("seq")).as("has_child"),
+          max(col("seq")).as("hc_seq"))
+      store.writeBucketed("st_has_child", "parent_id", hc)
+
+      // eligible conduit ends (bucketed by route node for the per-node
+      // slack recount) + the 8 output tables
+      val enriched = Derivations
+        .withSpecDims(Derivations.spanStateFromPartial(spanPart), eqSpecs, structSpecs)
+        .join(hc.select(col("parent_id").as("id"), col("has_child")), Seq("id"), "left")
+        .na.fill(false, Seq("has_child"))
+      val endRows = Derivations.eligibleEnds(enriched).persist()
+      store.writeBucketed("st_eligible_ends", "route_node_id", endRows)
+
+      val outputs = Map(
+        "installation" -> Derivations.installation(ev),
+        "work_task" -> Derivations.workTask(ev),
+        "node_container" -> Derivations.nodeContainer(ev),
+        "span_equipment" -> Derivations.spanEquipmentFromState(
+          Derivations.spanStateFromPartial(spanPart), eqSpecs, structSpecs),
+        "service_termination" -> Derivations.serviceTermination(ev),
+        "rel_interest_to_route_element" -> Derivations.relInterestToRouteElement(ev),
+        "rel_fiber_cable_to_route_element" -> Derivations.relFiberCableToRouteElement(ev),
+        "conduit_slack" -> Derivations.slackFromEnds(endRows))
+      outputs.foreach { case (table, df) =>
+        store.writeBucketed(table, outputKey(table), df)
+      }
+      timeline.unpersist()
+      endRows.unpersist()
+      spanPart.unpersist()
+
+      val hwRow = ev.agg(max(col("seq"))).head()
+      val hw = if (hwRow.isNullAt(0)) Long.MinValue else hwRow.getLong(0)
+      store.setHighWater(hw)
+      hw
+    } finally {
+      ev.unpersist()
+      ()
     }
   }
 
@@ -307,11 +452,16 @@ object Incremental {
     * overwrite. */
   private def mergeFamily(store: StateStore, table: String, idCol: String,
       batchPartial: DataFrame, pairs: Seq[(String, String)], seqs: Seq[String],
-      extraReadKeys: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
+      extraReadKeys: Option[DataFrame] = None,
+      batchId: Long = -1L): (DataFrame, DataFrame, DataFrame) = {
     val keys0 = batchPartial.select(col(idCol).as("k")).distinct()
     val keys = extraReadKeys.map(e => keys0.unionByName(e).distinct()).getOrElse(keys0)
       .localCheckpoint(true)
-    val stored = store.readKeyed(table, batchPartial.schema, idCol, keys).localCheckpoint(true)
+    // snapshot mode: the read is parquet-backed (its own lineage cut), so
+    // no localCheckpoint needed on top
+    val stored =
+      if (batchId >= 0) store.readKeyedSnap(batchId, table, batchPartial.schema, idCol, keys)
+      else store.readKeyed(table, batchPartial.schema, idCol, keys).localCheckpoint(true)
     val merged = Folds.mergePartials(Seq(stored, batchPartial), idCol, pairs, seqs)
       .localCheckpoint(true)
     store.mergeReplace(table, idCol, keys, merged)
@@ -328,13 +478,15 @@ object Incremental {
   }
 
   /** Merge a tiny dimension partial (union + refold + full overwrite);
-    * returns the merged frame. Skipped (stored returned as-is) when the
-    * batch carries no dim events. */
+    * returns the merged frame. `hasEvents` (computed once per step for all
+    * four dims) skips the merge when the batch carries no events of this
+    * dim's type — no per-dim driver job on the hot path. */
   private def mergeDim(store: StateStore, table: String, batchPartial: DataFrame,
-      idCol: String, pairs: Seq[(String, String)]): DataFrame = {
-    val stored = store.readSmall(table, batchPartial.schema)
-    if (batchPartial.isEmpty) stored.localCheckpoint(true)
+      idCol: String, pairs: Seq[(String, String)], hasEvents: Boolean,
+      batchId: Long): DataFrame = {
+    if (!hasEvents) store.readSmall(table, batchPartial.schema).localCheckpoint(true)
     else {
+      val stored = store.readSmallSnap(batchId, table, batchPartial.schema)
       val merged = Folds.mergePartials(Seq(stored, batchPartial), idCol, pairs)
         .localCheckpoint(true)
       store.writeSmall(table, merged)

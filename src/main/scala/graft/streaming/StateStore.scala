@@ -129,6 +129,99 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64) 
     }
   }
 
+  /** Overwrite a bucketed table wholesale (bucket = hash of `bucketCol`).
+    * The seeding path of the backfill→catch-up handoff: writes the batch-
+    * derived state/output tables in exactly the layout [[mergeReplace]]
+    * maintains incrementally, so [[graft.streaming.Incremental.step]] can
+    * continue from a backfill without refolding the log. */
+  def writeBucketed(table: String, bucketCol: String, df: DataFrame): Unit =
+    df.withColumn("bucket", bucketOf(col(bucketCol)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path(table))
+
+  // --- tiny metadata entries (high-water seq, last applied batch) ---
+  // Write = tmp file + delete + rename: on stores without atomic rename the
+  // failure window is a MISSING entry, never a torn one, and every consumer
+  // treats "missing" as "replay more" (converges by replay idempotence).
+
+  def writeMeta(name: String, value: String): Unit = {
+    val tmp = new Path(s"$root/.tmp_meta_$name")
+    val target = new Path(s"$root/_meta_$name")
+    val out = fs.create(tmp, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target)) sys.error(s"StateStore: failed to publish meta $name")
+    ()
+  }
+
+  def readMeta(name: String): Option[String] = {
+    val target = new Path(s"$root/_meta_$name")
+    if (!fs.exists(target)) None
+    else {
+      val in = fs.open(target)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(target).getLen.toInt)
+        in.readFully(bytes)
+        Some(new String(bytes, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
+  /** Greatest event seq already folded by a backfill seed (the stream
+    * starts strictly after it). `Long.MinValue` when never seeded. */
+  def highWater: Long = readMeta("high_water").map(_.toLong).getOrElse(Long.MinValue)
+  def setHighWater(seq: Long): Unit = writeMeta("high_water", seq.toString)
+
+  /** Greatest foreachBatch batchId whose step ran to completion. */
+  def lastAppliedBatch: Option[Long] = readMeta("applied_batch").map(_.toLong)
+  def setLastAppliedBatch(batchId: Long): Unit = writeMeta("applied_batch", batchId.toString)
+
+  // --- per-batch pre-merge snapshots (replay atomicity) ---
+  // A step's later sections consume PRE-batch reads of tables it merged
+  // earlier in the same step (e.g. the vacated node positions of a moved
+  // equipment). A mid-step crash + at-least-once redelivery would re-read
+  // those tables post-merge and lose the pre-batch view — so in batch mode
+  // every pre-merge read is persisted under _snap/batch=<id>/ on first
+  // execution and REPLAYED FROM THE SNAPSHOT on redelivery. The snapshot
+  // write doubles as the lineage cut the plain path gets via
+  // localCheckpoint, so batch mode adds no extra materialization.
+
+  private def snapPath(batchId: Long, name: String) = s"$root/_snap/batch=$batchId/$name"
+
+  private def snapshotted(batchId: Long, name: String, schema: StructType,
+      read: => DataFrame): DataFrame = {
+    val p = new Path(snapPath(batchId, name))
+    val done = new Path(p, "_SUCCESS")
+    if (!fs.exists(done)) // absent or torn (no _SUCCESS) → (re)write
+      read.write.mode("overwrite").parquet(p.toString)
+    // explicit schema: a 0-row snapshot has no part files to infer from
+    spark.read.schema(schema).parquet(p.toString)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** [[readKeyed]] through the batch snapshot (see above). `batchId < 0`
+    * bypasses snapshotting (plain read, caller manages lineage). */
+  def readKeyedSnap(batchId: Long, table: String, schema: StructType,
+      keyCol: String, keys: DataFrame): DataFrame =
+    if (batchId < 0) readKeyed(table, schema, keyCol, keys)
+    else snapshotted(batchId, table, schema, readKeyed(table, schema, keyCol, keys))
+
+  /** [[readSmall]] through the batch snapshot. */
+  def readSmallSnap(batchId: Long, table: String, schema: StructType): DataFrame =
+    if (batchId < 0) readSmall(table, schema)
+    else snapshotted(batchId, table, schema, readSmall(table, schema))
+
+  /** Drop snapshot dirs of other batches (only one batch is ever in
+    * flight) and, when `including`, this batch's own. */
+  def clearSnapshots(batchId: Long, including: Boolean = false): Unit = {
+    val snapRoot = new Path(s"$root/_snap")
+    if (fs.exists(snapRoot)) {
+      fs.listStatus(snapRoot).foreach { st =>
+        val keep = !including && st.getPath.getName == s"batch=$batchId"
+        if (!keep) fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   /** Unbucketed tiny table (specification dimensions): full overwrite via
     * tmp+swap (content is a handful of rows; atomicity via rename checked —
     * on stores without atomic rename the window is a missing-table read,

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.projector.{Derivations, EventLog, LogGen, Sim}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, Row}
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
+import scala.util.Random
+
+/** The backfill→catch-up phase handoff (VERDICT r3 #1): a store seeded by
+  * the batch backfill ([[Incremental.seed]]) plus incremental steps over
+  * the log TAIL must equal a full backfill over the whole log — and the
+  * catch-up phase must pay I/O proportional to the tail, with the seeded
+  * prefix's event files pruned to footer reads by the high-water filter
+  * (the reference's dehydrate→`_bulkMode` flip,
+  * `RelationalDatabaseProjection.cs:460-495`, `Worker.cs:32-48`).
+  */
+class HandoffSpec extends SparkTestBase {
+
+  private val envelopeSchema = StructType.fromDDL("seq BIGINT, event_type STRING, payload STRING")
+
+  private def toDf(rows: Seq[Row]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, envelopeSchema)
+  }
+
+  private def normalized(df: DataFrame): Set[String] =
+    df.collect().map { r =>
+      df.columns.sorted.map(c => s"$c=${r.getAs[Any](c)}").mkString("|")
+    }.toSet
+
+  /** Write `rows` as ONE parquet file named `<name>.parquet` directly under
+    * `eventsDir` (the streaming file source treats subdirectories as
+    * partition columns, so chunk files must be flat siblings). */
+  private def writeChunk(rows: Seq[Row], eventsDir: String, name: String): Unit = {
+    val tmp = Files.createTempDirectory("graft-chunk").toFile
+    toDf(rows).coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    val target = new java.io.File(eventsDir)
+    target.mkdirs()
+    Files.move(part.toPath, new java.io.File(target, s"$name.parquet").toPath)
+    ()
+  }
+
+  test("backfill[0,k] seed + incremental (k,n] equals backfill[0,n] on all 8 tables") {
+    val events = LogGen.scenario(new Random(55))
+    val rows = events.zipWithIndex.map { case (e, i) => Row((i + 1).toLong, e.typ, e.payload) }
+    val k = rows.length / 2
+    val stateDir = Files.createTempDirectory("graft-handoff").toFile.getPath
+    val store = new StateStore(spark, stateDir, nBuckets = 16)
+
+    val hw = Incremental.seed(store, EventLog.decode(toDf(rows.take(k))))
+    assert(hw === k.toLong)
+    assert(store.highWater === k.toLong)
+
+    // tail in 3 chunks through the batch-id path (snapshots + skip active)
+    val tail = rows.drop(k)
+    val bounds = (0 to 3).map(i => i * tail.length / 3)
+    bounds.sliding(2).zipWithIndex.foreach { case (Seq(a, z), i) =>
+      val chunk = tail.slice(a, z)
+      if (chunk.nonEmpty) Incremental.step(store, EventLog.decode(toDf(chunk)), batchId = i.toLong)
+    }
+
+    val oracle = Derivations.deriveAll(EventLog.decode(toDf(rows)).cache())
+    oracle.foreach { case (table, expected) =>
+      val got = store.readAll(table, Incremental.outputSchema(table))
+      assert(normalized(got) === normalized(expected), s"table $table diverged after handoff")
+    }
+  }
+
+  test("catch-up I/O is bounded by the tail: seeded prefix files prune to footer reads") {
+    val dir = Files.createTempDirectory("graft-handoff-io").toFile
+    val eventsDir = s"$dir/events"
+    val stateDir = s"$dir/state"
+    val store = new StateStore(spark, stateDir, nBuckets = 64)
+
+    // big prefix: 6000 installations with incompressible remarks
+    val rnd = new Random(13)
+    def remark(): String = Seq.fill(80)(('a' + rnd.nextInt(26)).toChar).mkString
+    val prefix = (1 to 6000).map { i =>
+      val e = Sim.InstCreated(s"inst-$i", s"I-$i", Some(s"ua-$i"), "planned", Some(remark()))
+      Row(i.toLong, e.typ, e.payload)
+    }
+    writeChunk(prefix, eventsDir, "00-prefix")
+    Incremental.seed(store, EventLog.decode(toDf(prefix)))
+
+    // tail: 3 updates, written as a second file under the same source path
+    val tailRows = Seq("inst-17", "inst-2345", "inst-5999").zipWithIndex.map { case (id, i) =>
+      val e = Sim.InstStatusChanged(id, "active")
+      Row((6001 + i).toLong, e.typ, e.payload)
+    }
+    writeChunk(tailRows, eventsDir, "01-tail")
+
+    val prefixBytes = new java.io.File(eventsDir, "00-prefix.parquet").length()
+    assert(prefixBytes > 200000, s"prefix unexpectedly small: $prefixBytes B")
+
+    // run the REAL catch-up stream over the whole directory; the high-water
+    // filter (seq > 6000) must prune the prefix file to footer-only reads
+    val fileBytes = new AtomicLong(0L)
+    val fileStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val listener = new SparkListener {
+      override def onStageSubmitted(s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        if (s.stageInfo.rddInfos.exists(_.name.contains("FileScanRDD"))) {
+          fileStages.add(s.stageInfo.stageId); ()
+        }
+      override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit =
+        if (taskEnd.taskMetrics != null && fileStages.contains(taskEnd.stageId)) {
+          fileBytes.addAndGet(taskEnd.taskMetrics.inputMetrics.bytesRead); ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val q = CatchUp.startQuery(spark, eventsDir, store, Trigger.AvailableNow())
+      q.awaitTermination()
+      val deadline = System.currentTimeMillis() + 15000
+      var last = -1L
+      while (System.currentTimeMillis() < deadline && fileBytes.get() != last) {
+        last = fileBytes.get(); Thread.sleep(500)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    val read = fileBytes.get()
+    assert(read > 0, "expected some file reads during catch-up")
+    // bound: tail file + prefix footer + ~6 touched state buckets of 64 —
+    // structurally ≈ 0.19 × prefix; without pruning the prefix alone is 1×
+    assert(read < prefixBytes / 3,
+      s"catch-up read $read B vs $prefixBytes B prefix — high-water pruning is not bounding I/O")
+
+    // and the tail actually landed
+    val out = store.readAll("installation", Incremental.outputSchema("installation"))
+      .filter(col("status") === "active")
+    assert(out.count() === 3)
+  }
+}
