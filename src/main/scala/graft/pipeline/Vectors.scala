@@ -100,6 +100,8 @@ object Vectors {
     * reason as [[quantizedDot]]: one JIT'd loop per row instead of
     * nPlanes × dim interpreted lambda evaluations. */
   def hyperplaneBucket(vec: Column, nPlanes: Int, seed: Int = 42): Column = {
+    require(nPlanes >= 1 && nPlanes <= 63,
+      s"nPlanes must be in [1, 63] (sign bits of one long): $nPlanes")
     val w = planeWeights(nPlanes, seed, MaxLshDim)
     val fn = udf { (v: Seq[Float]) => sigFromWeights(v, w) }
     fn(vec)
@@ -220,16 +222,28 @@ object Vectors {
 
   /** Plane count sized to the corpus: log2(n / targetPerBucket), so
     * expected bucket occupancy — and the quadratic within-bucket pair
-    * count — stays bounded as the corpus grows. */
+    * count — stays bounded as the corpus grows. Capped at
+    * [[MaxBandPlanes]] (56 planes already address 7×10¹⁶ buckets — far
+    * past any corpus — and the cap keeps [[bandSignatures]]' band-id bits
+    * clear of the sign bits). */
   def autoPlanes(emb: DataFrame, targetPerBucket: Int = 32): Int = {
     val n = emb.count() // parquet footer-stats count: metadata-only at scale
-    math.max(6, math.ceil(math.log(math.max(1.0, n.toDouble / targetPerBucket)) / math.log(2.0)).toInt)
+    math.min(MaxBandPlanes,
+      math.max(6, math.ceil(math.log(math.max(1.0, n.toDouble / targetPerBucket)) / math.log(2.0)).toInt))
   }
+
+  /** Greatest plane count [[bandSignatures]] accepts: the band id occupies
+    * bits 56–63 of the combined key, so sign bits must stay below bit 56 —
+    * beyond that, distinct bands would silently alias into one bucket. */
+  val MaxBandPlanes = 56
 
   /** All `nBands` band signatures of a vector in ONE pass (one JIT'd UDF
     * loop over pre-materialized weights), band id folded into the high
     * bits → a single long join key per (row, band). */
   def bandSignatures(vec: Column, nBands: Int, planes: Int): Column = {
+    require(planes >= 1 && planes <= MaxBandPlanes,
+      s"planes must be in [1, $MaxBandPlanes] (band id lives in bits 56-63): $planes")
+    require(nBands >= 1 && nBands <= 255, s"nBands must fit the 8 band-id bits: $nBands")
     val ws = Array.tabulate(nBands)(band => planeWeights(planes, 42 + 1013 * band, MaxLshDim))
     val fn = udf { (v: Seq[Float]) =>
       Array.tabulate(nBands)(band => (band.toLong << 56) | sigFromWeights(v, ws(band)))

@@ -52,10 +52,32 @@ class PlanQualitySpec extends SparkTestBase {
   test("CPU-bound pipeline kernels pin explicit partition counts (AQE must not serialize them)") {
     // byte-based AQE coalescing would collapse these compute-heavy stages
     // onto one task at small SF; REPARTITION_BY_NUM exchanges are exempt
-    Seq("dedup_embedding_cosine", "dedup_minhash_lsh", "dedup_simhash").foreach { name =>
+    Seq("dedup_embedding_cosine", "dedup_simhash").foreach { name =>
       val p = plan(name)
       assert(p.contains("REPARTITION_BY_NUM"), s"$name must pin kernel parallelism:\n$p")
     }
+    // minhash's candidate stage executes eagerly behind the size gate
+    // (localCheckpoint), so its pin is asserted on the subplan itself
+    val d = graft.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.pipeline.Text.shingles(org.apache.spark.sql.functions.col("text"), 3).as("sh"))
+    val candPlan = graft.pipeline.Dedup.minhashCandidates(d, "doc_id", "sh")
+      .queryExecution.executedPlan.toString()
+    assert(candPlan.contains("REPARTITION_BY_NUM"),
+      s"minhash candidate stage must pin kernel parallelism:\n$candPlan")
+  }
+
+  test("minhash verification is size-gated: broadcast under the cap, shuffled join above (r3 #3)") {
+    // under the cap (the real default path at this SF): candidate pairs broadcast
+    val small = plan("dedup_minhash_lsh")
+    assert(small.contains("BroadcastHashJoin"), s"expected broadcast verify join:\n$small")
+    // cap forced to 0: the static plan must choose shuffled hash joins and
+    // must NOT broadcast the (size-underestimated) shingle-array side
+    val gated = graft.queries.Pipeline.minhashVerified(spark, dir, maxBroadcast = 0)
+      .queryExecution.sparkPlan.toString()
+    assert(!gated.contains("BroadcastHashJoin"),
+      s"shuffle fallback must not plan a broadcast:\n$gated")
+    assert(gated.contains("ShuffledHashJoin"), s"expected shuffled hash verify joins:\n$gated")
   }
 
   test("no query surface plans a cartesian product") {

@@ -62,6 +62,35 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("pack_sequences shard count grows with the corpus, floor 4 (r3 #4)") {
+    import graft.queries.Pipeline.packShardCount
+    assert(packShardCount(0L) === 4)
+    assert(packShardCount(500L) === 4)        // sf0.01 keeps the historical 4
+    assert(packShardCount(400000L) === 4)
+    assert(packShardCount(400001L) === 5)
+    assert(packShardCount(100000000L) === 1000)
+    assert(packShardCount(10000000000L) === 100000) // 100× corpus → 100× shards
+  }
+
+  test("minhash shuffled verification fallback returns exactly the broadcast path's pairs (r3 #3)") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaBroadcast = rows(graft.queries.Pipeline.dedupMinhash(spark, dir))
+    val viaShuffle = rows(graft.queries.Pipeline.minhashVerified(spark, dir, maxBroadcast = 0))
+    assert(viaShuffle === viaBroadcast)
+    assert(viaBroadcast.nonEmpty)
+  }
+
+  test("LSH plane counts are capped to the band-id bit layout") {
+    intercept[IllegalArgumentException] { Vectors.bandSignatures(col("embedding"), 4, 57) }
+    intercept[IllegalArgumentException] { Vectors.bandSignatures(col("embedding"), 256, 8) }
+    intercept[IllegalArgumentException] { Vectors.hyperplaneBucket(col("embedding"), 64) }
+    // in-range values construct fine
+    Vectors.bandSignatures(col("embedding"), 4, Vectors.MaxBandPlanes)
+    Vectors.hyperplaneBucket(col("embedding"), 63)
+  }
+
   test("minhash estimate tracks exact jaccard for near-dups") {
     val sh = docs.select($"doc_id", Text.shingles($"text", 3).as("sh"),
       Dedup.minhashSignature(Text.shingles($"text", 3), 64).as("sig"))
