@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.projector.EventLog
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import Shapes._
 
@@ -14,24 +14,57 @@ import Shapes._
   * SURVEY.md §2.9) with Spark keyed state.
   *
   * Design: events are keyed by entity id, each micro-batch's events for a
-  * key are applied **in seq order** inside `flatMapGroupsWithState`, and
-  * one CDC row (upsert/delete with the post-batch state) is emitted per
-  * touched key — the sink's idempotent upsert collapses intra-batch churn
-  * exactly like the reference's last DML wins. State lives in the Spark
-  * state store (per-key, partitioned, checkpointed) — no single-process
-  * heap ceiling (`ProjektorState.cs:23-125` holds everything in one
-  * dictionary set).
+  * key are applied **in seq order** inside a Spark 4 `transformWithState`
+  * [[StatefulProcessor]] (SURVEY.md §2.10 names this API; it replaces the
+  * `flatMapGroupsWithState` form of earlier rounds), and one CDC row
+  * (upsert/delete with the post-batch state) is emitted per touched key —
+  * the sink's idempotent upsert collapses intra-batch churn exactly like
+  * the reference's last DML wins. State lives in the Spark state store
+  * (per-key, partitioned, checkpointed, RocksDB-backed in streaming) — no
+  * single-process heap ceiling (`ProjektorState.cs:23-125` holds
+  * everything in one dictionary set).
   *
   * The span-equipment family needs cross-key lookups (parents via root
   * segment, walks, container relations) and is handled by the catch-up
   * re-derivation in [[CatchUp]] instead (SURVEY.md §3's fold theorem makes
   * that exact).
   *
-  * These functions accept either a batch or a streaming Dataset — the same
-  * code path is used by unit tests (batch), replay-equivalence tests, and
-  * `readStream`-driven deployments.
+  * Streaming use requires the RocksDB state store provider
+  * (`spark.sql.streaming.stateStore.providerClass` =
+  * `...state.RocksDBStateStoreProvider`) — a `transformWithState`
+  * constraint; the rocksdbjni jar ships with Spark.
   */
 object Processors {
+
+  /** Shared shape of the three per-entity LWW processors: buffer the
+    * micro-batch's events for a key, fold them in `seq` order over the
+    * keyed [[ValueState]], emit one CDC row when the post-batch state
+    * changed (delete when the fold removed the entity). */
+  private abstract class LwwProcessor[I, S, O] extends StatefulProcessor[String, I, O] {
+    protected def seqOf(e: I): Long
+    protected def applyEvent(st: Option[S], e: I): Option[S]
+    protected def upsert(key: String, s: S): O
+    protected def delete(key: String): Option[O] // None → family never deletes
+    protected def stateEncoder: Encoder[S]
+
+    @transient private var state: ValueState[S] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[S]("state", stateEncoder, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[I],
+        timerValues: TimerValues): Iterator[O] = {
+      val init = if (state.exists()) Some(state.get()) else None
+      val fin = rows.toSeq.sortBy(seqOf).foldLeft(init)(applyEvent)
+      (init, fin) match {
+        case (_, Some(s)) =>
+          state.update(s)
+          if (fin != init) Iterator.single(upsert(key, s)) else Iterator.empty
+        case (Some(_), None) =>
+          state.clear()
+          delete(key).iterator
+        case (None, None) => Iterator.empty
+      }
+    }
+  }
 
   /** Decode + narrow the envelope to the installation family. */
   def installationEvents(decoded: DataFrame): Dataset[InstEvent] = {
@@ -65,22 +98,17 @@ object Processors {
 
   def installationCdc(events: Dataset[InstEvent]): Dataset[InstCdc] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (id: String, evts: Iterator[InstEvent], state: GroupState[InstState]) =>
-          val sorted = evts.toSeq.sortBy(_.seq)
-          val init = state.getOption
-          val fin = sorted.foldLeft(init)(applyInst)
-          fin match {
-            case Some(s) =>
-              state.update(s)
-              if (fin != init)
-                Iterator.single(InstCdc(Cdc.Upsert, id, s.installation_id,
-                  s.unit_address_id, s.status, s.location_remark))
-              else Iterator.empty
-            case None => Iterator.empty
-          }
-      }
+    events.groupByKey(_.id).transformWithState(
+      new LwwProcessor[InstEvent, InstState, InstCdc] {
+        protected def seqOf(e: InstEvent): Long = e.seq
+        protected def applyEvent(st: Option[InstState], e: InstEvent): Option[InstState] =
+          applyInst(st, e)
+        protected def upsert(id: String, s: InstState): InstCdc =
+          InstCdc(Cdc.Upsert, id, s.installation_id, s.unit_address_id, s.status,
+            s.location_remark)
+        protected def delete(id: String): Option[InstCdc] = None
+        protected def stateEncoder: Encoder[InstState] = Encoders.product[InstState]
+      }, TimeMode.None(), OutputMode.Append())
   }
 
   def workTaskEvents(decoded: DataFrame): Dataset[WtEvent] = {
@@ -105,19 +133,16 @@ object Processors {
 
   def workTaskCdc(events: Dataset[WtEvent]): Dataset[WtCdc] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (id: String, evts: Iterator[WtEvent], state: GroupState[WtState]) =>
-          val init = state.getOption
-          val fin = evts.toSeq.sortBy(_.seq).foldLeft(init)(applyWt)
-          fin match {
-            case Some(s) if fin != init =>
-              state.update(s)
-              Iterator.single(WtCdc(Cdc.Upsert, id, s.number, s.status))
-            case Some(s) => state.update(s); Iterator.empty
-            case None => Iterator.empty
-          }
-      }
+    events.groupByKey(_.id).transformWithState(
+      new LwwProcessor[WtEvent, WtState, WtCdc] {
+        protected def seqOf(e: WtEvent): Long = e.seq
+        protected def applyEvent(st: Option[WtState], e: WtEvent): Option[WtState] =
+          applyWt(st, e)
+        protected def upsert(id: String, s: WtState): WtCdc =
+          WtCdc(Cdc.Upsert, id, s.number, s.status)
+        protected def delete(id: String): Option[WtCdc] = None
+        protected def stateEncoder: Encoder[WtState] = Encoders.product[WtState]
+      }, TimeMode.None(), OutputMode.Append())
   }
 
   def interestEvents(decoded: DataFrame): Dataset[WoiEvent] = {
@@ -143,21 +168,17 @@ object Processors {
 
   def interestCdc(events: Dataset[WoiEvent]): Dataset[WoiCdc] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (id: String, evts: Iterator[WoiEvent], state: GroupState[WoiState]) =>
-          val init = state.getOption
-          val fin = evts.toSeq.sortBy(_.seq).foldLeft(init)(applyWoi)
-          (init, fin) match {
-            case (_, Some(s)) if fin != init =>
-              state.update(s)
-              Iterator.single(WoiCdc(Cdc.Upsert, id, s.walk))
-            case (Some(_), None) =>
-              state.remove()
-              Iterator.single(WoiCdc(Cdc.Delete, id, Seq.empty))
-            case _ => Iterator.empty
-          }
-      }
+    events.groupByKey(_.id).transformWithState(
+      new LwwProcessor[WoiEvent, WoiState, WoiCdc] {
+        protected def seqOf(e: WoiEvent): Long = e.seq
+        protected def applyEvent(st: Option[WoiState], e: WoiEvent): Option[WoiState] =
+          applyWoi(st, e)
+        protected def upsert(id: String, s: WoiState): WoiCdc =
+          WoiCdc(Cdc.Upsert, id, s.walk)
+        protected def delete(id: String): Option[WoiCdc] =
+          Some(WoiCdc(Cdc.Delete, id, Seq.empty))
+        protected def stateEncoder: Encoder[WoiState] = Encoders.product[WoiState]
+      }, TimeMode.None(), OutputMode.Append())
   }
 
   /** Decode raw envelopes — shared entry for batch and readStream inputs. */

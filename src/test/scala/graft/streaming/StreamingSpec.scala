@@ -48,6 +48,11 @@ class StreamingSpec extends SparkTestBase {
     pinMtime("batch_a", now - 60000)
     pinMtime("batch_b", now)
 
+    // transformWithState requires the RocksDB state store provider in
+    // streaming (rocksdbjni ships with Spark); scoped to this test
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
     val raw = spark.readStream.schema(envelopeSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir.getPath + "/*")
@@ -106,5 +111,6 @@ class StreamingSpec extends SparkTestBase {
     assert(woiFinal === woiBatch)
 
     instQ.stop(); wtQ.stop(); woiQ.stop()
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 }
