@@ -556,6 +556,15 @@ object Derivations {
     * [[conduitSlack]] stays the invariant recount; this mode exists for
     * bit-faithful migration off the reference.
     *
+    * BATCH-ONLY by design: the incremental catch-up
+    * ([[graft.streaming.Incremental.step]]) always applies the invariant
+    * recount — compat mode exists for migration audits, which are batch
+    * replays of a full log; a live stream maintaining the reference's
+    * path-dependent double-counts would have to carry the whole ±1 ledger
+    * as state for no operational benefit. CatchUpSpec pins this: on a log
+    * with the pathological sequences, the incrementally-maintained
+    * `conduit_slack` equals the DEFAULT (invariant) derivation.
+    *
     * Reconstruction: every handler's ±1 is a ledger row whose condition is
     * evaluated against three as-of timelines, each expressible with a
     * per-entity forward-fill window (partitions bounded by one entity's

@@ -26,10 +26,14 @@ object FakeDb {
   val sqlLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   val addBatchCount = new java.util.concurrent.atomic.AtomicLong(0)
   val executeBatchCount = new java.util.concurrent.atomic.AtomicLong(0)
+  // PK-violation accounting: upserts landing on an EXISTING key took the
+  // ON CONFLICT branch — a plain INSERT would have raised a PK violation
+  // there, so a positive count proves the conflict path really ran
+  val conflictCount = new java.util.concurrent.atomic.AtomicLong(0)
 
   def reset(): Unit = {
     tables.clear(); sqlLog.clear()
-    addBatchCount.set(0); executeBatchCount.set(0)
+    addBatchCount.set(0); executeBatchCount.set(0); conflictCount.set(0)
   }
 
   /** Rows of a table as maps col→value (order-free comparison). */
@@ -72,6 +76,7 @@ object FakeDb {
       val byName = cols.zip(params).toMap
       val key = conflictList.split(",").map(_.trim).toSeq.map(byName)
       val full = t.cols.map(c => byName.getOrElse(c, null))
+      if (t.rows.contains(key)) { conflictCount.incrementAndGet(); () }
       if (action == "DO NOTHING") { t.rows.putIfAbsent(key, full); () }
       else t.rows.put(key, full) // SET c = EXCLUDED.c for every non-pk col ≡ replace
       ()

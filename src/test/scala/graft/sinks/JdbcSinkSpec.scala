@@ -65,6 +65,21 @@ class JdbcSinkSpec extends SparkTestBase {
     }
     // the stale pre-load row is gone (truncate ran before the load)
     assert(!FakeDb.contents("graft.work_task").exists(_("id") == "stale-id"))
+
+    // partition retry (Spark re-running an insert task whose first attempt
+    // already committed — no re-truncate, no delete): every re-inserted
+    // key EXISTS, so this is the path that actually exercises the
+    // ON CONFLICT branch — a plain INSERT would raise a PK violation on
+    // every row. Contents must not change.
+    val sink = JdbcSink.jdbcSink(() => FakeDb.connection(), "graft", batchSize = 7)
+    val conflictsBefore = FakeDb.conflictCount.get()
+    tables.foreach { case (name, df) =>
+      sink(name, df.select(df.columns.head).limit(0), df) // upserts only, no deletes
+      assert(FakeDb.contents(s"graft.$name") === oracleContents(df),
+        s"table $name diverged after simulated partition retry")
+    }
+    assert(FakeDb.conflictCount.get() > conflictsBefore,
+      "retry never exercised the upsert conflict path")
   }
 
   test("incremental catch-up through the JDBC sink converges to the backfill; replay is idempotent") {
@@ -91,7 +106,10 @@ class JdbcSinkSpec extends SparkTestBase {
     assert(FakeDb.executeBatchCount.get() > 0)
 
     // at-least-once redelivery: re-apply the LAST chunk (state merge and
-    // sink DML both re-run) — contents must be unchanged
+    // sink DML both re-run) — contents must be unchanged. Note: the
+    // incremental sink deletes touched keys BEFORE inserting, so its
+    // idempotence never depends on ON CONFLICT (the bulk-load retry test
+    // above covers that branch); pin that design fact here.
     Incremental.step(store, EventLog.decode(toDf(chunks.last)), sink)
     oracle.foreach { case (table, expected) =>
       assert(FakeDb.contents(s"graft.$table") === oracleContents(expected),

@@ -59,4 +59,14 @@ class CatchUpSpec extends SparkTestBase {
     val rows = events.zipWithIndex.map { case (e, i) => Row((i + 1).toLong, e.typ, e.payload) }
     runChunks(rows, 7, "s87x7")
   }
+
+  test("incremental slack is the invariant recount even on pathological logs (compat is batch-only)") {
+    // duplicate-affix / shared-parent-detach sequences where the
+    // reference's ±1 arithmetic double-counts (Derivations fidelity notes):
+    // the incremental path must match the DEFAULT (invariant) derivation,
+    // not conduitSlackCompat — compat mode is a batch-only migration audit
+    val events = LogGen.scenario(new Random(33), slackPathologies = true)
+    val rows = events.zipWithIndex.map { case (e, i) => Row((i + 1).toLong, e.typ, e.payload) }
+    runChunks(rows, 4, "patho")
+  }
 }
