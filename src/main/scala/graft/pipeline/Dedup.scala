@@ -110,4 +110,52 @@ object Dedup {
 
   /** Hamming distance between two 64-bit sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over an undirected edge set — the cluster-
+    * assignment step that follows near-dup PAIR generation in a dedup
+    * pipeline (every doc gets the min doc id of its duplicate cluster;
+    * keeping `id == component` then dedups the corpus in one filter).
+    *
+    * Algorithm: iterative min-label propagation with POINTER JUMPING —
+    * each round every vertex takes the min of its own label, its
+    * neighbors' labels, and its label's label (`c ← comp(c)`, which
+    * doubles resolved-path lengths), so rounds are O(log n) even on a
+    * long chain, not O(diameter). Each round is two shuffles keyed by
+    * vertex/label (state = one row per vertex, never materializing
+    * anything quadratic), `localCheckpoint` cuts the otherwise
+    * exponentially deepening iterative lineage, and convergence is
+    * detected with one `isEmpty` action on the changed set — the standard
+    * Spark shape for iterative graph algorithms (same skeleton GraphX
+    * uses). Deterministic: labels are mins over vertex ids.
+    *
+    * @param edges    (a, b) pairs, treated as undirected
+    * @param vertices one column `v` — all vertices incl. isolated ones
+    * @return (v, component) with component = min vertex id reachable
+    */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col("a").as("v"), col("b").as("w"))
+      .unionByName(edges.select(col("b").as("v"), col("a").as("w")))
+      .localCheckpoint(true)
+    var comp = vertices.select(col("v"), col("v").as("c")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // propagate: min over own and neighbors' labels
+      val viaNbr = sym.join(comp.select(col("v").as("w"), col("c")), Seq("w"))
+        .select(col("v"), col("c"))
+      val prop = comp.unionByName(viaNbr).groupBy(col("v")).agg(min(col("c")).as("c"))
+      // pointer jump: c ← comp(c) (labels are vertex ids, so the lookup
+      // always resolves; the jump is what makes rounds logarithmic)
+      val next = prop.join(prop.select(col("v").as("c"), col("c").as("cc")), Seq("c"))
+        .select(col("v"), least(col("c"), col("cc")).as("c"))
+        .localCheckpoint(true)
+      converged = next.join(comp.withColumnRenamed("c", "c0"), Seq("v"))
+        .filter(col("c") =!= col("c0")).isEmpty
+      comp = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    comp.withColumnRenamed("c", "component")
+  }
 }

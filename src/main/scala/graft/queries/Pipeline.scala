@@ -121,6 +121,34 @@ object Pipeline {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** dedup_clusters: duplicate-cluster assignment — connected components
+    * over the union of exact-dup edges (docs sharing a normalized
+    * fingerprint, linked to the group min) and verified near-dup edges
+    * (the [[ngramJaccard]] pairs), via [[Dedup.connectedComponents]]
+    * (min-label propagation + pointer jumping, O(log n) rounds). Output:
+    * every doc with its cluster id (min doc id of the cluster), the
+    * cluster size, and a canonical flag — `is_canonical = 1` is the
+    * de-duplicated corpus. Fully SQL-expressible (recursive CTE oracle).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val withFp = d.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+    val keepers = withFp.groupBy(col("fp")).agg(min(col("doc_id")).as("a"))
+    val exactEdges = withFp.join(keepers, Seq("fp"))
+      .filter(col("doc_id") =!= col("a"))
+      .select(col("a"), col("doc_id").as("b"))
+    val nearEdges = ngramJaccard(spark, dir)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val comp = Dedup.connectedComponents(exactEdges.unionByName(nearEdges),
+      d.select(col("doc_id").as("v")))
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).cast("int").as("cluster_size"))
+    comp.join(sizes, Seq("component"))
+      .select(col("v").as("doc_id"), col("component").as("cluster_id"),
+        col("cluster_size"),
+        when(col("v") === col("component"), 1).otherwise(0).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   /** text_token_stats: token counting per document (whitespace + distinct
     * + BPE-ish subword proxy). */
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
@@ -357,6 +385,7 @@ object Pipeline {
     "pack_sequences" -> packSequences,
     "contamination_ngram" -> contaminationNgram,
     "dedup_exact" -> dedupExact,
+    "dedup_clusters" -> dedupClusters,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> ngramJaccard,
@@ -451,6 +480,43 @@ object Pipeline {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE fpt AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents
+        |), exact_e AS (
+        |  SELECT k.a, f.doc_id AS b
+        |  FROM fpt f JOIN (SELECT fp, min(doc_id) AS a FROM fpt GROUP BY 1) k USING (fp)
+        |  WHERE f.doc_id <> k.a
+        |), sh AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS s
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE) /
+        |    CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND abs(a.n_chars - b.n_chars) <= 50
+        |  WHERE a.doc_id % 50 = 0
+        |), near_e AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.5
+        |), edges AS (
+        |  SELECT a, b FROM exact_e UNION SELECT b, a FROM exact_e
+        |  UNION SELECT a, b FROM near_e UNION SELECT b, a FROM near_e
+        |), reach(v, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+        |), comp AS (
+        |  SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+        |), sizes AS (
+        |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1
+        |)
+        |SELECT c.doc_id, c.cluster_id, CAST(s.cluster_size AS INT) AS cluster_size,
+        |  CAST(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical
+        |FROM comp c JOIN sizes s USING (cluster_id)""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,

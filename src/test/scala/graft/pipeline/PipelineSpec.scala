@@ -91,6 +91,44 @@ class PipelineSpec extends SparkTestBase {
     Vectors.hyperplaneBucket(col("embedding"), 63)
   }
 
+  test("connected components: chains, merges, and isolated vertices resolve to min ids") {
+    // a 20-node chain (exercises pointer jumping — plain propagation would
+    // need 19 rounds), a triangle bridged to it, and two isolated vertices
+    val chain = (100L until 119L).map(i => (i, i + 1))
+    val triangle = Seq((200L, 201L), (201L, 202L), (202L, 200L))
+    val bridge = Seq((119L, 200L)) // merges chain and triangle into one cluster
+    val edges = (chain ++ triangle ++ bridge).toDF("a", "b")
+    val vertices = ((100L to 119L) ++ (200L to 202L) ++ Seq(300L, 301L)).toDF("v")
+    val comp = Dedup.connectedComponents(edges, vertices)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (100L to 119L).foreach(v => assert(comp(v) === 100L, s"chain node $v"))
+    (200L to 202L).foreach(v => assert(comp(v) === 100L, s"bridged triangle node $v"))
+    assert(comp(300L) === 300L && comp(301L) === 301L, "isolated vertices stay singleton")
+  }
+
+  test("dedup_clusters: canonical docs partition the corpus; sizes are consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.Pipeline.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(rows.length === 500)
+    // cluster id is the min member; exactly one canonical doc per cluster
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid, s"cluster $cid id is not the min member")
+      assert(members.count(_._4 == 1) === 1, s"cluster $cid canonical count")
+      assert(members.forall(_._3 == members.length), s"cluster $cid size mismatch")
+    }
+    // the near-dup verified pairs must be co-clustered (transitively)
+    val clusterOf = rows.map(r => r._1 -> r._2).toMap
+    val pairs = graft.queries.Pipeline.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusterOf(a) === clusterOf(b), s"pair ($a,$b) split across clusters")
+    }
+    assert(byCluster.values.exists(_.length > 1), "expected at least one multi-member cluster")
+  }
+
   test("minhash estimate tracks exact jaccard for near-dups") {
     val sh = docs.select($"doc_id", Text.shingles($"text", 3).as("sh"),
       Dedup.minhashSignature(Text.shingles($"text", 3), 64).as("sig"))
