@@ -34,14 +34,39 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object CatchUp {
 
+  private val envelopeDdl = "seq BIGINT, event_type STRING, payload STRING"
+
+  /** Cold-start dehydration — the reference's single-process lifecycle
+    * (`Worker.cs:32-48`: dehydrate the full store, flip `_bulkMode`, then
+    * poll): when the store was never seeded AND no streaming checkpoint
+    * exists, batch-fold every event file already in `eventsDir` through
+    * [[Incremental.seed]] (the fast batch derivation, not the per-batch
+    * incremental path) and record the high-water seq. A warm restart
+    * (checkpoint present) or a store seeded by a prior
+    * [[graft.projector.Backfill]] run skips this. Returns true when the
+    * dehydration ran. */
+  def dehydrateIfCold(spark: SparkSession, eventsDir: String, store: StateStore): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cp = new Path(s"${store.root}/_checkpoint")
+    val ev = new Path(eventsDir)
+    val warm = store.highWater != Long.MinValue || cp.getFileSystem(conf).exists(cp)
+    if (warm || !ev.getFileSystem(conf).exists(ev)) false
+    else {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(envelopeDdl)
+      val existing = spark.read.schema(schema).parquet(eventsDir)
+      Incremental.seed(store, EventLog.decode(existing))
+      true
+    }
+  }
+
   /** Start the catch-up stream. Split from [[main]] so the end-to-end
     * kill/restart spec drives the REAL query (same source, checkpoint,
     * foreachBatch wiring). */
   def startQuery(spark: SparkSession, eventsDir: String, store: StateStore,
       trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
       onBatch: Long => Unit = _ => ()): StreamingQuery = {
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "seq BIGINT, event_type STRING, payload STRING")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(envelopeDdl)
     val highWater = store.highWater
     val raw = spark.readStream.schema(schema).parquet(eventsDir)
       .filter(col("seq") > highWater)
@@ -82,6 +107,8 @@ object CatchUp {
         println(s"graft-catchup: processed ${e.progress.numInputRows} events " +
           s"(batch ${e.progress.batchId})")
     })
+    if (dehydrateIfCold(spark, eventsDir, store))
+      println(s"graft-catchup: cold start — dehydrated to high water ${store.highWater}")
     val q = startQuery(spark, eventsDir, store,
       // health signal after first successful fold (Worker.cs:37-38)
       onBatch = _ => { new java.io.File("/tmp/graft-healthy").createNewFile(); () })

@@ -73,6 +73,36 @@ class HandoffSpec extends SparkTestBase {
     }
   }
 
+  test("CatchUp cold start dehydrates in place, warm restarts skip it, stream folds only the tail") {
+    val dir = Files.createTempDirectory("graft-cold").toFile
+    val eventsDir = s"$dir/events"
+    val store = new StateStore(spark, s"$dir/state", nBuckets = 16)
+
+    val events = LogGen.scenario(new Random(42))
+    val rows = events.zipWithIndex.map { case (e, i) => Row((i + 1).toLong, e.typ, e.payload) }
+    val k = rows.length / 2
+    writeChunk(rows.take(k), eventsDir, "00")
+
+    // cold: seeds from the existing files via the fast batch derivation
+    assert(CatchUp.dehydrateIfCold(spark, eventsDir, store))
+    assert(store.highWater === k.toLong)
+    // second call is a no-op (already seeded)
+    assert(!CatchUp.dehydrateIfCold(spark, eventsDir, store))
+
+    // stream the tail; converge to the full one-shot derivation
+    writeChunk(rows.drop(k), eventsDir, "01")
+    val q = CatchUp.startQuery(spark, eventsDir, store, Trigger.AvailableNow())
+    q.awaitTermination()
+    // a checkpoint now exists → still a no-op even if high water were unset
+    assert(!CatchUp.dehydrateIfCold(spark, eventsDir, store))
+
+    val oracle = Derivations.deriveAll(EventLog.decode(toDf(rows)).cache())
+    oracle.foreach { case (table, expected) =>
+      val got = store.readAll(table, Incremental.outputSchema(table))
+      assert(normalized(got) === normalized(expected), s"table $table diverged after cold start")
+    }
+  }
+
   test("catch-up I/O is bounded by the tail: seeded prefix files prune to footer reads") {
     val dir = Files.createTempDirectory("graft-handoff-io").toFile
     val eventsDir = s"$dir/events"
