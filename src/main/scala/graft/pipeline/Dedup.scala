@@ -48,6 +48,13 @@ object Dedup {
     * signature row per doc, never the shingle set).
     */
   def minhashCandidates(docs: DataFrame, idCol: String, shinglesCol: String,
+      k: Int = 32, bands: Int = 8): DataFrame =
+    candidatesFromBuckets(minhashBuckets(docs, idCol, shinglesCol, k, bands))
+
+  /** (id, band, key) LSH bucket rows, one per (doc, band) — the shared
+    * input of [[candidatesFromBuckets]] and [[candidatePairBound]]
+    * (callers persist it to compute both from one signature pass). */
+  def minhashBuckets(docs: DataFrame, idCol: String, shinglesCol: String,
       k: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = k / bands
     // repartition by id first: hashing cost is per-shingle CPU, and a small
@@ -70,14 +77,30 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*).as("key"))
     }
-    val buckets = sigs.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+    sigs.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Distinct candidate pairs (idA < idB) from a bucket frame. */
+  def candidatesFromBuckets(buckets: DataFrame): DataFrame = {
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+  }
+
+  /** Upper bound on the candidate PAIR count: Σ over buckets of C(n, 2).
+    * The actual distinct-pair count is ≤ (cross-band dedup only shrinks
+    * it), so gating a broadcast on this bound is always safe — and the
+    * bound is ONE hash aggregate over the bucket rows, no pair join and
+    * no materialization of the pairs themselves. */
+  def candidatePairBound(buckets: DataFrame): Long = {
+    val r = buckets.groupBy(col("band"), col("key")).count()
+      .agg(sum(col("count") * (col("count") - 1)).as("s"))
+      .head()
+    (if (r.isNullAt(0)) 0L else r.getLong(0)) / 2
   }
 
   /** Exact Jaccard similarity of two shingle arrays (set semantics). */
@@ -116,24 +139,75 @@ object Dedup {
     * pipeline (every doc gets the min doc id of its duplicate cluster;
     * keeping `id == component` then dedups the corpus in one filter).
     *
-    * Algorithm: iterative min-label propagation with POINTER JUMPING —
-    * each round every vertex takes the min of its own label, its
-    * neighbors' labels, and its label's label (`c ← comp(c)`, which
-    * doubles resolved-path lengths), so rounds are O(log n) even on a
-    * long chain, not O(diameter). Each round is two shuffles keyed by
-    * vertex/label (state = one row per vertex, never materializing
-    * anything quadratic), `localCheckpoint` cuts the otherwise
-    * exponentially deepening iterative lineage, and convergence is
-    * detected with one `isEmpty` action on the changed set — the standard
-    * Spark shape for iterative graph algorithms (same skeleton GraphX
-    * uses). Deterministic: labels are mins over vertex ids.
+    * Two execution paths, size-gated on the EDGE count (the same hybrid
+    * shape as IVF's bounded driver-side training sample and the minhash
+    * broadcast gate):
+    *
+    *   - edges ≤ `maxDriverEdges` (the overwhelmingly common case — a
+    *     near-dup pair graph is edge-sparse relative to its corpus): one
+    *     `collect()` bounded by the cap, union-find with path compression
+    *     on the driver (milliseconds), result re-joined to the vertex
+    *     frame as a BROADCAST map of only the edge-touched vertices —
+    *     isolated vertices never leave the cluster;
+    *   - above the cap: distributed iterative min-label propagation with
+    *     pointer jumping (`c ← comp(c)` doubles resolved-path lengths →
+    *     O(log n) rounds), one row per vertex of state, two shuffles per
+    *     round, `localCheckpoint` cutting the iterative lineage, one
+    *     `isEmpty` action for convergence — the standard Spark shape for
+    *     iterative graph algorithms.
+    *
+    * Both paths are deterministic (labels are mins over vertex ids) and
+    * are asserted equivalent in PipelineSpec.
     *
     * @param edges    (a, b) pairs, treated as undirected
     * @param vertices one column `v` — all vertices incl. isolated ones
     * @return (v, component) with component = min vertex id reachable
     */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30, maxDriverEdges: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("a"), col("b")).persist()
+    val nEdges = e.count()
+    if (nEdges <= maxDriverEdges) driverComponents(e, vertices)
+    else loopComponents(e, vertices, maxIter)
+  }
+
+  /** Driver-side union-find over a bounded collected edge list; the
+    * vertex→component map covers only edge-touched vertices and is
+    * broadcast-joined back (untouched vertices are their own component). */
+  private def driverComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap[Any, Any]()
+    val touched = scala.collection.mutable.HashSet[Any]()
+    // iterative find with path compression (a recursive form could
+    // overflow the stack on a long sorted chain before compression)
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    def lt(x: Any, y: Any): Boolean =
+      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    edges.collect().foreach { r =>
+      touched += r.get(0); touched += r.get(1)
+      val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+      if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+    }
+    val dt = edges.schema.fields.head.dataType
+    val rows = touched.toSeq.map(v => org.apache.spark.sql.Row(v, find(v)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", dt),
+      org.apache.spark.sql.types.StructField("m", dt)))
+    import scala.jdk.CollectionConverters._
+    val mapping = vertices.sparkSession.createDataFrame(rows.asJava, schema)
+    vertices.join(broadcast(mapping), Seq("v"), "left")
+      .select(col("v"), coalesce(col("m"), col("v")).as("component"))
+  }
+
+  /** Distributed min-label propagation + pointer jumping (see
+    * [[connectedComponents]]). */
+  private def loopComponents(edges: DataFrame, vertices: DataFrame,
+      maxIter: Int): DataFrame = {
     val sym = edges.select(col("a").as("v"), col("b").as("w"))
       .unionByName(edges.select(col("b").as("v"), col("a").as("w")))
       .localCheckpoint(true)

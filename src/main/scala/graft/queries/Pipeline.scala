@@ -47,26 +47,32 @@ object Pipeline {
     *
     * Scale shape (VERDICT r3 #2 "what's wrong"): the candidate PAIR set is
     * data-dependent — small on a clean corpus, potentially huge on a
-    * dup-heavy crawl — so the verification join is SIZE-GATED. The pairs
-    * are materialized once (localCheckpoint — they are two longs per row,
-    * and the count is needed anyway), and
+    * dup-heavy crawl — so the verification join is SIZE-GATED on
+    * [[Dedup.candidatePairBound]]: an UPPER bound (Σ buckets C(n,2) ≥
+    * distinct pairs) computed with one hash aggregate over the persisted
+    * bucket rows — no pair join runs and nothing pair-sized is
+    * materialized to decide the gate (an earlier localCheckpoint-and-count
+    * gate left block-manager debt that made bench runs swing 3×).
     *
-    *   - below the cap: `broadcast(cand)` — never the shingle-array side,
-    *     whose parquet size stats undercount the exploded arrays ~100×;
-    *   - above the cap: two shuffled hash joins keyed on the pair ids,
-    *     with `shuffle_hash` hints on the document side so Spark's
-    *     (undercounted) size estimate cannot pick a huge broadcast build.
+    *   - bound under the cap: `broadcast(cand)` — never the shingle-array
+    *     side, whose parquet size stats undercount the exploded arrays
+    *     ~100×;
+    *   - above: two shuffled hash joins keyed on the pair ids, with
+    *     `shuffle_hash` hints on the document side so the undercounted
+    *     size estimate cannot pick a huge broadcast build.
     */
   private[graft] def minhashVerified(spark: SparkSession, dir: String,
       maxBroadcast: Long = MaxBroadcastCandidatePairs): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
-    val cand = Dedup.minhashCandidates(d, "doc_id", "sh").localCheckpoint(true)
-    val nCand = cand.count()
+    // one signature pass serves both the gate and the candidate join
+    val buckets = Dedup.minhashBuckets(d, "doc_id", "sh").persist()
+    val bound = Dedup.candidatePairBound(buckets)
+    val cand = Dedup.candidatesFromBuckets(buckets)
     val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     val joined =
-      if (nCand <= maxBroadcast)
+      if (bound <= maxBroadcast)
         broadcast(cand).join(a, Seq("id_a")).join(b, Seq("id_b"))
       else
         cand.join(a.hint("shuffle_hash"), Seq("id_a"))

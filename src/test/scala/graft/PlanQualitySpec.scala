@@ -71,13 +71,19 @@ class PlanQualitySpec extends SparkTestBase {
     // under the cap (the real default path at this SF): candidate pairs broadcast
     val small = plan("dedup_minhash_lsh")
     assert(small.contains("BroadcastHashJoin"), s"expected broadcast verify join:\n$small")
-    // cap forced to 0: the static plan must choose shuffled hash joins and
-    // must NOT broadcast the (size-underestimated) shingle-array side
+    // cap forced to 0: the VERIFY joins (keyed on the pair ids id_a/id_b)
+    // must be shuffled hash joins — neither the candidate pairs nor the
+    // (size-underestimated) shingle-array sides broadcast. The candidate-
+    // GENERATION self-join over the cached bucket rows may legitimately
+    // broadcast; it is keyed on (band, key), not on the pair ids.
     val gated = graft.queries.Pipeline.minhashVerified(spark, dir, maxBroadcast = 0)
       .queryExecution.sparkPlan.toString()
-    assert(!gated.contains("BroadcastHashJoin"),
-      s"shuffle fallback must not plan a broadcast:\n$gated")
     assert(gated.contains("ShuffledHashJoin"), s"expected shuffled hash verify joins:\n$gated")
+    val broadcastOnPairIds = gated.linesIterator
+      .filter(_.contains("BroadcastHashJoin"))
+      .exists(l => l.contains("[id_a") || l.contains("[id_b"))
+    assert(!broadcastOnPairIds,
+      s"verify join must not broadcast when the bound exceeds the cap:\n$gated")
   }
 
   test("no query surface plans a cartesian product") {

@@ -99,11 +99,15 @@ class PipelineSpec extends SparkTestBase {
     val bridge = Seq((119L, 200L)) // merges chain and triangle into one cluster
     val edges = (chain ++ triangle ++ bridge).toDF("a", "b")
     val vertices = ((100L to 119L) ++ (200L to 202L) ++ Seq(300L, 301L)).toDF("v")
-    val comp = Dedup.connectedComponents(edges, vertices)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    (100L to 119L).foreach(v => assert(comp(v) === 100L, s"chain node $v"))
-    (200L to 202L).foreach(v => assert(comp(v) === 100L, s"bridged triangle node $v"))
-    assert(comp(300L) === 300L && comp(301L) === 301L, "isolated vertices stay singleton")
+    // both execution paths: driver union-find (default gate) and the
+    // distributed min-label loop (gate forced to 0)
+    Seq(1000000L, 0L).foreach { gate =>
+      val comp = Dedup.connectedComponents(edges, vertices, maxDriverEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (100L to 119L).foreach(v => assert(comp(v) === 100L, s"chain node $v (gate=$gate)"))
+      (200L to 202L).foreach(v => assert(comp(v) === 100L, s"triangle node $v (gate=$gate)"))
+      assert(comp(300L) === 300L && comp(301L) === 301L, s"isolated vertices (gate=$gate)")
+    }
   }
 
   test("dedup_clusters: canonical docs partition the corpus; sizes are consistent") {
