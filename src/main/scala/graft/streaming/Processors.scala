@@ -39,8 +39,15 @@ object Processors {
   /** Shared shape of the three per-entity LWW processors: buffer the
     * micro-batch's events for a key, fold them in `seq` order over the
     * keyed [[ValueState]], emit one CDC row when the post-batch state
-    * changed (delete when the fold removed the entity). */
-  private abstract class LwwProcessor[I, S, O] extends StatefulProcessor[String, I, O] {
+    * changed (delete when the fold removed the entity).
+    *
+    * Extends the WithInitialState variant so the same processor serves
+    * both a from-scratch stream and one seeded from a backfill's folded
+    * state (the reference's dehydrate→poll handoff at processor level):
+    * `handleInitialState` installs the seeded value before the first
+    * batch's rows fold on top of it. */
+  private abstract class LwwProcessor[I, S, O]
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[String, I, O, S] {
     protected def seqOf(e: I): Long
     protected def applyEvent(st: Option[S], e: I): Option[S]
     protected def upsert(key: String, s: S): O
@@ -50,6 +57,9 @@ object Processors {
     @transient private var state: ValueState[S] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[S]("state", stateEncoder, TTLConfig.NONE)
+    override def handleInitialState(key: String, initial: S,
+        timerValues: TimerValues): Unit =
+      state.update(initial)
     override def handleInputRows(key: String, rows: Iterator[I],
         timerValues: TimerValues): Iterator[O] = {
       val init = if (state.exists()) Some(state.get()) else None
@@ -96,19 +106,46 @@ object Processors {
       case _ => st
     }
 
+  private def instProcessor = new LwwProcessor[InstEvent, InstState, InstCdc] {
+    protected def seqOf(e: InstEvent): Long = e.seq
+    protected def applyEvent(st: Option[InstState], e: InstEvent): Option[InstState] =
+      applyInst(st, e)
+    protected def upsert(id: String, s: InstState): InstCdc =
+      InstCdc(Cdc.Upsert, id, s.installation_id, s.unit_address_id, s.status,
+        s.location_remark)
+    protected def delete(id: String): Option[InstCdc] = None
+    protected def stateEncoder: Encoder[InstState] = Encoders.product[InstState]
+  }
+
   def installationCdc(events: Dataset[InstEvent]): Dataset[InstCdc] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.id).transformWithState(
-      new LwwProcessor[InstEvent, InstState, InstCdc] {
-        protected def seqOf(e: InstEvent): Long = e.seq
-        protected def applyEvent(st: Option[InstState], e: InstEvent): Option[InstState] =
-          applyInst(st, e)
-        protected def upsert(id: String, s: InstState): InstCdc =
-          InstCdc(Cdc.Upsert, id, s.installation_id, s.unit_address_id, s.status,
-            s.location_remark)
-        protected def delete(id: String): Option[InstCdc] = None
-        protected def stateEncoder: Encoder[InstState] = Encoders.product[InstState]
-      }, TimeMode.None(), OutputMode.Append())
+    events.groupByKey(_.id).transformWithState(instProcessor,
+      TimeMode.None(), OutputMode.Append())
+  }
+
+  /** [[installationCdc]] seeded from a backfill: `initial` carries the
+    * per-key folded state (see [[installationInitial]]) installed before
+    * the first micro-batch — the dehydrate→poll handoff
+    * (`RelationalDatabaseProjection.cs:460-495`) at processor level. */
+  def installationCdcSeeded(events: Dataset[InstEvent],
+      initial: Dataset[(String, InstState)]): Dataset[InstCdc] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.id).transformWithState(instProcessor,
+      TimeMode.None(), OutputMode.Append(),
+      initial.groupByKey(_._1).mapValues(_._2))
+  }
+
+  /** Seed rows for [[installationCdcSeeded]] from the backfill's
+    * `installation` output table. */
+  def installationInitial(installation: DataFrame): Dataset[(String, InstState)] = {
+    import installation.sparkSession.implicits._
+    installation
+      .select(col("id"), col("installation_id"), col("unit_address_id"),
+        col("status"), col("location_remark"))
+      .as[(String, String, Option[String], Option[String], Option[String])]
+      .map { case (id, iid, ua, st, lr) =>
+        (id, InstState(created = true, iid, ua, st, lr))
+      }
   }
 
   def workTaskEvents(decoded: DataFrame): Dataset[WtEvent] = {
@@ -131,18 +168,37 @@ object Processors {
       case _ => st
     }
 
+  private def wtProcessor = new LwwProcessor[WtEvent, WtState, WtCdc] {
+    protected def seqOf(e: WtEvent): Long = e.seq
+    protected def applyEvent(st: Option[WtState], e: WtEvent): Option[WtState] =
+      applyWt(st, e)
+    protected def upsert(id: String, s: WtState): WtCdc =
+      WtCdc(Cdc.Upsert, id, s.number, s.status)
+    protected def delete(id: String): Option[WtCdc] = None
+    protected def stateEncoder: Encoder[WtState] = Encoders.product[WtState]
+  }
+
   def workTaskCdc(events: Dataset[WtEvent]): Dataset[WtCdc] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.id).transformWithState(
-      new LwwProcessor[WtEvent, WtState, WtCdc] {
-        protected def seqOf(e: WtEvent): Long = e.seq
-        protected def applyEvent(st: Option[WtState], e: WtEvent): Option[WtState] =
-          applyWt(st, e)
-        protected def upsert(id: String, s: WtState): WtCdc =
-          WtCdc(Cdc.Upsert, id, s.number, s.status)
-        protected def delete(id: String): Option[WtCdc] = None
-        protected def stateEncoder: Encoder[WtState] = Encoders.product[WtState]
-      }, TimeMode.None(), OutputMode.Append())
+    events.groupByKey(_.id).transformWithState(wtProcessor,
+      TimeMode.None(), OutputMode.Append())
+  }
+
+  /** [[workTaskCdc]] seeded from the backfill's `work_task` table rows. */
+  def workTaskCdcSeeded(events: Dataset[WtEvent],
+      initial: Dataset[(String, WtState)]): Dataset[WtCdc] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.id).transformWithState(wtProcessor,
+      TimeMode.None(), OutputMode.Append(),
+      initial.groupByKey(_._1).mapValues(_._2))
+  }
+
+  /** Seed rows for [[workTaskCdcSeeded]] from the `work_task` table. */
+  def workTaskInitial(workTask: DataFrame): Dataset[(String, WtState)] = {
+    import workTask.sparkSession.implicits._
+    workTask.select(col("id"), col("number"), col("status"))
+      .as[(String, String, String)]
+      .map { case (id, number, status) => (id, WtState(number, status)) }
   }
 
   def interestEvents(decoded: DataFrame): Dataset[WoiEvent] = {
@@ -166,19 +222,40 @@ object Processors {
       case _ => Some(WoiState(e.walk))
     }
 
+  private def woiProcessor = new LwwProcessor[WoiEvent, WoiState, WoiCdc] {
+    protected def seqOf(e: WoiEvent): Long = e.seq
+    protected def applyEvent(st: Option[WoiState], e: WoiEvent): Option[WoiState] =
+      applyWoi(st, e)
+    protected def upsert(id: String, s: WoiState): WoiCdc =
+      WoiCdc(Cdc.Upsert, id, s.walk)
+    protected def delete(id: String): Option[WoiCdc] =
+      Some(WoiCdc(Cdc.Delete, id, Seq.empty))
+    protected def stateEncoder: Encoder[WoiState] = Encoders.product[WoiState]
+  }
+
   def interestCdc(events: Dataset[WoiEvent]): Dataset[WoiCdc] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.id).transformWithState(
-      new LwwProcessor[WoiEvent, WoiState, WoiCdc] {
-        protected def seqOf(e: WoiEvent): Long = e.seq
-        protected def applyEvent(st: Option[WoiState], e: WoiEvent): Option[WoiState] =
-          applyWoi(st, e)
-        protected def upsert(id: String, s: WoiState): WoiCdc =
-          WoiCdc(Cdc.Upsert, id, s.walk)
-        protected def delete(id: String): Option[WoiCdc] =
-          Some(WoiCdc(Cdc.Delete, id, Seq.empty))
-        protected def stateEncoder: Encoder[WoiState] = Encoders.product[WoiState]
-      }, TimeMode.None(), OutputMode.Append())
+    events.groupByKey(_.id).transformWithState(woiProcessor,
+      TimeMode.None(), OutputMode.Append())
+  }
+
+  /** [[interestCdc]] seeded from the folded interest state (alive walks). */
+  def interestCdcSeeded(events: Dataset[WoiEvent],
+      initial: Dataset[(String, WoiState)]): Dataset[WoiCdc] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.id).transformWithState(woiProcessor,
+      TimeMode.None(), OutputMode.Append(),
+      initial.groupByKey(_._1).mapValues(_._2))
+  }
+
+  /** Seed rows for [[interestCdcSeeded]] from
+    * [[graft.projector.Derivations.interestState]] (alive rows). */
+  def interestInitial(interestState: DataFrame): Dataset[(String, WoiState)] = {
+    import interestState.sparkSession.implicits._
+    interestState.filter(col("alive"))
+      .select(col("interest_id"), col("walk"))
+      .as[(String, Seq[String])]
+      .map { case (id, walk) => (id, WoiState(walk)) }
   }
 
   /** Decode raw envelopes — shared entry for batch and readStream inputs. */

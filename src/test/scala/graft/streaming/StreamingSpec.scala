@@ -113,4 +113,86 @@ class StreamingSpec extends SparkTestBase {
     instQ.stop(); wtQ.stop(); woiQ.stop()
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("backfill-seeded processors stream only the tail and converge to the full batch fold") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+
+    val events = LogGen.scenario(new Random(23))
+    val rows = events.zipWithIndex.map { case (e, i) => Row((i + 1).toLong, e.typ, e.payload) }
+    val k = rows.length / 2
+    val (prefix, tail) = rows.splitAt(k)
+
+    // backfill phase: batch-fold the prefix, derive the processor seeds
+    // from the OUTPUT tables (what a production handoff has on hand)
+    val evPrefix = EventLog.decode(
+      spark.createDataFrame(prefix.asJava, envelopeSchema)).cache()
+    val instInit = Processors.installationInitial(Derivations.installation(evPrefix))
+    val wtInit = Processors.workTaskInitial(Derivations.workTask(evPrefix))
+    val woiInit = Processors.interestInitial(Derivations.interestState(evPrefix))
+
+    // catch-up phase: ONLY the tail is streamed
+    val dir = Files.createTempDirectory("graft-seeded").toFile
+    val inDir = new java.io.File(dir, "in"); inDir.mkdirs()
+    spark.createDataFrame(tail.asJava, envelopeSchema).coalesce(1)
+      .write.parquet(inDir.getPath + "/tail")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val raw = spark.readStream.schema(envelopeSchema).parquet(inDir.getPath + "/*")
+    val decoded = Processors.decode(raw)
+    val instQ = Processors.installationCdcSeeded(Processors.installationEvents(decoded), instInit)
+      .writeStream.outputMode("append").format("memory").queryName("inst_cdc_seeded")
+      .trigger(Trigger.AvailableNow()).start()
+    val wtQ = Processors.workTaskCdcSeeded(Processors.workTaskEvents(decoded), wtInit)
+      .writeStream.outputMode("append").format("memory").queryName("wt_cdc_seeded")
+      .trigger(Trigger.AvailableNow()).start()
+    val woiQ = Processors.interestCdcSeeded(Processors.interestEvents(decoded), woiInit)
+      .writeStream.outputMode("append").format("memory").queryName("woi_cdc_seeded")
+      .trigger(Trigger.AvailableNow()).start()
+    instQ.awaitTermination(120000); wtQ.awaitTermination(120000); woiQ.awaitTermination(120000)
+
+    // final sink state = backfill tables + CDC applied in arrival order
+    def lastPerKey(table: String, keyIdx: Int): Map[String, Row] =
+      spark.table(table).collect().zipWithIndex
+        .groupBy(_._1.getString(keyIdx))
+        .view.mapValues(_.maxBy(_._2)._1).toMap
+
+    val evFull = EventLog.decode(
+      spark.createDataFrame(rows.asJava, envelopeSchema)).cache()
+
+    // installation: seed rows overwritten by upserts
+    val instFinal = Derivations.installation(evPrefix).collect()
+      .map(r => r.getString(0) -> (Option(r.getString(1)), Option(r.getString(2)),
+        Option(r.getString(3)), Option(r.getString(4)))).toMap ++
+      lastPerKey("inst_cdc_seeded", 1).view.mapValues(r =>
+        (Option(r.getString(2)), Option(r.getString(3)), Option(r.getString(4)),
+          Option(r.getString(5)))).toMap
+    val instBatch = Derivations.installation(evFull).collect()
+      .map(r => r.getString(0) -> (Option(r.getString(1)), Option(r.getString(2)),
+        Option(r.getString(3)), Option(r.getString(4)))).toMap
+    assert(instFinal === instBatch, "installation diverged after seeded tail catch-up")
+
+    // work task
+    val wtFinal = Derivations.workTask(evPrefix).collect()
+      .map(r => r.getString(0) -> (Option(r.getString(1)), Option(r.getString(2)))).toMap ++
+      lastPerKey("wt_cdc_seeded", 1).view.mapValues(r =>
+        (Option(r.getString(2)), Option(r.getString(3)))).toMap
+    val wtBatch = Derivations.workTask(evFull).collect()
+      .map(r => r.getString(0) -> (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    assert(wtFinal === wtBatch, "work_task diverged after seeded tail catch-up")
+
+    // interests: seed ∪ upserts minus deletes
+    val woiSeed = Derivations.interestState(evPrefix).filter($"alive").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val woiCdc = lastPerKey("woi_cdc_seeded", 1)
+    val woiFinal = (woiSeed ++ woiCdc.filter(_._2.getString(0) == Cdc.Upsert)
+        .view.mapValues(_.getSeq[String](2)).toMap) --
+      woiCdc.filter(_._2.getString(0) == Cdc.Delete).keys
+    val woiBatch = Derivations.interestState(evFull).filter($"alive").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(woiFinal === woiBatch, "interests diverged after seeded tail catch-up")
+
+    instQ.stop(); wtQ.stop(); woiQ.stop()
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
