@@ -385,7 +385,37 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** pipeline_keep: end-to-end corpus selection — the decision a
+    * training-data pipeline actually ships: per document, keep or reject
+    * with a priority-ordered reason, composing [[dedupClusters]] (keep
+    * only cluster canonicals), [[quality]] (score ≥ 0.5),
+    * [[textRepetition]] (≤ 30% repeated 3-grams) and
+    * [[contaminationNgram]] (benchmark overlap). All joins key on doc_id
+    * (co-partitioned shuffles); the component queries' scale shapes carry
+    * over unchanged. */
+  def pipelineKeep(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir).select(col("doc_id"), col("cluster_id"))
+    val qual = quality(spark, dir).select(col("doc_id"), col("quality"))
+    val rep = textRepetition(spark, dir).select(col("doc_id"), col("rep_q"))
+    val cont = contaminationNgram(spark, dir).select(col("doc_id"), col("contaminated"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"))
+      .join(qual, Seq("doc_id"))
+      .join(rep, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("cluster_id") =!= col("doc_id"), "duplicate")
+          .when(col("quality") < 0.5, "low_quality")
+          .when(coalesce(col("rep_q"), lit(0L)) > 3000, "repetitive")
+          .when(coalesce(col("contaminated"), lit(0)) === 1, "contaminated")
+          .otherwise("keep"))
+      .withColumn("keep", when(col("reason") === "keep", 1).otherwise(0))
+      .select(col("doc_id"), col("keep"), col("reason"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_keep" -> pipelineKeep,
     "text_repetition" -> textRepetition,
     "samp_stratified" -> stratifiedSample,
     "pack_sequences" -> packSequences,
@@ -416,24 +446,119 @@ object Pipeline {
       |        FOR i IN range(1, len(string_split_regex(trim(text), '\s+')) - 1)]
       |END""".stripMargin
 
+  // Shared oracle bodies (referenced by their own entries AND composed
+  // into pipeline_keep — DuckDB supports WITH nested inside CTE bodies).
+  private val repetitionOracle: String =
+    """WITH sh0 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN []
+      |         WHEN len(string_split_regex(trim(text), '\s+')) < 3
+      |           THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+      |         ELSE [array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')
+      |               FOR i IN range(1, len(string_split_regex(trim(text), '\s+')) - 1)]
+      |    END AS shl
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(shl) AS INT) AS n_3grams,
+      |  CAST(len(list_distinct(shl)) AS INT) AS n_distinct_3grams,
+      |  CAST(floor((1.0 - CAST(len(list_distinct(shl)) AS DOUBLE)
+      |    / CAST(len(shl) AS DOUBLE)) * 10000) AS BIGINT) AS rep_q
+      |FROM sh0 WHERE len(shl) > 0""".stripMargin
+
+  private val contaminationOracle: String =
+    """WITH sh0 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN []
+      |         WHEN len(string_split_regex(trim(text), '\s+')) < 3
+      |           THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+      |         ELSE [array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')
+      |               FOR i IN range(1, len(string_split_regex(trim(text), '\s+')) - 1)]
+      |    END AS shl
+      |  FROM documents
+      |), ds AS (
+      |  SELECT DISTINCT doc_id, unnest(shl) AS s FROM sh0
+      |), tot AS (
+      |  SELECT doc_id, count(*) AS n_shingles FROM ds WHERE doc_id % 97 <> 0 GROUP BY 1
+      |), shr AS (
+      |  SELECT doc_id, count(*) AS n_shared FROM ds
+      |  WHERE doc_id % 97 <> 0
+      |    AND s IN (SELECT DISTINCT s FROM ds WHERE doc_id % 97 = 0)
+      |  GROUP BY 1
+      |)
+      |SELECT t.doc_id,
+      |  CAST(t.n_shingles AS BIGINT) AS n_shingles,
+      |  CAST(coalesce(shr.n_shared, 0) AS BIGINT) AS n_shared,
+      |  CAST(floor(coalesce(shr.n_shared, 0) * 10000.0 / t.n_shingles) AS BIGINT) AS overlap_q,
+      |  CAST(CASE WHEN floor(coalesce(shr.n_shared, 0) * 10000.0 / t.n_shingles) >= 5000
+      |       THEN 1 ELSE 0 END AS INT) AS contaminated
+      |FROM tot t LEFT JOIN shr USING (doc_id)""".stripMargin
+
+  private val qualityOracle: String = {
+    val toks = "string_split_regex(trim(text), '\\s+')"
+    val stop = Text.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN [] ELSE $toks END AS toks,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) /
+       |              CAST(length(text) AS DOUBLE) END AS punct_ratio
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, punct_ratio,
+       |    len(toks) AS n,
+       |    CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) AS n_stop,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct,
+       |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS tot_len
+       |  FROM t
+       |)
+       |SELECT doc_id, punct_ratio,
+       |  CASE WHEN n = 0 THEN 0.0 ELSE n_stop / CAST(n AS DOUBLE) END AS stopword_ratio,
+       |  CASE WHEN n = 0 THEN 0.0 ELSE tot_len / CAST(n AS DOUBLE) END AS mean_token_len,
+       |  ((CASE WHEN n >= 20 AND n <= 2000 THEN 1.0 WHEN n > 0 THEN 0.5 ELSE 0.0 END) * 0.4)
+       |    + ((1.0 - punct_ratio) * 0.2)
+       |    + ((CASE WHEN n = 0 THEN 0.0 ELSE n_stop / CAST(n AS DOUBLE) END) * 0.1)
+       |    + ((CASE WHEN n = 0 THEN 0.0 ELSE n_distinct / CAST(n AS DOUBLE) END) * 0.3) AS quality
+       |FROM s""".stripMargin
+  }
+
+  /** CTE chain computing `comp(doc_id, cluster_id)` — the connected-
+    * components closure over exact ∪ near-dup edges. */
+  private val clusterCtes: String =
+    """fpt AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents
+      |), exact_e AS (
+      |  SELECT k.a, f.doc_id AS b
+      |  FROM fpt f JOIN (SELECT fp, min(doc_id) AS a FROM fpt GROUP BY 1) k USING (fp)
+      |  WHERE f.doc_id <> k.a
+      |), sh AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CASE WHEN length(trim(text)) = 0 THEN []
+      |         ELSE string_split_regex(trim(text), '\s+') END AS s
+      |  FROM documents
+      |), cpairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |    AND abs(a.n_chars - b.n_chars) <= 50
+      |  WHERE a.doc_id % 50 = 0
+      |), near_e AS (
+      |  SELECT id_a AS a, id_b AS b FROM cpairs WHERE jaccard >= 0.5
+      |), edges AS (
+      |  SELECT a, b FROM exact_e UNION SELECT b, a FROM exact_e
+      |  UNION SELECT a, b FROM near_e UNION SELECT b, a FROM near_e
+      |), reach(v, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+      |), comp AS (
+      |  SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+      |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "text_repetition" ->
-      """WITH sh0 AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN []
-        |         WHEN len(string_split_regex(trim(text), '\s+')) < 3
-        |           THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
-        |         ELSE [array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')
-        |               FOR i IN range(1, len(string_split_regex(trim(text), '\s+')) - 1)]
-        |    END AS shl
-        |  FROM documents
-        |)
-        |SELECT doc_id,
-        |  CAST(len(shl) AS INT) AS n_3grams,
-        |  CAST(len(list_distinct(shl)) AS INT) AS n_distinct_3grams,
-        |  CAST(floor((1.0 - CAST(len(list_distinct(shl)) AS DOUBLE)
-        |    / CAST(len(shl) AS DOUBLE)) * 10000) AS BIGINT) AS rep_q
-        |FROM sh0 WHERE len(shl) > 0""".stripMargin,
+    "text_repetition" -> repetitionOracle,
     "samp_stratified" ->
       """SELECT doc_id, lang,
         |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 WHEN 'fr' THEN 25
@@ -455,74 +580,41 @@ object Pipeline {
         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id)
         |    - n_tokens) / 512.0) AS BIGINT) AS bin_id
         |FROM t""".stripMargin,
-    "contamination_ngram" ->
-      """WITH sh0 AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN []
-        |         WHEN len(string_split_regex(trim(text), '\s+')) < 3
-        |           THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
-        |         ELSE [array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')
-        |               FOR i IN range(1, len(string_split_regex(trim(text), '\s+')) - 1)]
-        |    END AS shl
-        |  FROM documents
-        |), ds AS (
-        |  SELECT DISTINCT doc_id, unnest(shl) AS s FROM sh0
-        |), tot AS (
-        |  SELECT doc_id, count(*) AS n_shingles FROM ds WHERE doc_id % 97 <> 0 GROUP BY 1
-        |), shr AS (
-        |  SELECT doc_id, count(*) AS n_shared FROM ds
-        |  WHERE doc_id % 97 <> 0
-        |    AND s IN (SELECT DISTINCT s FROM ds WHERE doc_id % 97 = 0)
-        |  GROUP BY 1
-        |)
-        |SELECT t.doc_id,
-        |  CAST(t.n_shingles AS BIGINT) AS n_shingles,
-        |  CAST(coalesce(shr.n_shared, 0) AS BIGINT) AS n_shared,
-        |  CAST(floor(coalesce(shr.n_shared, 0) * 10000.0 / t.n_shingles) AS BIGINT) AS overlap_q,
-        |  CAST(CASE WHEN floor(coalesce(shr.n_shared, 0) * 10000.0 / t.n_shingles) >= 5000
-        |       THEN 1 ELSE 0 END AS INT) AS contaminated
-        |FROM tot t LEFT JOIN shr USING (doc_id)""".stripMargin,
+    "contamination_ngram" -> contaminationOracle,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
     "dedup_clusters" ->
-      """WITH RECURSIVE fpt AS (
-        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        |  FROM documents
-        |), exact_e AS (
-        |  SELECT k.a, f.doc_id AS b
-        |  FROM fpt f JOIN (SELECT fp, min(doc_id) AS a FROM fpt GROUP BY 1) k USING (fp)
-        |  WHERE f.doc_id <> k.a
-        |), sh AS (
-        |  SELECT doc_id, lang, n_chars,
-        |    CASE WHEN length(trim(text)) = 0 THEN []
-        |         ELSE string_split_regex(trim(text), '\s+') END AS s
-        |  FROM documents
-        |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE) /
-        |    CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
-        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |    AND abs(a.n_chars - b.n_chars) <= 50
-        |  WHERE a.doc_id % 50 = 0
-        |), near_e AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.5
-        |), edges AS (
-        |  SELECT a, b FROM exact_e UNION SELECT b, a FROM exact_e
-        |  UNION SELECT a, b FROM near_e UNION SELECT b, a FROM near_e
-        |), reach(v, r) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
-        |), comp AS (
-        |  SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
-        |), sizes AS (
-        |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1
-        |)
-        |SELECT c.doc_id, c.cluster_id, CAST(s.cluster_size AS INT) AS cluster_size,
-        |  CAST(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical
-        |FROM comp c JOIN sizes s USING (cluster_id)""".stripMargin,
+      s"""WITH RECURSIVE $clusterCtes, sizes AS (
+         |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1
+         |)
+         |SELECT c.doc_id, c.cluster_id, CAST(s.cluster_size AS INT) AS cluster_size,
+         |  CAST(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical
+         |FROM comp c JOIN sizes s USING (cluster_id)""".stripMargin,
+    "pipeline_keep" ->
+      s"""WITH RECURSIVE $clusterCtes, qual AS (
+         |$qualityOracle
+         |), rep AS (
+         |$repetitionOracle
+         |), cont AS (
+         |$contaminationOracle
+         |)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS INT) AS keep, reason
+         |FROM (
+         |  SELECT d0.doc_id,
+         |    CASE WHEN c.cluster_id <> d0.doc_id THEN 'duplicate'
+         |         WHEN q.quality < 0.5 THEN 'low_quality'
+         |         WHEN coalesce(r.rep_q, 0) > 3000 THEN 'repetitive'
+         |         WHEN coalesce(ct.contaminated, 0) = 1 THEN 'contaminated'
+         |         ELSE 'keep' END AS reason
+         |  FROM documents d0
+         |  JOIN comp c ON c.doc_id = d0.doc_id
+         |  JOIN qual q ON q.doc_id = d0.doc_id
+         |  LEFT JOIN rep r ON r.doc_id = d0.doc_id
+         |  LEFT JOIN cont ct ON ct.doc_id = d0.doc_id
+         |) t""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
@@ -552,33 +644,7 @@ object Pipeline {
          |SELECT id_a, id_b, CAST(floor(jaccard * 10000) AS BIGINT) AS jaccard_q
          |FROM pairs WHERE jaccard >= 0.5""".stripMargin
     },
-    "text_quality" -> {
-      val toks = "string_split_regex(trim(text), '\\s+')"
-      val stop = Text.Stopwords.map(s => s"'$s'").mkString(", ")
-      s"""WITH t AS (
-         |  SELECT doc_id, text,
-         |    CASE WHEN length(trim(text)) = 0 THEN [] ELSE $toks END AS toks,
-         |    CASE WHEN length(text) = 0 THEN 0.0
-         |         ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) /
-         |              CAST(length(text) AS DOUBLE) END AS punct_ratio
-         |  FROM documents
-         |), s AS (
-         |  SELECT doc_id, punct_ratio,
-         |    len(toks) AS n,
-         |    CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) AS n_stop,
-         |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct,
-         |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS tot_len
-         |  FROM t
-         |)
-         |SELECT doc_id, punct_ratio,
-         |  CASE WHEN n = 0 THEN 0.0 ELSE n_stop / CAST(n AS DOUBLE) END AS stopword_ratio,
-         |  CASE WHEN n = 0 THEN 0.0 ELSE tot_len / CAST(n AS DOUBLE) END AS mean_token_len,
-         |  ((CASE WHEN n >= 20 AND n <= 2000 THEN 1.0 WHEN n > 0 THEN 0.5 ELSE 0.0 END) * 0.4)
-         |    + ((1.0 - punct_ratio) * 0.2)
-         |    + ((CASE WHEN n = 0 THEN 0.0 ELSE n_stop / CAST(n AS DOUBLE) END) * 0.1)
-         |    + ((CASE WHEN n = 0 THEN 0.0 ELSE n_distinct / CAST(n AS DOUBLE) END) * 0.3) AS quality
-         |FROM s""".stripMargin
-    },
+    "text_quality" -> qualityOracle,
     "text_langid" -> {
       val langs = Text.LangMarkers.toSeq.sortBy(_._1)
       val hitCols = langs.map { case (l, ms) =>

@@ -133,6 +133,27 @@ class PipelineSpec extends SparkTestBase {
     assert(byCluster.values.exists(_.length > 1), "expected at least one multi-member cluster")
   }
 
+  test("pipeline_keep: reject reasons consistent with the component operators") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.Pipeline.pipelineKeep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(rows.length === 500)
+    val canonical = graft.queries.Pipeline.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(3) == 1)).toMap
+    val qualityOf = graft.queries.Pipeline.quality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    rows.foreach { case (id, keep, reason) =>
+      assert((keep == 1) === (reason == "keep"), s"doc $id keep/reason mismatch")
+      if (reason == "duplicate") assert(!canonical(id), s"doc $id marked duplicate but canonical")
+      if (keep == 1) {
+        assert(canonical(id), s"kept doc $id is not cluster-canonical")
+        assert(qualityOf(id) >= 0.5, s"kept doc $id below quality threshold")
+      }
+    }
+    assert(rows.exists(_._2 == 1) && rows.exists(_._2 == 0),
+      "expected both kept and rejected docs")
+  }
+
   test("minhash estimate tracks exact jaccard for near-dups") {
     val sh = docs.select($"doc_id", Text.shingles($"text", 3).as("sh"),
       Dedup.minhashSignature(Text.shingles($"text", 3), 64).as("sig"))
