@@ -62,10 +62,13 @@ object CatchUp {
 
   /** Start the catch-up stream. Split from [[main]] so the end-to-end
     * kill/restart spec drives the REAL query (same source, checkpoint,
-    * foreachBatch wiring). */
+    * foreachBatch wiring). `sink` receives every output table's
+    * delete+upsert set per micro-batch — the JDBC delivery path
+    * ([[graft.sinks.JdbcSink.jdbcSink]]) in production. */
   def startQuery(spark: SparkSession, eventsDir: String, store: StateStore,
       trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
-      onBatch: Long => Unit = _ => ()): StreamingQuery = {
+      onBatch: Long => Unit = _ => (),
+      sink: Incremental.Sink = Incremental.noSink): StreamingQuery = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(envelopeDdl)
     val highWater = store.highWater
     val raw = spark.readStream.schema(schema).parquet(eventsDir)
@@ -75,7 +78,7 @@ object CatchUp {
       .option("checkpointLocation", s"${store.root}/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          Incremental.step(store, EventLog.decode(batch), batchId = batchId)
+          Incremental.step(store, EventLog.decode(batch), sink, batchId = batchId)
           onBatch(batchId)
         }
         ()
