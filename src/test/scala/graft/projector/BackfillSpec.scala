@@ -37,4 +37,29 @@ class BackfillSpec extends SparkTestBase {
         assert(new java.io.File(s"$dir/out/$t").isDirectory, s"$t missing")
       }
   }
+
+  test("Backfill.run with stateDir seeds the catch-up store and records the high water") {
+    import scala.jdk.CollectionConverters._
+    val events = LogGen.scenario(new Random(77))
+    val rows = events.zipWithIndex.map { case (e, i) => Row((i + 1).toLong, e.typ, e.payload) }
+    val dir = Files.createTempDirectory("graft-backfill-seed").toFile.getPath
+    val schema = StructType.fromDDL("seq BIGINT, event_type STRING, payload STRING")
+    spark.createDataFrame(rows.asJava, schema).write.parquet(s"$dir/events")
+
+    val highWater = Backfill.run(spark, s"$dir/events", s"$dir/out", Some(s"$dir/state"))
+    assert(highWater === rows.length.toLong)
+
+    val store = new graft.streaming.StateStore(spark, s"$dir/state", nBuckets = 64)
+    assert(store.highWater === rows.length.toLong)
+    // seeded store holds the same 8 tables the parquet output does
+    graft.streaming.Incremental.outputKey.keys.foreach { t =>
+      val fromStore = store.readAll(t, graft.streaming.Incremental.outputSchema(t))
+        .collect().map(_.toSeq.toVector).toSet
+      val fromParquet = spark.read.parquet(s"$dir/out/$t")
+        .select(graft.streaming.Incremental.outputSchema(t).fieldNames.map(
+          org.apache.spark.sql.functions.col).toSeq: _*)
+        .collect().map(_.toSeq.toVector).toSet
+      assert(fromStore === fromParquet, s"seeded store table $t diverges from parquet output")
+    }
+  }
 }
