@@ -414,8 +414,33 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** dedup_best_rep: representative selection per duplicate cluster — the
+    * policy knob on top of [[dedupClusters]]: instead of keeping the min
+    * doc id, keep the highest-QUALITY member (ties → smallest id) — the
+    * choice a production dedup actually wants. One `max_by` hash
+    * aggregate per cluster (map-side partials — no window sort over the
+    * corpus). */
+  def dedupBestRep(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val qual = quality(spark, dir).select(col("doc_id"), col("quality"))
+    clusters.join(qual, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(col("doc_id"), struct(col("quality"), (-col("doc_id")).as("nid")))
+          .as("rep_doc_id"),
+        max(struct(col("quality"), (-col("doc_id")).as("nid"))).getField("quality")
+          .as("rep_quality"),
+        max(col("cluster_size")).as("cluster_size"))
+      .select(col("cluster_id"), col("rep_doc_id"),
+        floor(col("rep_quality") * 10000).cast("long").as("rep_quality_q"),
+        col("cluster_size"))
+      .orderBy(col("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_keep" -> pipelineKeep,
+    "dedup_best_rep" -> dedupBestRep,
     "text_repetition" -> textRepetition,
     "samp_stratified" -> stratifiedSample,
     "pack_sequences" -> packSequences,
@@ -592,6 +617,21 @@ object Pipeline {
          |SELECT c.doc_id, c.cluster_id, CAST(s.cluster_size AS INT) AS cluster_size,
          |  CAST(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical
          |FROM comp c JOIN sizes s USING (cluster_id)""".stripMargin,
+    "dedup_best_rep" ->
+      s"""WITH RECURSIVE $clusterCtes, qual AS (
+         |$qualityOracle
+         |), sizes AS (
+         |  SELECT cluster_id, count(*) AS sz FROM comp GROUP BY 1
+         |), ranked AS (
+         |  SELECT c.cluster_id, c.doc_id, q.quality,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY q.quality DESC, c.doc_id) AS rn
+         |  FROM comp c JOIN qual q USING (doc_id)
+         |)
+         |SELECT r.cluster_id, r.doc_id AS rep_doc_id,
+         |  CAST(floor(r.quality * 10000) AS BIGINT) AS rep_quality_q,
+         |  CAST(s.sz AS INT) AS cluster_size
+         |FROM ranked r JOIN sizes s USING (cluster_id) WHERE r.rn = 1""".stripMargin,
     "pipeline_keep" ->
       s"""WITH RECURSIVE $clusterCtes, qual AS (
          |$qualityOracle

@@ -154,6 +154,25 @@ class PipelineSpec extends SparkTestBase {
       "expected both kept and rejected docs")
   }
 
+  test("dedup_best_rep: one representative per cluster, the max-quality member") {
+    val dir = "/root/testdata/sf0.001"
+    val reps = graft.queries.Pipeline.dedupBestRep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val members = graft.queries.Pipeline.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val qualityOf = graft.queries.Pipeline.quality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(reps.length === members.size, "one representative per cluster")
+    reps.foreach { case (cid, rep, repQ, size) =>
+      val ms = members(cid)
+      assert(ms.contains(rep), s"rep $rep not a member of cluster $cid")
+      assert(ms.length === size)
+      val best = ms.map(qualityOf).max
+      assert(qualityOf(rep) === best, s"rep $rep of cluster $cid is not max-quality")
+      assert(repQ === math.floor(best * 10000).toLong)
+    }
+  }
+
   test("minhash estimate tracks exact jaccard for near-dups") {
     val sh = docs.select($"doc_id", Text.shingles($"text", 3).as("sh"),
       Dedup.minhashSignature(Text.shingles($"text", 3), 64).as("sig"))
