@@ -101,7 +101,14 @@ object Bench {
           val times = (1 to runs).flatMap { _ =>
             val t0 = System.nanoTime()
             try { fn(spark2, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-            catch { case _: Throwable => None }
+            catch {
+              case e: Throwable =>
+                // an isolation-only failure must be as loud as an in-suite
+                // one (same errors map + nonzero exit), not a silent -1
+                errors(s"$name (isolated)") = e.getClass.getSimpleName + ": " +
+                  Option(e.getMessage).getOrElse("").take(120).replaceAll("[\"\\n\\\\]", " ")
+                None
+            }
           }
           name -> (if (times.isEmpty) -1.0 else times.min)
         }

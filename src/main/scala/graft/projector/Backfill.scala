@@ -31,7 +31,10 @@ object Backfill {
     val (tables, release) = Derivations.deriveAllCached(ev)
     try {
       JdbcSink.writeParquet(tables, outDir)
-      val hw = ev.agg(org.apache.spark.sql.functions.max("seq")).head().getLong(0)
+      // empty log → null max; same guard as Incremental.seed (a backfill of
+      // an empty event dir is a valid cold start, not an NPE)
+      val hwRow = ev.agg(org.apache.spark.sql.functions.max("seq")).head()
+      val hw = if (hwRow.isNullAt(0)) Long.MinValue else hwRow.getLong(0)
       stateDir.foreach { sd =>
         Incremental.seed(new StateStore(spark, sd), ev)
         ()

@@ -364,6 +364,12 @@ object Incremental {
     * Returns the high-water seq (Long.MinValue on an empty log). */
   def seed(store: StateStore, evDecoded: DataFrame): Long = {
     val ev = evDecoded.persist()
+    // released in the finally block (not just the success path — a
+    // mid-seed failure must not leak cached frames into the long-lived
+    // catch-up session)
+    var spanPart: DataFrame = null
+    var timeline: DataFrame = null
+    var endRows: DataFrame = null
     try {
       // dimension tables
       store.writeSmall("dim_span_equipment_spec", Derivations.spanEquipmentSpecsPartial(ev))
@@ -374,7 +380,7 @@ object Incremental {
       val structSpecs = Derivations.spanStructureSpecs(ev)
 
       // per-family partial folds (the state [[step]] merges onto)
-      val spanPart = Derivations.spanEquipmentPartial(ev).persist()
+      spanPart = Derivations.spanEquipmentPartial(ev).persist()
       store.writeBucketed("st_installation", "id", Derivations.installationPartial(ev))
       store.writeBucketed("st_work_task", "id", Derivations.workTaskPartial(ev))
       store.writeBucketed("st_span", "id", spanPart)
@@ -392,7 +398,7 @@ object Incremental {
         .select(col("child_id"), col("seq"), col("id").as("parent_id"))
       val detaches = ev.filter(col("event_type") === "SpanEquipmentDetachedFromParent")
         .select(col("p.spanEquipmentId").as("child_id"), col("seq"))
-      val timeline = Derivations.affixNextDetach(affixes, detaches).persist()
+      timeline = Derivations.affixNextDetach(affixes, detaches).persist()
       store.writeBucketed("st_child_affixes", "child_id",
         timeline.filter(col("next_detach_seq").isNull)
           .select(col("child_id"), col("parent_id"), col("seq")).distinct())
@@ -414,7 +420,7 @@ object Incremental {
         .withSpecDims(Derivations.spanStateFromPartial(spanPart), eqSpecs, structSpecs)
         .join(hc.select(col("parent_id").as("id"), col("has_child")), Seq("id"), "left")
         .na.fill(false, Seq("has_child"))
-      val endRows = Derivations.eligibleEnds(enriched).persist()
+      endRows = Derivations.eligibleEnds(enriched).persist()
       store.writeBucketed("st_eligible_ends", "route_node_id", endRows)
 
       val outputs = Map(
@@ -430,15 +436,13 @@ object Incremental {
       outputs.foreach { case (table, df) =>
         store.writeBucketed(table, outputKey(table), df)
       }
-      timeline.unpersist()
-      endRows.unpersist()
-      spanPart.unpersist()
 
       val hwRow = ev.agg(max(col("seq"))).head()
       val hw = if (hwRow.isNullAt(0)) Long.MinValue else hwRow.getLong(0)
       store.setHighWater(hw)
       hw
     } finally {
+      Seq(spanPart, timeline, endRows).foreach(df => if (df != null) df.unpersist())
       ev.unpersist()
       ()
     }

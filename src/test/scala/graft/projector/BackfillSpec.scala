@@ -38,6 +38,15 @@ class BackfillSpec extends SparkTestBase {
       }
   }
 
+  test("Backfill.run on an empty event log returns Long.MinValue (no NPE)") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-backfill-empty").toFile.getPath
+    val schema = StructType.fromDDL("seq BIGINT, event_type STRING, payload STRING")
+    spark.createDataFrame(List.empty[Row].asJava, schema).write.parquet(s"$dir/events")
+    val highWater = Backfill.run(spark, s"$dir/events", s"$dir/out")
+    assert(highWater === Long.MinValue)
+  }
+
   test("Backfill.run with stateDir seeds the catch-up store and records the high water") {
     import scala.jdk.CollectionConverters._
     val events = LogGen.scenario(new Random(77))

@@ -61,7 +61,7 @@ class StateStoreMergeSpec extends SparkTestBase {
       val deleted = touched.filterNot(k => replacement.exists(_._1 == k))
         .filter(k => initial.exists(_._1 == k))
       deleted.headOption.foreach { staleKey =>
-        val b = store.bucketOf(org.apache.spark.sql.functions.lit(staleKey))
+        val b = store.bucketOf("t", org.apache.spark.sql.functions.lit(staleKey))
         val bucket = toDf(Seq(staleKey -> -1)).select(org.apache.spark.sql.functions.col("k"), b.as("bucket"))
           .collect().head.getInt(1)
         toDf(Seq(staleKey -> -1)).write.mode("append").parquet(s"$dir/t/bucket=$bucket")
