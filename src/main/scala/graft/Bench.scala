@@ -115,6 +115,33 @@ object Bench {
         spark2.stop()
         out
       }
+    // Round-5 addition (VERDICT r4 #2 / BASELINE.md engine-internal row):
+    // wall-clock full backfill of all 8 tables and sustained events/sec
+    // through the REAL catch-up stream (seed on a prefix, AvailableNow tail
+    // with one micro-batch per chunk file) over a deterministic synthetic
+    // envelope log. Sized by SPARK_GRAFT_ENGINE_SITES (fixed default →
+    // identical workload round-over-round).
+    val engineJson: String =
+      if (only.isDefined) "null"
+      else {
+        val parts = sys.env.getOrElse("SPARK_GRAFT_ENGINE_PARTITIONS", "8")
+        val spark3 = SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", parts)
+          .config("spark.ui.enabled", "false")
+          .config("spark.sql.session.timeZone", "UTC")
+          .getOrCreate()
+        spark3.sparkContext.setLogLevel("WARN")
+        try {
+          val sites = sys.env.getOrElse("SPARK_GRAFT_ENGINE_SITES", "4000").toInt
+          EngineBench.run(spark3, sites)
+        } catch {
+          case e: Throwable =>
+            errors("engine") = e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").take(120).replaceAll("[\"\\n\\\\]", " ")
+            "null"
+        } finally spark3.stop()
+      }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qsMin = results.map { case (k, _, m) => s"\"" + k + "\":" + m }
@@ -123,7 +150,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_isolated":$qsIso,"errors":$errJson,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_isolated":$qsIso,"engine":$engineJson,"errors":$errJson,"runs":$runs,"sf":"$sfDir"}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

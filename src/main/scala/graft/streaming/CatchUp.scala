@@ -68,12 +68,39 @@ object CatchUp {
   def startQuery(spark: SparkSession, eventsDir: String, store: StateStore,
       trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
       onBatch: Long => Unit = _ => (),
-      sink: Incremental.Sink = Incremental.noSink): StreamingQuery = {
+      sink: Incremental.Sink = Incremental.noSink,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(envelopeDdl)
     val highWater = store.highWater
-    val raw = spark.readStream.schema(schema).parquet(eventsDir)
+    // foreachBatch batch ids are only monotone within one checkpoint
+    // incarnation: if the checkpoint was deleted (fresh id, or no metadata
+    // yet) while the store kept its applied_batch, every replayed batch
+    // would be skipped as "already applied" — silent data loss. Reset the
+    // applied-batch marker unless the checkpoint identity matches the one
+    // that recorded it; replay idempotence makes re-application safe.
+    locally {
+      import org.apache.hadoop.fs.Path
+      val cpMeta = new Path(s"${store.root}/_checkpoint/metadata")
+      val fs = cpMeta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cpId: Option[String] =
+        if (!fs.exists(cpMeta)) None
+        else {
+          val in = fs.open(cpMeta)
+          try {
+            val bytes = new Array[Byte](fs.getFileStatus(cpMeta).getLen.toInt)
+            in.readFully(bytes)
+            "\"id\"\\s*:\\s*\"([^\"]+)\"".r
+              .findFirstMatchIn(new String(bytes, "UTF-8")).map(_.group(1))
+          } finally in.close()
+        }
+      if (cpId.isEmpty || cpId != store.readMeta("applied_qid"))
+        store.clearLastAppliedBatch()
+    }
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val raw = reader.parquet(eventsDir)
       .filter(col("seq") > highWater)
-    raw.writeStream
+    val q = raw.writeStream
       .trigger(trigger)
       .option("checkpointLocation", s"${store.root}/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -84,6 +111,10 @@ object CatchUp {
         ()
       }
       .start()
+    // the persistent query id (== checkpoint metadata id) this store's
+    // applied_batch is scoped to; checked against on the next start
+    store.writeMeta("applied_qid", q.id.toString)
+    q
   }
 
   def main(args: Array[String]): Unit = {

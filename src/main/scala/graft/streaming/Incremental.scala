@@ -119,14 +119,35 @@ object Incremental {
     "dim_span_structure_spec" -> "SpanStructureSpecificationAdded",
     "dim_terminal_spec" -> "TerminalEquipmentSpecificationAdded")
 
+  // Independent family sections of a step run concurrently (they touch
+  // disjoint store tables): a step is ~70 small driver actions whose
+  // planning latency, not data volume, bounds the 2-second loop — four
+  // section threads overlap that latency. Daemon pool, shared across steps.
+  private lazy val stepEc = scala.concurrent.ExecutionContext.fromExecutor(
+    java.util.concurrent.Executors.newFixedThreadPool(4, (r: Runnable) => {
+      val t = new Thread(r, "graft-step"); t.setDaemon(true); t
+    }))
+
   /** Fold one decoded micro-batch into the store. See object doc.
     * `batchId` ≥ 0 enables the two replay-safety layers (skip-if-applied +
-    * pre-merge snapshots); pass the foreachBatch id from a stream. */
+    * pre-merge snapshots); pass the foreachBatch id from a stream.
+    *
+    * Sections for independent table families run on [[stepEc]] threads;
+    * sink callbacks are serialized (sink impls need not be thread-safe).
+    * Write-write and write-read table sets across concurrent sections are
+    * disjoint by construction (the interest/cable section launches only
+    * after the st_span merge it reads). */
   def step(store: StateStore, batchDecoded: DataFrame, sink: Sink = noSink,
       batchId: Long = -1L): Unit = {
     if (batchId >= 0 && store.lastAppliedBatch.exists(_ >= batchId)) return
     if (batchId >= 0) store.clearSnapshots(batchId) // drop other batches' leftovers
     val sc = batchDecoded.sparkSession.sparkContext
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val rawSink = sink
+    val syncSink: Sink = (t, d, u) => rawSink.synchronized { rawSink(t, d, u) }
+    val pending = scala.collection.mutable.ArrayBuffer[Future[Unit]]()
+    def section(body: => Unit): Unit = { pending += Future(body)(stepEc); () }
     // Snapshot the persisted-RDD set: every localCheckpoint below caches
     // blocks that outlive the step (ContextCleaner frees them only on GC),
     // and a long-running stream — or a long test suite — accumulates them
@@ -162,23 +183,96 @@ object Incremental {
       val structSpecs = structSpecP.drop("d_seq")
       val termSpecs = termSpecP.drop("d_seq")
 
-      // ---------- simple per-entity families ----------
-      val (instKeys, _, instMerged) = mergeFamily(store, "st_installation", "id",
-        Derivations.installationPartial(b), Derivations.installationPartialPairs, Nil,
-        batchId = batchId)
-      writeOutput(store, sink, "installation", instKeys,
-        Derivations.installationFromPartial(instMerged))
+      // ---------- simple per-entity families (concurrent sections) ----------
+      section {
+        val (instKeys, _, instMerged) = mergeFamily(store, "st_installation", "id",
+          Derivations.installationPartial(b), Derivations.installationPartialPairs, Nil,
+          batchId = batchId)
+        writeOutput(store, syncSink, "installation", instKeys,
+          Derivations.installationFromPartial(instMerged))
+      }
 
-      val (wtKeys, _, wtMerged) = mergeFamily(store, "st_work_task", "id",
-        Derivations.workTaskPartial(b), Derivations.workTaskPartialPairs, Nil,
-        batchId = batchId)
-      writeOutput(store, sink, "work_task", wtKeys,
-        Derivations.workTaskFromPartial(wtMerged))
+      section {
+        val (wtKeys, _, wtMerged) = mergeFamily(store, "st_work_task", "id",
+          Derivations.workTaskPartial(b), Derivations.workTaskPartialPairs, Nil,
+          batchId = batchId)
+        writeOutput(store, syncSink, "work_task", wtKeys,
+          Derivations.workTaskFromPartial(wtMerged))
+      }
+
+      // ---------- node containers + service terminations (concurrent; see
+      // below — moved ahead of the span chain so the section overlaps it) --
+      section {
+        val termPlac = Derivations.terminalPlacements(b) // (seq, container_id, t)
+        val contRefs = termPlac.select(col("container_id").as("k")).distinct()
+        val (ncKeys, ncStored, ncMerged) = mergeFamily(store, "st_node_container", "id",
+          Derivations.nodeContainerPartial(b), Derivations.nodeContainerPartialPairs, Nil,
+          extraReadKeys = Some(contRefs), batchId = batchId)
+        writeOutput(store, syncSink, "node_container", ncKeys,
+          Derivations.nodeContainerFromPartial(ncMerged)
+            .join(broadcast(ncSpecs), Seq("spec_id"), "inner")
+            .select(col("id"), col("route_node_id"), col("spec_name"), col("spec_category")))
+
+        val pseudoRel = ncStored.select(col("lc_seq").as("seq"),
+          col("id").as("container_id"),
+          struct(when(col("last_lifecycle") === "NodeContainerPlacedInRouteNetwork",
+            col("route_node_id")).as("route_node_id")).as("rel"))
+        val relRows = pseudoRel.unionByName(Derivations.containerRelEvents(b))
+        val bTerm = Derivations.terminalPartial(
+          Derivations.terminalPlacementRows(relRows, termPlac, termSpecs),
+          Derivations.terminalUpdateRows(b))
+        val (termKeys, _, termMerged) = mergeFamily(store, "st_terminal", "id", bTerm,
+          Derivations.terminalPartialPairs, Derivations.terminalPartialSeqs, batchId = batchId)
+        writeOutput(store, syncSink, "service_termination", termKeys,
+          Derivations.serviceTerminationFromPartial(termMerged))
+      }
 
       // ---------- span equipment: partial merge + root-segment index ----------
       val bSpan = Derivations.spanEquipmentPartial(b)
       val (seKeys, seStored, seMerged) = mergeFamily(store, "st_span", "id",
         bSpan, Derivations.spanPartialPairs, Nil, batchId = batchId)
+
+      // ---------- interests + cable walks (concurrent once st_span is
+      // merged — affix/detach interest ids resolve from the POST-merge span
+      // partials; the as-of resolve reads the PRE-merge interest snapshot) --
+      section {
+        val adChildren = b.filter(col("event_type") === "SpanEquipmentAffixedToParent" ||
+            col("event_type") === "SpanEquipmentDetachedFromParent")
+          .select(col("p.spanEquipmentId").as("k")).distinct()
+        val adSpan = store.readKeyed("st_span", bSpan.schema, "id", adChildren)
+        val interestOf = adSpan.select(col("id").as("cable_id"),
+          col("pl").getField("walk_of_interest_id").as("interest_id"))
+        val applies = Derivations
+          .cablePlacementApplies(b, eqSpecs.select(col("spec_id"), col("spec_is_cable")))
+          .unionByName(Derivations.cableAffixDetachApplies(b, interestOf))
+        val lastApply = Derivations.lastApplyOf(applies).localCheckpoint(true)
+        val applyInterests = lastApply.select(col("interest_id").as("k")).distinct()
+
+        val (intKeys, intStored, intMerged) = mergeFamily(store, "st_interest", "interest_id",
+          Derivations.interestPartial(b), Derivations.interestPartialPairs, Nil,
+          extraReadKeys = Some(applyInterests), batchId = batchId)
+        writeOutput(store, syncSink, "rel_interest_to_route_element", intKeys,
+          Walks.explodeOrdered(
+            Derivations.interestFromPartial(intMerged).filter(col("alive"))
+              .select(col("interest_id"), col("walk")),
+            "walk", "route_network_element_id", "seq_no")
+            .select(col("interest_id"), col("route_network_element_id"), col("seq_no")))
+
+        // pre-batch interest state as pseudo walk events at the stored seq
+        // (strictly below every batch seq); an unregistered interest yields
+        // the struct(null) marker that survives forward fill
+        val hopsType = EventLog.payloadSchema("newUtilityHopList").dataType
+        val pseudoWalk = intStored.select(col("lt_seq").as("seq"), col("interest_id"),
+          struct(when(col("last_type") =!= "InterestUnregistered", col("walk")).as("walk")).as("w"),
+          lit(null.asInstanceOf[String]).as("cable_id"),
+          lit(null).cast(hopsType).as("hops"))
+        val walkEvents = Derivations.interestWalkEvents(b).unionByName(pseudoWalk)
+        val cableKeys = lastApply.select(col("cable_id").as("k")).distinct().localCheckpoint(true)
+        writeOutput(store, syncSink, "rel_fiber_cable_to_route_element", cableKeys,
+          Walks.explodeOrdered(Derivations.cableWalkResolve(walkEvents, lastApply),
+            "walk", "route_network_element_id", "seq_no")
+            .select(col("fiber_cable_id"), col("route_network_element_id"), col("seq_no")))
+      }
 
       val newRoots = rootIndexOf(seMerged)
       val rootKeys = newRoots.select(col("root_segment_id").as("k"))
@@ -227,77 +321,12 @@ object Incremental {
         .localCheckpoint(true)
       store.mergeReplace("st_has_child", "parent_id", hcKeys, hcMerged)
 
-      // ---------- span_equipment output ----------
-      writeOutput(store, sink, "span_equipment", seKeys,
-        Derivations.spanEquipmentFromState(
-          Derivations.spanStateFromPartial(seMerged), eqSpecs, structSpecs))
-
-      // ---------- node containers (pre-merge snapshot feeds the terminal
-      // as-of resolve) ----------
-      val termPlac = Derivations.terminalPlacements(b) // (seq, container_id, t)
-      val contRefs = termPlac.select(col("container_id").as("k")).distinct()
-      val (ncKeys, ncStored, ncMerged) = mergeFamily(store, "st_node_container", "id",
-        Derivations.nodeContainerPartial(b), Derivations.nodeContainerPartialPairs, Nil,
-        extraReadKeys = Some(contRefs), batchId = batchId)
-      writeOutput(store, sink, "node_container", ncKeys,
-        Derivations.nodeContainerFromPartial(ncMerged)
-          .join(broadcast(ncSpecs), Seq("spec_id"), "inner")
-          .select(col("id"), col("route_node_id"), col("spec_name"), col("spec_category")))
-
-      // ---------- service terminations ----------
-      val pseudoRel = ncStored.select(col("lc_seq").as("seq"),
-        col("id").as("container_id"),
-        struct(when(col("last_lifecycle") === "NodeContainerPlacedInRouteNetwork",
-          col("route_node_id")).as("route_node_id")).as("rel"))
-      val relRows = pseudoRel.unionByName(Derivations.containerRelEvents(b))
-      val bTerm = Derivations.terminalPartial(
-        Derivations.terminalPlacementRows(relRows, termPlac, termSpecs),
-        Derivations.terminalUpdateRows(b))
-      val (termKeys, _, termMerged) = mergeFamily(store, "st_terminal", "id", bTerm,
-        Derivations.terminalPartialPairs, Derivations.terminalPartialSeqs, batchId = batchId)
-      writeOutput(store, sink, "service_termination", termKeys,
-        Derivations.serviceTerminationFromPartial(termMerged))
-
-      // ---------- interests + cable walks ----------
-      // cable applies first (affix/detach interest ids resolve from the
-      // POST-merge span partials), then the interest family merge — the
-      // as-of resolve needs the PRE-merge interest snapshot
-      val adChildren = b.filter(col("event_type") === "SpanEquipmentAffixedToParent" ||
-          col("event_type") === "SpanEquipmentDetachedFromParent")
-        .select(col("p.spanEquipmentId").as("k")).distinct()
-      val adSpan = store.readKeyed("st_span", bSpan.schema, "id", adChildren)
-      val interestOf = adSpan.select(col("id").as("cable_id"),
-        col("pl").getField("walk_of_interest_id").as("interest_id"))
-      val applies = Derivations
-        .cablePlacementApplies(b, eqSpecs.select(col("spec_id"), col("spec_is_cable")))
-        .unionByName(Derivations.cableAffixDetachApplies(b, interestOf))
-      val lastApply = Derivations.lastApplyOf(applies).localCheckpoint(true)
-      val applyInterests = lastApply.select(col("interest_id").as("k")).distinct()
-
-      val (intKeys, intStored, intMerged) = mergeFamily(store, "st_interest", "interest_id",
-        Derivations.interestPartial(b), Derivations.interestPartialPairs, Nil,
-        extraReadKeys = Some(applyInterests), batchId = batchId)
-      writeOutput(store, sink, "rel_interest_to_route_element", intKeys,
-        Walks.explodeOrdered(
-          Derivations.interestFromPartial(intMerged).filter(col("alive"))
-            .select(col("interest_id"), col("walk")),
-          "walk", "route_network_element_id", "seq_no")
-          .select(col("interest_id"), col("route_network_element_id"), col("seq_no")))
-
-      // pre-batch interest state as pseudo walk events at the stored seq
-      // (strictly below every batch seq); an unregistered interest yields
-      // the struct(null) marker that survives forward fill
-      val hopsType = EventLog.payloadSchema("newUtilityHopList").dataType
-      val pseudoWalk = intStored.select(col("lt_seq").as("seq"), col("interest_id"),
-        struct(when(col("last_type") =!= "InterestUnregistered", col("walk")).as("walk")).as("w"),
-        lit(null.asInstanceOf[String]).as("cable_id"),
-        lit(null).cast(hopsType).as("hops"))
-      val walkEvents = Derivations.interestWalkEvents(b).unionByName(pseudoWalk)
-      val cableKeys = lastApply.select(col("cable_id").as("k")).distinct().localCheckpoint(true)
-      writeOutput(store, sink, "rel_fiber_cable_to_route_element", cableKeys,
-        Walks.explodeOrdered(Derivations.cableWalkResolve(walkEvents, lastApply),
-          "walk", "route_network_element_id", "seq_no")
-          .select(col("fiber_cable_id"), col("route_network_element_id"), col("seq_no")))
+      // ---------- span_equipment output (concurrent with affix chain) ----
+      section {
+        writeOutput(store, syncSink, "span_equipment", seKeys,
+          Derivations.spanEquipmentFromState(
+            Derivations.spanStateFromPartial(seMerged), eqSpecs, structSpecs))
+      }
 
       // ---------- eligible ends + conduit_slack recount ----------
       val eligKeys = seKeys.unionByName(hcKeys).distinct().localCheckpoint(true)
@@ -323,17 +352,22 @@ object Incremental {
           store.readKeyed("st_eligible_ends", eligSchema, "route_node_id", touchedNodes))
         .localCheckpoint(true)
       store.mergeReplace("conduit_slack", "route_node_id", touchedNodes, slackRows)
-      sink("conduit_slack",
+      syncSink("conduit_slack",
         touchedNodes.select(Derivations.deterministicUuid(col("k")).as("id")), slackRows)
-      // commit point: record completion FIRST (a crash between the two
-      // leaves a skippable batch with a stale snapshot dir, cleaned by the
-      // next step), then drop this batch's snapshots
+      // join the concurrent sections (first failure propagates) ...
+      pending.foreach(f => Await.result(f, Duration.Inf))
+      // ... then the commit point: record completion FIRST (a crash between
+      // the two leaves a skippable batch with a stale snapshot dir, cleaned
+      // by the next step), then drop this batch's snapshots
       if (batchId >= 0) {
         store.setLastAppliedBatch(batchId)
         store.clearSnapshots(batchId, including = true)
       }
       ()
     } finally {
+      // a section that crashed must not leave siblings racing the caller's
+      // redelivery: quiesce every section before releasing the batch cache
+      pending.foreach(f => scala.util.Try(Await.ready(f, Duration.Inf)))
       b.unpersist()
       sc.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!persistedBefore.contains(id)) rdd.unpersist(blocking = false)

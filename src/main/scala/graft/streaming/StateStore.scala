@@ -64,7 +64,8 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
 
   // ---- per-table bucket-count layout ----
 
-  private val layoutCache = scala.collection.mutable.HashMap[String, Int]()
+  // concurrent: Incremental.step sections touch disjoint tables in parallel
+  private val layoutCache = scala.collection.concurrent.TrieMap[String, Int]()
 
   /** Bucket count of `table`'s current on-disk layout. Tables written
     * before layout files existed (no `_nbuckets`) keep the constructor
@@ -111,6 +112,10 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
   private def emptyDf(schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  private def withBucketField(schema: StructType): StructType =
+    StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType))
+
   /** Full scan of a bucketed table (bucket column dropped). Used only for
     * bounded-size tables (folded state ≪ event log) and final reads. */
   def readAll(table: String, schema: StructType): DataFrame =
@@ -119,18 +124,34 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
       df.select(schema.fieldNames.map(col).toSeq: _*)
     } else emptyDf(schema)
 
+  /** Key lists up to this size restrict reads/merges with driver-side
+    * IN-set literals — pushed into the parquet scan, and crucially no
+    * broadcast-exchange JOB per use (a step re-executes each broadcast
+    * subquery on every downstream action; the 2-second loop was paying
+    * ~200 broadcast jobs per micro-batch for batch-bounded key sets).
+    * Larger key sets fall back to the broadcast-join path. */
+  val maxInsetKeys: Int = 10000
+
   /** Rows of `table` whose `keyCol` is in `keys` (a one-column frame named
     * `k`). Reads only the buckets the keys hash to; the key restriction is
-    * a broadcast semi join (keys are batch-bounded). */
+    * an IN-set filter (keys are batch-bounded; see [[maxInsetKeys]]). */
   def readKeyed(table: String, schema: StructType, keyCol: String, keys: DataFrame): DataFrame = {
     if (!exists(table)) return emptyDf(schema)
-    val buckets = keys.select(bucketOf(table, col("k")).as("b")).distinct()
-      .collect().map(_.getInt(0))
-    if (buckets.isEmpty) return emptyDf(schema)
-    spark.read.parquet(path(table))
-      .filter(col("bucket").isin(buckets.toSeq: _*))
-      .join(broadcast(keys.withColumnRenamed("k", keyCol)), Seq(keyCol), "left_semi")
-      .drop("bucket")
+    // one bounded collect serves bucket pruning AND the key restriction
+    val kb = keys.filter(col("k").isNotNull)
+      .select(col("k"), bucketOf(table, col("k")).as("b")).distinct().collect()
+    if (kb.isEmpty) return emptyDf(schema)
+    val buckets = kb.map(_.getInt(1)).distinct.toSeq
+    // explicit schema: the store wrote exactly these fields, and schema
+    // inference costs a footer-listing job per read on the 2-second path
+    val pruned = spark.read.schema(withBucketField(schema)).parquet(path(table))
+      .filter(col("bucket").isin(buckets: _*))
+    val restricted =
+      if (kb.length <= maxInsetKeys)
+        pruned.filter(col(keyCol).isin(kb.map(_.get(0)).toSeq: _*))
+      else
+        pruned.join(broadcast(keys.withColumnRenamed("k", keyCol)), Seq(keyCol), "left_semi")
+    restricted.drop("bucket")
       .select(schema.fieldNames.map(col).toSeq: _*)
   }
 
@@ -165,9 +186,20 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
         .getOrElse(emptyDf(intB)))
       .distinct().collect().map(_.getInt(0))
     if (buckets.isEmpty) return
-    val kept = spark.read.parquet(path(table))
+    // batch-bounded touched keys as IN-set literals (see maxInsetKeys): a
+    // null table key never matches a touched key, so it is kept — exactly
+    // the anti-join semantics this replaces
+    val ks = touchedKeys.filter(col("k").isNotNull)
+      .select(col("k")).distinct().limit(maxInsetKeys + 1).collect()
+    val prunedRead = spark.read.schema(withBucket.schema).parquet(path(table))
       .filter(col("bucket").isin(buckets.toSeq: _*))
-      .join(broadcast(touchedKeys.withColumnRenamed("k", keyCol)), Seq(keyCol), "left_anti")
+    val kept =
+      if (ks.length <= maxInsetKeys)
+        prunedRead.filter(col(keyCol).isNull ||
+          !col(keyCol).isin(ks.map(_.get(0)).toSeq: _*))
+      else
+        prunedRead.join(broadcast(touchedKeys.withColumnRenamed("k", keyCol)),
+          Seq(keyCol), "left_anti")
     // localCheckpoint cuts the lineage back to the store files we are about
     // to overwrite (Spark refuses to write a path it is also reading, and a
     // lazy plan would otherwise re-read post-overwrite files); the
@@ -289,9 +321,18 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
   def highWater: Long = readMeta("high_water").map(_.toLong).getOrElse(Long.MinValue)
   def setHighWater(seq: Long): Unit = writeMeta("high_water", seq.toString)
 
-  /** Greatest foreachBatch batchId whose step ran to completion. */
+  /** Greatest foreachBatch batchId whose step ran to completion. Only
+    * meaningful within ONE streaming-checkpoint incarnation — batch ids
+    * restart at 0 when the checkpoint is recreated, so [[CatchUp]] records
+    * the query id alongside and calls [[clearLastAppliedBatch]] on a
+    * mismatch (ADVICE r4: without the guard, deleting `_checkpoint` while
+    * keeping the store silently skips every replayed batch). */
   def lastAppliedBatch: Option[Long] = readMeta("applied_batch").map(_.toLong)
   def setLastAppliedBatch(batchId: Long): Unit = writeMeta("applied_batch", batchId.toString)
+  def clearLastAppliedBatch(): Unit = {
+    fs.delete(new Path(s"$root/_meta_applied_batch"), false)
+    ()
+  }
 
   // --- per-batch pre-merge snapshots (replay atomicity) ---
   // A step's later sections consume PRE-batch reads of tables it merged

@@ -76,6 +76,42 @@ class CatchUpStreamSpec extends SparkTestBase {
     }
   }
 
+  test("deleting only _checkpoint does not silently skip replayed batches (qid guard)") {
+    val dir = Files.createTempDirectory("graft-stream-reset").toFile
+    val eventsDir = s"$dir/events"
+    val store = new StateStore(spark, s"$dir/state", nBuckets = 16)
+
+    val events = LogGen.scenario(new Random(41))
+    val rows = events.zipWithIndex.map { case (e, i) => Row((i + 1).toLong, e.typ, e.payload) }
+    writeChunk(rows, eventsDir, "00")
+
+    val q1 = CatchUp.startQuery(spark, eventsDir, store, Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(store.lastAppliedBatch.isDefined)
+
+    // an operator resets the STREAM but keeps the STORE: batch ids restart
+    // at 0 — without the qid guard every replayed batch is ≤ the recorded
+    // applied_batch and gets skipped (silent data loss on any new events
+    // that land in those early batch ids)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(); ()
+    }
+    deleteRec(new java.io.File(s"$dir/state/_checkpoint"))
+
+    var applied = 0
+    val counting: Incremental.Sink = (_, _, _) => applied += 1
+    val q2 = CatchUp.startQuery(spark, eventsDir, store, Trigger.AvailableNow(), sink = counting)
+    q2.awaitTermination()
+    assert(applied > 0, "replayed batches after a checkpoint reset were skipped — data loss")
+
+    // and the re-applied fold converged (replay idempotence)
+    val oracle = Derivations.deriveAll(EventLog.decode(toDf(rows)).cache())
+    oracle.foreach { case (table, expected) =>
+      val got = store.readAll(table, Incremental.outputSchema(table))
+      assert(normalized(got) === normalized(expected), s"table $table diverged after reset replay")
+    }
+  }
+
   test("streaming catch-up delivers to the JDBC sink: database converges to the backfill") {
     import graft.sinks.{FakeDb, JdbcSink}
     val dir = Files.createTempDirectory("graft-stream-jdbc").toFile
