@@ -124,7 +124,7 @@ object Incremental {
   // planning latency, not data volume, bounds the 2-second loop — four
   // section threads overlap that latency. Daemon pool, shared across steps.
   private lazy val stepEc = scala.concurrent.ExecutionContext.fromExecutor(
-    java.util.concurrent.Executors.newFixedThreadPool(4, (r: Runnable) => {
+    java.util.concurrent.Executors.newFixedThreadPool(6, (r: Runnable) => {
       val t = new Thread(r, "graft-step"); t.setDaemon(true); t
     }))
 
@@ -164,20 +164,26 @@ object Incremental {
         .filter(col("event_type").isin(dimEventType.values.toSeq: _*))
         .select(col("event_type")).distinct().collect().map(_.getString(0)).toSet
       def dimHas(table: String): Boolean = dimTypesPresent(dimEventType(table))
-      val seSpecP = mergeDim(store, "dim_span_equipment_spec",
+      // the four dim merges are independent (disjoint tiny tables) and
+      // every family section joins their results — run them concurrently
+      // and join before launching the sections
+      val fSeSpec = Future(mergeDim(store, "dim_span_equipment_spec",
         Derivations.spanEquipmentSpecsPartial(b), "spec_id", Seq("s" -> "d_seq"),
-        dimHas("dim_span_equipment_spec"), batchId)
-      val ncSpecP = mergeDim(store, "dim_node_container_spec",
+        dimHas("dim_span_equipment_spec"), batchId))(stepEc)
+      val fNcSpec = Future(mergeDim(store, "dim_node_container_spec",
         Derivations.nodeContainerSpecsPartial(b), "spec_id", Seq("s" -> "d_seq"),
-        dimHas("dim_node_container_spec"), batchId)
-      val structSpecP = mergeDim(store, "dim_span_structure_spec",
+        dimHas("dim_node_container_spec"), batchId))(stepEc)
+      val fStructSpec = Future(mergeDim(store, "dim_span_structure_spec",
         Derivations.spanStructureSpecsPartial(b), "structure_spec_id",
         Seq("outer_diameter" -> "d_seq"),
-        dimHas("dim_span_structure_spec"), batchId)
+        dimHas("dim_span_structure_spec"), batchId))(stepEc)
       val termSpecP = mergeDim(store, "dim_terminal_spec",
         Derivations.terminalSpecsPartial(b), "spec_id",
         Seq("is_customer_termination" -> "d_seq"),
         dimHas("dim_terminal_spec"), batchId)
+      val seSpecP = Await.result(fSeSpec, Duration.Inf)
+      val ncSpecP = Await.result(fNcSpec, Duration.Inf)
+      val structSpecP = Await.result(fStructSpec, Duration.Inf)
       val eqSpecs = Derivations.spanEquipmentSpecsFromPartial(seSpecP)
       val ncSpecs = Derivations.nodeContainerSpecsFromPartial(ncSpecP)
       val structSpecs = structSpecP.drop("d_seq")

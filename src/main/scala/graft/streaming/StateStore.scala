@@ -203,8 +203,13 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     // localCheckpoint cuts the lineage back to the store files we are about
     // to overwrite (Spark refuses to write a path it is also reading, and a
     // lazy plan would otherwise re-read post-overwrite files); the
-    // checkpointed frame is bounded by the touched buckets' size
+    // checkpointed frame is bounded by the touched buckets' size.
+    // Repartition BY BUCKET first: otherwise every shuffle partition writes
+    // its own file into every touched bucket dir (partitions × buckets
+    // small files per merge — the dominant per-batch cost at wider
+    // batches); one partition per touched bucket ⇒ one file per bucket.
     val merged = kept.unionByName(withBucket.select(kept.columns.map(col).toSeq: _*))
+      .repartition(buckets.length, col("bucket"))
       .localCheckpoint(true)
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -243,7 +248,10 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     val tmp = new Path(s"$root/.tmp_$table")
     val target = new Path(path(table))
     fs.delete(tmp, true)
+    // one shuffle partition per bucket ⇒ one file per bucket dir (see
+    // mergeReplace — avoids partitions × buckets small files)
     df.withColumn("bucket", bucketExpr(col(bucketCol), count))
+      .repartition(count, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
     val out = fs.create(new Path(tmp, "_nbuckets"), true)
     try out.write(count.toString.getBytes("UTF-8")) finally out.close()
