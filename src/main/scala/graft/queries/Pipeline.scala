@@ -71,16 +71,25 @@ object Pipeline {
       .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
     val cand = Dedup.candidatesFromBuckets(Dedup.minhashBuckets(d, "doc_id", "sh"))
     val capped = cand.limit(maxBroadcast.toInt + 1).collect()
-    val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     val joined =
       if (capped.length <= maxBroadcast) {
         import scala.jdk.CollectionConverters._
         val local = spark.createDataFrame(capped.toSeq.asJava, cand.schema)
+        // only docs that appear in a candidate pair need their shingles
+        // recomputed for verification — push the (driver-known) id set
+        // into the scan when it is IN-set sized, so the verify side reads
+        // ~candidate docs instead of re-shingling the whole corpus twice
+        val ids = capped.flatMap(r => Seq(r.get(0), r.get(1))).distinct.toSeq
+        val dd = if (ids.size <= 100000) d.filter(col("doc_id").isin(ids: _*)) else d
+        val a = dd.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = dd.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
         broadcast(local).join(a, Seq("id_a")).join(b, Seq("id_b"))
-      } else
+      } else {
+        val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
         cand.join(a.hint("shuffle_hash"), Seq("id_a"))
           .join(b.hint("shuffle_hash"), Seq("id_b"))
+      }
     joined
       .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)

@@ -119,6 +119,26 @@ object Incremental {
     "dim_span_structure_spec" -> "SpanStructureSpecificationAdded",
     "dim_terminal_spec" -> "TerminalEquipmentSpecificationAdded")
 
+  // Event types feeding each family section — a batch with none of a
+  // section's types skips the section outright (steady-state streams are
+  // sparse: a 3-event installation batch must not pay the span chain's
+  // ~40 actions). A skipped section's tables cannot change: every derived
+  // row is a function of (stored state, family events), and with no family
+  // events the delete+reinsert would rewrite identical rows.
+  private val instTypes = Seq("InstallationCreated", "InstallationUnitAddressChanged",
+    "InstallationStatusChanged", "InstallationLocationRemarkChanged")
+  private val wtTypes = Seq("WorkTaskCreated", "WorkTaskStatusChanged")
+  private val ncTermTypes = Seq("NodeContainerPlacedInRouteNetwork",
+    "NodeContainerRemovedFromRouteNetwork", "NodeContainerSpecificationChanged",
+    "TerminalEquipmentPlacedInNodeContainer", "TerminalEquipmentRemoved",
+    "TerminalEquipmentNamingInfoChanged", "TerminalEquipmentAddressInfoChanged")
+  private val spanTypes = Seq("SpanEquipmentPlacedInRouteNetwork", "SpanEquipmentMoved",
+    "SpanEquipmentMerged", "SpanEquipmentRemoved", "SpanEquipmentSpecificationChanged",
+    "SpanEquipmentAddressInfoChanged", "SpanEquipmentAffixedToParent",
+    "SpanEquipmentDetachedFromParent")
+  private val interestTypes = Seq("WalkOfInterestRegistered",
+    "WalkOfInterestRouteNetworkElementsModified", "InterestUnregistered")
+
   // Independent family sections of a step run concurrently (they touch
   // disjoint store tables): a step is ~70 small driver actions whose
   // planning latency, not data volume, bounds the 2-second loop — four
@@ -158,12 +178,13 @@ object Incremental {
     try {
       // ---------- dimension tables (tiny; merged first — every family
       // finalizer joins them) ----------
-      // ONE action decides which dim merges run (instead of 4 isEmpty jobs
-      // on the 2-second hot path): the dim event types present in the batch
-      val dimTypesPresent = b
-        .filter(col("event_type").isin(dimEventType.values.toSeq: _*))
+      // ONE action decides which dim merges AND which family sections run
+      // (instead of per-section isEmpty jobs on the 2-second hot path):
+      // the distinct event types present in the batch
+      val typesPresent = b
         .select(col("event_type")).distinct().collect().map(_.getString(0)).toSet
-      def dimHas(table: String): Boolean = dimTypesPresent(dimEventType(table))
+      def dimHas(table: String): Boolean = typesPresent(dimEventType(table))
+      def has(ts: Seq[String]): Boolean = ts.exists(typesPresent)
       // the four dim merges are independent (disjoint tiny tables) and
       // every family section joins their results — run them concurrently
       // and join before launching the sections
@@ -190,7 +211,7 @@ object Incremental {
       val termSpecs = termSpecP.drop("d_seq")
 
       // ---------- simple per-entity families (concurrent sections) ----------
-      section {
+      if (has(instTypes)) section {
         val (instKeys, _, instMerged) = mergeFamily(store, "st_installation", "id",
           Derivations.installationPartial(b), Derivations.installationPartialPairs, Nil,
           batchId = batchId)
@@ -198,7 +219,7 @@ object Incremental {
           Derivations.installationFromPartial(instMerged))
       }
 
-      section {
+      if (has(wtTypes)) section {
         val (wtKeys, _, wtMerged) = mergeFamily(store, "st_work_task", "id",
           Derivations.workTaskPartial(b), Derivations.workTaskPartialPairs, Nil,
           batchId = batchId)
@@ -208,7 +229,7 @@ object Incremental {
 
       // ---------- node containers + service terminations (concurrent; see
       // below — moved ahead of the span chain so the section overlaps it) --
-      section {
+      if (has(ncTermTypes)) section {
         val termPlac = Derivations.terminalPlacements(b) // (seq, container_id, t)
         val contRefs = termPlac.select(col("container_id").as("k")).distinct()
         val (ncKeys, ncStored, ncMerged) = mergeFamily(store, "st_node_container", "id",
@@ -233,15 +254,12 @@ object Incremental {
           Derivations.serviceTerminationFromPartial(termMerged))
       }
 
-      // ---------- span equipment: partial merge + root-segment index ----------
+      // ---------- interests + cable walks (concurrent; launched after the
+      // st_span merge when the span family is active — affix/detach
+      // interest ids resolve from the POST-merge span partials; the as-of
+      // resolve reads the PRE-merge interest snapshot) ----------
       val bSpan = Derivations.spanEquipmentPartial(b)
-      val (seKeys, seStored, seMerged) = mergeFamily(store, "st_span", "id",
-        bSpan, Derivations.spanPartialPairs, Nil, batchId = batchId)
-
-      // ---------- interests + cable walks (concurrent once st_span is
-      // merged — affix/detach interest ids resolve from the POST-merge span
-      // partials; the as-of resolve reads the PRE-merge interest snapshot) --
-      section {
+      def launchInterestSection(): Unit = section {
         val adChildren = b.filter(col("event_type") === "SpanEquipmentAffixedToParent" ||
             col("event_type") === "SpanEquipmentDetachedFromParent")
           .select(col("p.spanEquipmentId").as("k")).distinct()
@@ -279,6 +297,13 @@ object Incremental {
             "walk", "route_network_element_id", "seq_no")
             .select(col("fiber_cable_id"), col("route_network_element_id"), col("seq_no")))
       }
+
+      // ---------- span equipment chain: partial merge + root-segment
+      // index + affix/has-child state + outputs + slack recount ----------
+      if (has(spanTypes)) {
+      val (seKeys, seStored, seMerged) = mergeFamily(store, "st_span", "id",
+        bSpan, Derivations.spanPartialPairs, Nil, batchId = batchId)
+      launchInterestSection() // reads POST-merge st_span
 
       val newRoots = rootIndexOf(seMerged)
       val rootKeys = newRoots.select(col("root_segment_id").as("k"))
@@ -360,6 +385,7 @@ object Incremental {
       store.mergeReplace("conduit_slack", "route_node_id", touchedNodes, slackRows)
       syncSink("conduit_slack",
         touchedNodes.select(Derivations.deterministicUuid(col("k")).as("id")), slackRows)
+      } else if (has(interestTypes)) launchInterestSection()
       // join the concurrent sections (first failure propagates) ...
       pending.foreach(f => Await.result(f, Duration.Inf))
       // ... then the commit point: record completion FIRST (a crash between

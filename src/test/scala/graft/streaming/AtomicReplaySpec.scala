@@ -85,23 +85,35 @@ class AtomicReplaySpec extends SparkTestBase {
   test("crash at EVERY sink point + redelivery converges (VERDICT r4 #6)") {
     // the sink fires once per output table per step — crashing on each in
     // turn exercises a mid-step failure after every merge section,
-    // whichever thread it runs on (sections are concurrent since r5)
-    val oracle = Derivations.conduitSlack(EventLog.decode(toDf(batch0 ++ batch1)))
+    // whichever thread it runs on (sections are concurrent since r5).
+    // Batch 1 carries events for EVERY family so no section is skipped
+    // (family-skip would otherwise never reach some crash points).
+    val b0 = batch0 ++ Seq[(Long, Sim.Evt)](
+      5L -> Sim.NcSpecAdded("ncs1", "Well", "WELL"),
+      6L -> Sim.TeSpecAdded("tes1", isCustomerTermination = true))
+    val b1 = Seq[(Long, Sim.Evt)](
+      7L -> Sim.SeMoved("eq1", Seq("n3", "n4")),
+      8L -> Sim.WtCreated("wt1", "N-1", "created"),
+      9L -> Sim.InstCreated("inst1", "I-1", Some("ua-1"), "planned", None),
+      10L -> Sim.NcPlaced("nc1", "n9", "ncs1"),
+      11L -> Sim.TePlaced("te1", "Term 1", "tes1", "nc1", None),
+      12L -> Sim.WalkRegistered("w9", Seq("n8", "n9")))
+    val oracle = Derivations.conduitSlack(EventLog.decode(toDf(b0 ++ b1)))
       .collect().map(r => (r.getAs[String]("route_node_id"), r.getAs[Int]("number_of_ends"))).toSet
     Incremental.outputKey.keys.toSeq.sorted.foreach { crashTable =>
       val stateDir = Files.createTempDirectory(s"graft-atomic-$crashTable").toFile.getPath
       val store = new StateStore(spark, stateDir, nBuckets = 16)
-      Incremental.step(store, EventLog.decode(toDf(batch0)), batchId = 0L)
+      Incremental.step(store, EventLog.decode(toDf(b0)), batchId = 0L)
 
       val crashing: Incremental.Sink = (table, _, _) =>
         if (table == crashTable) throw new RuntimeException(s"injected crash at $crashTable")
       intercept[RuntimeException] {
-        Incremental.step(store, EventLog.decode(toDf(batch1)), crashing, batchId = 1L)
+        Incremental.step(store, EventLog.decode(toDf(b1)), crashing, batchId = 1L)
       }
       assert(store.lastAppliedBatch === Some(0L),
         s"$crashTable: crashed batch must not be recorded as applied")
 
-      Incremental.step(store, EventLog.decode(toDf(batch1)), batchId = 1L)
+      Incremental.step(store, EventLog.decode(toDf(b1)), batchId = 1L)
       assert(slackOf(store) === oracle, s"$crashTable: replay diverged from one-shot fold")
       val ends = store.readAll("st_eligible_ends",
           StructType.fromDDL("id STRING, route_node_id STRING, end_kind STRING"))
