@@ -64,12 +64,41 @@ object EngineBench {
     q.awaitTermination()
     val catchupSec = (System.nanoTime() - tC0) / 1e9
     val eps = tail.size / catchupSec
+
+    // steady-state segment: UPDATE-only batches (status changes + moves —
+    // the sparse mix a deployed projector sees between provisioning waves;
+    // exercises the family-skip path the dense tail cannot)
+    val sparse = graft.projector.LogSynth.updates(sites, 2000, evts.size + 1L)
+    graft.projector.LogSynth.write(spark, s"$root/sparse_stage", sparse, 4)
+    new java.io.File(s"$root/sparse_stage").listFiles().foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(eventsDir, s"sparse-${f.getName}").toPath)
+      ()
+    }
+    val sparseSecs = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    lastMark.set(System.nanoTime())
+    val tS0 = System.nanoTime()
+    val q2 = graft.streaming.CatchUp.startQuery(spark, eventsDir, store,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      onBatch = id => {
+        val now = System.nanoTime()
+        sparseSecs.add((now - lastMark.getAndSet(now)) / 1e9)
+        onBatch(id)
+      },
+      maxFilesPerTrigger = Some(1))
+    q2.awaitTermination()
+    val sparseSec = (System.nanoTime() - tS0) / 1e9
+    val epsSparse = sparse.size / sparseSec
+
     import scala.jdk.CollectionConverters._
     val batchJson = batchSecs.asScala.map(s => "%.2f".format(s)).mkString("[", ",", "]")
+    val sparseJson = sparseSecs.asScala.map(s => "%.2f".format(s)).mkString("[", ",", "]")
     s"""{"backfill_sec":$backfillSec,"backfill_events":${evts.size},""" +
       s""""catchup_events_per_sec":${"%.1f".format(eps)},""" +
       s""""catchup_tail_events":${tail.size},"catchup_sec":$catchupSec,""" +
-      s""""catchup_batch_secs":$batchJson,"sites":$sites}"""
+      s""""catchup_batch_secs":$batchJson,""" +
+      s""""sparse_events_per_sec":${"%.1f".format(epsSparse)},""" +
+      s""""sparse_batch_secs":$sparseJson,"sites":$sites}"""
   }
 
   def main(args: Array[String]): Unit = {

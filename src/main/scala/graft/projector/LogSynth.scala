@@ -110,6 +110,26 @@ object LogSynth {
     out.result().zipWithIndex.map { case ((t, p), i) => ((i + 1).toLong, t, p) }
   }
 
+  /** Update-only events over entities [[events]] created — the
+    * steady-state tail a deployed projector actually sees (status changes
+    * and moves, 2-3 families per batch, no new entities). Deterministic;
+    * seqs start at `seqStart`. */
+  def updates(sites: Int, count: Int, seqStart: Long): Vector[(Long, String, String)] = {
+    (0 until count).toVector.map { i =>
+      val k = i % sites
+      val (typ, payload) = i % 3 match {
+        case 0 => ("InstallationStatusChanged",
+          Js.obj("id" -> Js.s(s"inst-$k"), "status" -> Js.s(s"state-${i % 7}")))
+        case 1 => ("WorkTaskStatusChanged",
+          Js.obj("workTaskId" -> Js.s(s"wt-$k"), "status" -> Js.s(s"phase-${i % 5}")))
+        case _ => ("SpanEquipmentMoved",
+          Js.obj("spanEquipmentId" -> Js.s(s"cond-$k"),
+            "nodesOfInterestIds" -> Js.arr(Seq(s"rn-$k-${i % 3}", s"rn-$k-3").map(Js.s))))
+      }
+      (seqStart + i, typ, payload)
+    }
+  }
+
   val envelopeSchema: StructType =
     StructType.fromDDL("seq BIGINT, event_type STRING, payload STRING")
 

@@ -214,7 +214,7 @@ object Incremental {
       if (has(instTypes)) section {
         val (instKeys, _, instMerged) = mergeFamily(store, "st_installation", "id",
           Derivations.installationPartial(b), Derivations.installationPartialPairs, Nil,
-          batchId = batchId)
+          batchId = batchId, snapshot = false)
         writeOutput(store, syncSink, "installation", instKeys,
           Derivations.installationFromPartial(instMerged))
       }
@@ -222,7 +222,7 @@ object Incremental {
       if (has(wtTypes)) section {
         val (wtKeys, _, wtMerged) = mergeFamily(store, "st_work_task", "id",
           Derivations.workTaskPartial(b), Derivations.workTaskPartialPairs, Nil,
-          batchId = batchId)
+          batchId = batchId, snapshot = false)
         writeOutput(store, syncSink, "work_task", wtKeys,
           Derivations.workTaskFromPartial(wtMerged))
       }
@@ -248,8 +248,11 @@ object Incremental {
         val bTerm = Derivations.terminalPartial(
           Derivations.terminalPlacementRows(relRows, termPlac, termSpecs),
           Derivations.terminalUpdateRows(b))
+        // st_terminal's own stored partial feeds only its merge (the as-of
+        // inputs come from the st_node_container SNAPSHOT above)
         val (termKeys, _, termMerged) = mergeFamily(store, "st_terminal", "id", bTerm,
-          Derivations.terminalPartialPairs, Derivations.terminalPartialSeqs, batchId = batchId)
+          Derivations.terminalPartialPairs, Derivations.terminalPartialSeqs,
+          batchId = batchId, snapshot = false)
         writeOutput(store, syncSink, "service_termination", termKeys,
           Derivations.serviceTerminationFromPartial(termMerged))
       }
@@ -346,7 +349,10 @@ object Incremental {
         .agg(max_by(col("has_child"), col("seq")).as("has_child"),
           max(col("seq")).as("hc_seq"))
       val hcKeys = batchHc.select(col("parent_id").as("k")).distinct().localCheckpoint(true)
-      val hcStored = store.readKeyedSnap(batchId, "st_has_child", hcSchema, "parent_id", hcKeys)
+      // no snapshot: batchHc is replay-stable (derives from the
+      // st_child_affixes snapshot) and the hc merge is a max-seq fixpoint
+      val hcStored = store.readKeyed("st_has_child", hcSchema, "parent_id", hcKeys)
+        .localCheckpoint(true)
       val hcMerged = Folds
         .mergePartials(Seq(hcStored, batchHc), "parent_id", Seq("has_child" -> "hc_seq"))
         .localCheckpoint(true)
@@ -523,14 +529,21 @@ object Incremental {
   private def mergeFamily(store: StateStore, table: String, idCol: String,
       batchPartial: DataFrame, pairs: Seq[(String, String)], seqs: Seq[String],
       extraReadKeys: Option[DataFrame] = None,
-      batchId: Long = -1L): (DataFrame, DataFrame, DataFrame) = {
+      batchId: Long = -1L, snapshot: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
     val keys0 = batchPartial.select(col(idCol).as("k")).distinct()
     val keys = extraReadKeys.map(e => keys0.unionByName(e).distinct()).getOrElse(keys0)
       .localCheckpoint(true)
     // snapshot mode: the read is parquet-backed (its own lineage cut), so
-    // no localCheckpoint needed on top
+    // no localCheckpoint needed on top. `snapshot = false` is for families
+    // whose stored state feeds ONLY the field-wise max-seq merge: merging
+    // a batch's markers onto state that already absorbed them is a
+    // fixpoint, so a mid-crash replay converges without the pre-merge
+    // snapshot round-trip. Families whose PRE-batch state feeds other
+    // computations (vacated span positions, container/interest as-of
+    // pseudo-events, open affixes) keep their snapshots.
     val stored =
-      if (batchId >= 0) store.readKeyedSnap(batchId, table, batchPartial.schema, idCol, keys)
+      if (batchId >= 0 && snapshot)
+        store.readKeyedSnap(batchId, table, batchPartial.schema, idCol, keys)
       else store.readKeyed(table, batchPartial.schema, idCol, keys).localCheckpoint(true)
     val merged = Folds.mergePartials(Seq(stored, batchPartial), idCol, pairs, seqs)
       .localCheckpoint(true)
