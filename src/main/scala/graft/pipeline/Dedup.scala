@@ -171,7 +171,7 @@ object Dedup {
     // memory by construction, and no cache survives the call (VERDICT r4
     // #4; the earlier persist+count+collect design both leaked the cache
     // and computed the edge subtree twice)
-    val capped = e.limit(maxDriverEdges.toInt + 1).collect()
+    val capped = e.limit(math.min(maxDriverEdges, Int.MaxValue - 1L).toInt + 1).collect()
     if (capped.length <= maxDriverEdges) driverComponents(capped, e.schema, vertices)
     else loopComponents(e, vertices, maxIter)
   }

@@ -70,7 +70,7 @@ object Pipeline {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
     val cand = Dedup.candidatesFromBuckets(Dedup.minhashBuckets(d, "doc_id", "sh"))
-    val capped = cand.limit(maxBroadcast.toInt + 1).collect()
+    val capped = cand.limit(math.min(maxBroadcast, Int.MaxValue - 1L).toInt + 1).collect()
     val joined =
       if (capped.length <= maxBroadcast) {
         import scala.jdk.CollectionConverters._
