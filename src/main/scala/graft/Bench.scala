@@ -133,6 +133,9 @@ object Bench {
           .getOrCreate()
         spark3.sparkContext.setLogLevel("WARN")
         try {
+          // drain the query sections' GC/cleaner debt outside the engine
+          // timing window (same hygiene as the per-query isolation)
+          System.gc()
           val sites = sys.env.getOrElse("SPARK_GRAFT_ENGINE_SITES", "4000").toInt
           EngineBench.run(spark3, sites)
         } catch {

@@ -88,20 +88,26 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
   def bucketOf(table: String, key: Column): Column =
     bucketExpr(key, bucketCount(table))
 
+  // crash recovery is checked once per table per store instance: only
+  // THIS process's writeFull can create a new `.old_` afterwards, and it
+  // either completes the swap or fails loudly (single-writer store)
+  private val recoveryChecked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def exists(table: String): Boolean = {
     val p = new Path(path(table))
-    // a crash between the two renames of a full-write swap leaves the table
-    // only under `.old_<table>` — promote it back before answering (single
-    // writer, so the rename cannot race another mutation)
-    val old = new Path(s"$root/.old_$table")
-    if (!fs.exists(p) && fs.exists(old)) {
-      if (!fs.rename(old, p)) sys.error(s"StateStore: failed to recover $table")
-      layoutCache.remove(table)
-      ()
-    } else if (fs.exists(old)) {
-      // crash after promote but before trash cleanup — the swap completed
-      fs.delete(old, true)
-      ()
+    if (recoveryChecked.add(table)) {
+      // a crash between the two renames of a full-write swap leaves the
+      // table only under `.old_<table>` — promote it back before answering
+      val old = new Path(s"$root/.old_$table")
+      if (!fs.exists(p) && fs.exists(old)) {
+        if (!fs.rename(old, p)) sys.error(s"StateStore: failed to recover $table")
+        layoutCache.remove(table)
+        ()
+      } else if (fs.exists(old)) {
+        // crash after promote but before trash cleanup — the swap completed
+        fs.delete(old, true)
+        ()
+      }
     }
     // a bare _SUCCESS/empty dir (all-bucket overwrite of an empty frame)
     // counts as existing-but-empty only if some bucket dir is present
