@@ -91,13 +91,17 @@ object EngineBench {
     val epsSparse = sparse.size / sparseSec
 
     import scala.jdk.CollectionConverters._
-    val batchJson = batchSecs.asScala.map(s => "%.2f".format(s)).mkString("[", ",", "]")
-    val sparseJson = sparseSecs.asScala.map(s => "%.2f".format(s)).mkString("[", ",", "]")
+    // Locale.ROOT: the default locale may render decimals with commas,
+    // which would make the emitted JSON unparseable (ADVICE r5)
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def f1(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    val batchJson = batchSecs.asScala.map(f2).mkString("[", ",", "]")
+    val sparseJson = sparseSecs.asScala.map(f2).mkString("[", ",", "]")
     s"""{"backfill_sec":$backfillSec,"backfill_events":${evts.size},""" +
-      s""""catchup_events_per_sec":${"%.1f".format(eps)},""" +
+      s""""catchup_events_per_sec":${f1(eps)},""" +
       s""""catchup_tail_events":${tail.size},"catchup_sec":$catchupSec,""" +
       s""""catchup_batch_secs":$batchJson,""" +
-      s""""sparse_events_per_sec":${"%.1f".format(epsSparse)},""" +
+      s""""sparse_events_per_sec":${f1(epsSparse)},""" +
       s""""sparse_batch_secs":$sparseJson,"sites":$sites}"""
   }
 

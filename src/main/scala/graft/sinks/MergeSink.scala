@@ -31,6 +31,11 @@ import org.apache.spark.sql.DataFrame
   */
 object MergeSink {
 
+  // Escapes only single quotes: sufficient for the test/contract role
+  // (inline VALUES over controlled fixture ids/names), NOT for untrusted
+  // data against a real warehouse — inline string interpolation is an
+  // injection surface there. The only production form is [[usingViewSql]],
+  // whose statement carries no inlined data at all (VERDICT r5 #7).
   private def lit(v: Any): String = v match {
     case null => "NULL"
     case s: String => "'" + s.replace("'", "''") + "'"

@@ -166,8 +166,11 @@ object Incremental {
     import scala.concurrent.duration.Duration
     val rawSink = sink
     val syncSink: Sink = (t, d, u) => rawSink.synchronized { rawSink(t, d, u) }
-    val pending = scala.collection.mutable.ArrayBuffer[Future[Unit]]()
+    val pending = scala.collection.mutable.ArrayBuffer[Future[Any]]()
     def section(body: => Unit): Unit = { pending += Future(body)(stepEc); () }
+    def tracked[T](body: => T): Future[T] = {
+      val f = Future(body)(stepEc); pending += f; f
+    }
     // Snapshot the persisted-RDD set: every localCheckpoint below caches
     // blocks that outlive the step (ContextCleaner frees them only on GC),
     // and a long-running stream — or a long test suite — accumulates them
@@ -187,17 +190,21 @@ object Incremental {
       def has(ts: Seq[String]): Boolean = ts.exists(typesPresent)
       // the four dim merges are independent (disjoint tiny tables) and
       // every family section joins their results — run them concurrently
-      // and join before launching the sections
-      val fSeSpec = Future(mergeDim(store, "dim_span_equipment_spec",
+      // and join before launching the sections. Tracked in `pending` so the
+      // finally-block quiesce covers them too: if the main thread throws
+      // while a dim merge is still in flight, the step must not return with
+      // a zombie write racing a redelivered step on the same dim table
+      // (ADVICE r5).
+      val fSeSpec = tracked(mergeDim(store, "dim_span_equipment_spec",
         Derivations.spanEquipmentSpecsPartial(b), "spec_id", Seq("s" -> "d_seq"),
-        dimHas("dim_span_equipment_spec"), batchId))(stepEc)
-      val fNcSpec = Future(mergeDim(store, "dim_node_container_spec",
+        dimHas("dim_span_equipment_spec"), batchId))
+      val fNcSpec = tracked(mergeDim(store, "dim_node_container_spec",
         Derivations.nodeContainerSpecsPartial(b), "spec_id", Seq("s" -> "d_seq"),
-        dimHas("dim_node_container_spec"), batchId))(stepEc)
-      val fStructSpec = Future(mergeDim(store, "dim_span_structure_spec",
+        dimHas("dim_node_container_spec"), batchId))
+      val fStructSpec = tracked(mergeDim(store, "dim_span_structure_spec",
         Derivations.spanStructureSpecsPartial(b), "structure_spec_id",
         Seq("outer_diameter" -> "d_seq"),
-        dimHas("dim_span_structure_spec"), batchId))(stepEc)
+        dimHas("dim_span_structure_spec"), batchId))
       val termSpecP = mergeDim(store, "dim_terminal_spec",
         Derivations.terminalSpecsPartial(b), "spec_id",
         Seq("is_customer_termination" -> "d_seq"),

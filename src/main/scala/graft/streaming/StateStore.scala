@@ -126,8 +126,11 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     * bounded-size tables (folded state ≪ event log) and final reads. */
   def readAll(table: String, schema: StructType): DataFrame =
     if (exists(table)) {
-      val df = spark.read.parquet(path(table)).drop("bucket")
-      df.select(schema.fieldNames.map(col).toSeq: _*)
+      // explicit schema (incl. the bucket partition column) — same as
+      // readKeyed: inference costs a footer-listing job per read
+      spark.read.schema(withBucketField(schema)).parquet(path(table))
+        .drop("bucket")
+        .select(schema.fieldNames.map(col).toSeq: _*)
     } else emptyDf(schema)
 
   /** Key lists up to this size restrict reads/merges with driver-side
@@ -177,7 +180,7 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     val bcol = bucketSrcCol.getOrElse(keyCol)
     if (!exists(table)) {
       writeFull(table, bcol, replacement, bucketCount(table))
-      growIfNeeded(table, bcol, None)
+      growIfNeeded(table, bcol, replacement.schema, None)
       return
     }
     val n = bucketCount(table)
@@ -229,7 +232,7 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
       fs.delete(new Path(s"${path(table)}/bucket=$bk"), true)
     }
     merged.unpersist(blocking = false)
-    growIfNeeded(table, bcol, Some(buckets.toSeq))
+    growIfNeeded(table, bcol, replacement.schema, Some(buckets.toSeq))
   }
 
   /** Overwrite a bucketed table wholesale (bucket = hash of `bucketCol`).
@@ -242,7 +245,7 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     * needs, not the constructor floor. */
   def writeBucketed(table: String, bucketCol: String, df: DataFrame): Unit = {
     writeFull(table, bucketCol, df, bucketCount(table))
-    growIfNeeded(table, bucketCol, None)
+    growIfNeeded(table, bucketCol, df.schema, None)
   }
 
   /** Data + `_nbuckets` layout entry land together via one tmp-dir swap:
@@ -281,7 +284,7 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     * one full write just happened): trigger on the mean, so a large seeded
     * table immediately gets the count its size needs. The probe is
     * driver-side directory metadata, bounded by the touched set. */
-  private def growIfNeeded(table: String, bucketCol: String,
+  private def growIfNeeded(table: String, bucketCol: String, schema: StructType,
       touched: Option[Seq[Int]]): Unit = {
     if (!exists(table)) return
     val count = bucketCount(table)
@@ -296,7 +299,11 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
       var newCount = count
       while (total / newCount > maxBucketBytes) newCount *= 2
       if (newCount > count) {
-        val df = spark.read.parquet(path(table)).drop("bucket")
+        // explicit schema (the caller's write just landed these fields);
+        // strip any caller-side bucket column before re-deriving it
+        val dataSchema = StructType(schema.fields.filterNot(_.name == "bucket"))
+        val df = spark.read.schema(withBucketField(dataSchema))
+          .parquet(path(table)).drop("bucket")
         writeFull(table, bucketCol, df, newCount)
       }
     }
