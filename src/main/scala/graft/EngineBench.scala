@@ -17,6 +17,46 @@ import org.apache.spark.sql.SparkSession
   */
 object EngineBench {
 
+  private def median(xs: Seq[Double]): Double =
+    if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.size / 2)
+
+  /** Seed a FRESH store at `sites` and stream one sparse (update-only)
+    * segment through the real catch-up query; returns per-batch seconds.
+    * The 4×-state soak (VERDICT r5 #5): per-batch cost must be
+    * state-size-independent — the stream-level version of
+    * StateStoreScaleSpec's write-bound promise. */
+  private def sparseSegment(spark: SparkSession, sites: Int,
+      updates: Int): Vector[Double] = {
+    val evts = graft.projector.LogSynth.events(sites)
+    val root = java.nio.file.Files.createTempDirectory("graft-engine-soak").toFile.getPath
+    val eventsDir = s"$root/events"
+    graft.projector.LogSynth.write(spark, eventsDir, evts, 4)
+    val store = new graft.streaming.StateStore(spark, s"$root/state")
+    graft.streaming.Incremental.seed(store,
+      graft.projector.EventLog.decode(
+        spark.read.schema(graft.projector.LogSynth.envelopeSchema).parquet(eventsDir)))
+    val sparse = graft.projector.LogSynth.updates(sites, updates, evts.size + 1L)
+    graft.projector.LogSynth.write(spark, s"$root/sparse_stage", sparse, 4)
+    new java.io.File(s"$root/sparse_stage").listFiles().foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(eventsDir, s"sparse-${f.getName}").toPath)
+      ()
+    }
+    val secs = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    val mark = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    val q = graft.streaming.CatchUp.startQuery(spark, eventsDir, store,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      onBatch = _ => {
+        val now = System.nanoTime()
+        secs.add((now - mark.getAndSet(now)) / 1e9)
+        ()
+      },
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    secs.asScala.toVector
+  }
+
   /** Runs the engine benchmark; returns a JSON object string. */
   def run(spark: SparkSession, sites: Int,
       onBatch: Long => Unit = _ => ()): String = {
@@ -90,19 +130,39 @@ object EngineBench {
     val sparseSec = (System.nanoTime() - tS0) / 1e9
     val epsSparse = sparse.size / sparseSec
 
+    // 4×-state soak (VERDICT r5 #5): the same sparse segment against a
+    // freshly seeded 4×-sites store — per-batch cost must stay within
+    // ~1.5× of the base number (state-size independence of the step).
+    // SPARK_GRAFT_ENGINE_SOAK_SITES=0 skips it (fast local probes).
+    val soakSites = sys.env.getOrElse("SPARK_GRAFT_ENGINE_SOAK_SITES",
+      (sites * 4).toString).toInt
+    val soakSecs: Vector[Double] =
+      if (soakSites <= 0) Vector.empty
+      else sparseSegment(spark, soakSites, 2000)
+
     import scala.jdk.CollectionConverters._
     // Locale.ROOT: the default locale may render decimals with commas,
     // which would make the emitted JSON unparseable (ADVICE r5)
     def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def f1(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
-    val batchJson = batchSecs.asScala.map(f2).mkString("[", ",", "]")
-    val sparseJson = sparseSecs.asScala.map(f2).mkString("[", ",", "]")
+    def arr(xs: Seq[Double]) = xs.map(f2).mkString("[", ",", "]")
+    val batches = batchSecs.asScala.toVector
+    val sparses = sparseSecs.asScala.toVector
+    val soakRatio =
+      if (soakSecs.isEmpty || median(sparses) == 0.0) 0.0
+      else median(soakSecs) / median(sparses)
     s"""{"backfill_sec":$backfillSec,"backfill_events":${evts.size},""" +
       s""""catchup_events_per_sec":${f1(eps)},""" +
       s""""catchup_tail_events":${tail.size},"catchup_sec":$catchupSec,""" +
-      s""""catchup_batch_secs":$batchJson,""" +
+      s""""catchup_batch_secs":${arr(batches)},""" +
+      s""""catchup_batch_median":${f2(median(batches))},""" +
       s""""sparse_events_per_sec":${f1(epsSparse)},""" +
-      s""""sparse_batch_secs":$sparseJson,"sites":$sites}"""
+      s""""sparse_batch_secs":${arr(sparses)},""" +
+      s""""sparse_batch_median":${f2(median(sparses))},""" +
+      s""""sparse_batch_secs_soak":${arr(soakSecs)},""" +
+      s""""sparse_batch_median_soak":${f2(median(soakSecs))},""" +
+      s""""soak_sites":$soakSites,"sparse_soak_ratio":${f2(soakRatio)},""" +
+      s""""sites":$sites}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -115,6 +175,11 @@ object EngineBench {
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same knobs as the production CatchUp session (see CatchUp.main):
+      // AQE re-planning and distributed partition discovery only add jobs
+      // at micro-batch frame sizes
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var last = System.nanoTime()

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic main: counts the Spark jobs one incremental step runs for a
+  * dense and a sparse micro-batch (the step's latency is jobs × planning,
+  * not data volume — see README scale notes). Not part of the driver
+  * contract; used to verify job-fusion work actually lands.
+  */
+object StepProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-step-probe")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sites = 4000
+    val evts = graft.projector.LogSynth.events(sites)
+    val root = java.nio.file.Files.createTempDirectory("graft-step-probe").toFile.getPath
+    val store = new graft.streaming.StateStore(spark, s"$root/state")
+    graft.streaming.Incremental.seed(store,
+      graft.projector.EventLog.decode(graft.projector.LogSynth.toDf(spark, evts)))
+
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val d = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("") + " " +
+          js.stageInfos.map(_.name.takeWhile(_ != '(')).mkString("|").take(120)
+        starts.put(js.jobId, (System.nanoTime(), d)); ()
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        Option(starts.remove(je.jobId)).foreach { case (t0, d) =>
+          done.add((je.jobId, (System.nanoTime() - t0) / 1e9, d)); ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    def probe(name: String, batch: Vector[(Long, String, String)]): Unit = {
+      done.clear(); starts.clear()
+      val t0 = System.nanoTime()
+      graft.streaming.Incremental.step(store,
+        graft.projector.EventLog.decode(graft.projector.LogSynth.toDf(spark, batch)),
+        batchId = -1L)
+      val secs = (System.nanoTime() - t0) / 1e9
+      import scala.jdk.CollectionConverters._
+      val js = done.asScala.toVector
+      println(f"== $name: ${js.size} jobs, $secs%.2f s, sum-of-jobs ${js.map(_._2).sum}%.2f s ==")
+      js.sortBy(-_._2).take(25).foreach { case (id, s, d) =>
+        println(f"  $s%6.2fs job=$id $d")
+      }
+    }
+
+    // warm one step (JIT, codegen) with a tiny update batch
+    probe("warmup-sparse", graft.projector.LogSynth.updates(sites, 50, evts.size + 1L))
+    val denseStart = evts.size + 100L
+    probe("dense(2117ev)", evts.takeRight(2117).map { case (_, t, p) =>
+      (denseStart + 1, t, p) }.zipWithIndex.map { case ((_, t, p), i) =>
+      (denseStart + i, t, p) })
+    probe("sparse(500ev)", graft.projector.LogSynth.updates(sites, 500, denseStart + 5000L))
+    spark.stop()
+  }
+}

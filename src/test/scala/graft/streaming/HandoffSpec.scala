@@ -107,7 +107,11 @@ class HandoffSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft-handoff-io").toFile
     val eventsDir = s"$dir/events"
     val stateDir = s"$dir/state"
-    val store = new StateStore(spark, stateDir, nBuckets = 64)
+    // pin the scale regime (see IncrementalScanSpec): bucket counts size by
+    // bytes since r6, and this table's ~11 KB mean bucket must stay inside
+    // the 32 KB band so neither shrink nor growth re-layouts it mid-test
+    val store = new StateStore(spark, stateDir, nBuckets = 64,
+      maxBucketBytes = 32768)
 
     // big prefix: 6000 installations with incompressible remarks
     val rnd = new Random(13)
