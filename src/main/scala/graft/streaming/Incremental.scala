@@ -172,10 +172,15 @@ object Incremental {
     val syncSink: Sink = (t, d, u) => rawSink.synchronized { rawSink(t, d, u) }
     val cap = store.maxInsetKeys
     def ksUnion(a: KeySet, b: KeySet): KeySet = KeySet.union(a, b, cap, spark)
-    val pending = scala.collection.mutable.ArrayBuffer[Future[Any]]()
-    def section(body: => Unit): Unit = { pending += Future(body)(stepEc); () }
+    // concurrent: sections may SPAWN sub-sections from their own threads
+    // (a family's output merge depends only on the already-checkpointed
+    // merged frame, so it runs concurrently with the family's remaining
+    // chain). A child is enqueued before its parent's body returns, so
+    // draining the queue until empty quiesces the whole tree.
+    val pending = new java.util.concurrent.ConcurrentLinkedQueue[Future[Any]]()
+    def section(body: => Unit): Unit = { pending.add(Future(body)(stepEc)); () }
     def tracked[T](body: => T): Future[T] = {
-      val f = Future(body)(stepEc); pending += f; f
+      val f = Future(body)(stepEc); pending.add(f); f
     }
     // Snapshot the persisted-RDD set: every localCheckpoint below caches
     // blocks that outlive the step (ContextCleaner frees them only on GC),
@@ -248,10 +253,12 @@ object Incremental {
         val (ncKeys, ncStored, ncMerged) = mergeFamily(store, "st_node_container", "id",
           Derivations.nodeContainerPartial(b), Derivations.nodeContainerPartialPairs, Nil,
           extraReadKeys = Some(contRefs), batchId = batchId)
-        writeOutput(store, syncSink, sinkActive, "node_container", ncKeys,
+        // sub-section: depends only on the merge's checkpoint — overlaps
+        // the terminal chain below
+        section { writeOutput(store, syncSink, sinkActive, "node_container", ncKeys,
           Derivations.nodeContainerFromPartial(ncMerged)
             .join(broadcast(ncSpecs), Seq("spec_id"), "inner")
-            .select(col("id"), col("route_node_id"), col("spec_name"), col("spec_category")))
+            .select(col("id"), col("route_node_id"), col("spec_name"), col("spec_category"))) }
 
         val pseudoRel = ncStored.select(col("lc_seq").as("seq"),
           col("id").as("container_id"),
@@ -312,12 +319,14 @@ object Incremental {
         val (intKeys, intStored, intMerged) = mergeFamily(store, "st_interest", "interest_id",
           Derivations.interestPartial(b), Derivations.interestPartialPairs, Nil,
           extraReadKeys = Some(applyInterests), batchId = batchId)
-        writeOutput(store, syncSink, sinkActive, "rel_interest_to_route_element", intKeys,
+        // sub-section: depends only on the merge's checkpoint — overlaps
+        // the cable-walk resolve below
+        section { writeOutput(store, syncSink, sinkActive, "rel_interest_to_route_element", intKeys,
           Walks.explodeOrdered(
             Derivations.interestFromPartial(intMerged).filter(col("alive"))
               .select(col("interest_id"), col("walk")),
             "walk", "route_network_element_id", "seq_no")
-            .select(col("interest_id"), col("route_network_element_id"), col("seq_no")))
+            .select(col("interest_id"), col("route_network_element_id"), col("seq_no"))) }
 
         // pre-batch interest state as pseudo walk events at the stored seq
         // (strictly below every batch seq); an unregistered interest yields
@@ -446,8 +455,10 @@ object Incremental {
           .select(Derivations.deterministicUuid(col("k")).as("id")), slackRows)
       }
       } else if (interestRelevant) launchInterestSection()
-      // join the concurrent sections (first failure propagates) ...
-      pending.foreach(f => Await.result(f, Duration.Inf))
+      // join the concurrent sections (first failure propagates; drain
+      // until empty — sections can spawn sub-sections) ...
+      var nf = pending.poll()
+      while (nf != null) { Await.result(nf, Duration.Inf); nf = pending.poll() }
       // ... then the commit point: record completion FIRST (a crash between
       // the two leaves a skippable batch with a stale snapshot dir, cleaned
       // by the next step), then drop this batch's snapshots
@@ -458,8 +469,12 @@ object Incremental {
       ()
     } finally {
       // a section that crashed must not leave siblings racing the caller's
-      // redelivery: quiesce every section before releasing the batch cache
-      pending.foreach(f => scala.util.Try(Await.ready(f, Duration.Inf)))
+      // redelivery: quiesce every section (and spawned sub-section) before
+      // releasing the batch cache
+      var qf = pending.poll()
+      while (qf != null) {
+        scala.util.Try(Await.ready(qf, Duration.Inf)); qf = pending.poll()
+      }
       b.unpersist()
       sc.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!persistedBefore.contains(id)) rdd.unpersist(blocking = false)
