@@ -107,6 +107,36 @@ class StateStoreScaleSpec extends SparkTestBase {
     assert(got === Set("key-250", "key-999"))
   }
 
+  test("wholesale writes shrink an oversized layout; merges read the new count") {
+    // the r6 mirror of the growth bound: a SMALL table must not keep the
+    // constructor's 64-bucket floor (64 near-empty files ⇒ every micro-
+    // batch merge pays ~all of them in file opens — per-file fixed cost,
+    // not data, dominates the 2-second loop)
+    val dir = Files.createTempDirectory("graft-shrink").toFile
+    val store = new StateStore(spark, dir.getPath, nBuckets = 64,
+      maxBucketBytes = 256L << 20)
+    store.writeBucketed("t", "k", rowsDf(1 to 200)) // a few hundred KB at most
+    assert(store.bucketCount("t") === 1,
+      s"small table kept ${store.bucketCount("t")} buckets — shrink did not fire")
+    val bucketDirs = Option(new java.io.File(dir, "t").listFiles()).get
+      .count(_.getName.startsWith("bucket="))
+    assert(bucketDirs === 1, s"expected one bucket dir, found $bucketDirs")
+
+    // merges against the shrunk layout stay exact (delete, rewrite, insert)
+    store.mergeReplace("t", "k", keysDf(Seq(1, 2, 300)), rowsDf(Seq(2, 300)))
+    val expected = ((3 to 200).map(i => s"key-$i" -> payload(i)) ++
+      Seq("key-2" -> payload(2), "key-300" -> payload(300))).toMap
+    assert(contents(store) === expected, "merge on the shrunk layout diverged")
+
+    // a shrunk table that later grows large re-expands through the
+    // incremental growth path — count proportional to size both ways
+    val big = new StateStore(spark, dir.getPath, nBuckets = 64,
+      maxBucketBytes = 4 * 1024)
+    big.mergeReplace("t", "k", keysDf(500 to 900), rowsDf(500 to 900))
+    assert(big.bucketCount("t") > 1,
+      s"regrowth after shrink did not fire (count ${big.bucketCount("t")})")
+  }
+
   test("a store reopened on an old layout keeps the constructor bucket count") {
     val dir = Files.createTempDirectory("graft-compat").toFile
     val store = new StateStore(spark, dir.getPath, nBuckets = 8,
