@@ -51,7 +51,7 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * one-process worker — the layout cache assumes no concurrent rebucketer.
   */
 class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
-    val maxBucketBytes: Long = 256L << 20) {
+    val maxBucketBytes: Long = 256L << 20, val maxInsetKeys: Int = 10000) {
 
   import org.apache.hadoop.fs.{FileSystem, Path}
 
@@ -164,13 +164,15 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
         .select(schema.fieldNames.map(col).toSeq: _*)
     } else emptyDf(schema)
 
-  /** Key lists up to this size restrict reads/merges with driver-side
-    * IN-set literals — pushed into the parquet scan, and crucially no
-    * broadcast-exchange JOB per use (a step re-executes each broadcast
-    * subquery on every downstream action; the 2-second loop was paying
-    * ~200 broadcast jobs per micro-batch for batch-bounded key sets).
-    * Larger key sets fall back to the broadcast-join path. */
-  val maxInsetKeys: Int = 10000
+  // `maxInsetKeys` (constructor): key sets up to this size stay DRIVER-
+  // RESIDENT ([[LocalKeys]]) and restrict reads/merges with IN-set
+  // literals pushed into the parquet scan — no broadcast-exchange JOB per
+  // use (a step re-executes each broadcast subquery on every downstream
+  // action; the 2-second loop once paid ~200 broadcast jobs per
+  // micro-batch for batch-bounded key sets). Larger sets fall back to the
+  // distributed broadcast-join path ([[DistKeys]] — the 100 TB shape).
+  // Constructor-injectable so StepDistKeysSpec can force every engine
+  // path through the distributed fallback on a small log.
 
   /** Rows of `table` whose `keyCol` is in `keys` (a one-column frame named
     * `k`). One bounded job collects the key set; the read itself is
