@@ -344,6 +344,29 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** mm_resize_plan: the REAL resize + frame-sample operators
+    * ([[Multimodal.resizeMeta]]/[[Multimodal.sampleFrameIdx]]) driven by
+    * oracle-computable inputs — media dimensions derived from the blob's
+    * byte length instead of the xxhash64 stub probe (the probe is what
+    * makes `mm_media_plan` rows-only; the geometry/sampling math is
+    * portable integer arithmetic DuckDB reproduces exactly). Hash-checks
+    * the multimodal plumbing end-to-end. */
+  def multimodalResizePlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = Multimodal.withMedia(Tables.documents(spark, dir), "text")
+    val len = col("media_meta.byte_len")
+    val meta = struct(
+      len.as("byte_len"),
+      col("media_meta.format").as("format"),
+      (pmod(len, lit(640)) + 1).cast("int").as("width"),
+      (pmod(len, lit(480)) + 1).cast("int").as("height"),
+      (pmod(len, lit(30)) + 1).cast("int").as("n_frames"))
+    d.select(col("doc_id"),
+      Multimodal.resizeMeta(meta, 320, 240).getField("width").as("resized_w"),
+      Multimodal.resizeMeta(meta, 320, 240).getField("height").as("resized_h"),
+      size(Multimodal.sampleFrameIdx(meta, 5, 4)).as("n_sampled_frames"))
+      .orderBy(col("doc_id"))
+  }
+
   /** samp_stratified: deterministic per-stratum (language) sampling —
     * keep a doc iff an arithmetic hash of its id falls under the
     * stratum's keep-rate. Row-local predicate: no shuffle, pushes to the
@@ -594,7 +617,8 @@ object Pipeline {
     "ann_ivf_recall" -> annIvfRecall,
     "dedup_embedding_cosine" -> dedupEmbedding,
     "mm_decode_meta" -> multimodalMeta,
-    "mm_media_plan" -> multimodalPlan)
+    "mm_media_plan" -> multimodalPlan,
+    "mm_resize_plan" -> multimodalResizePlan)
 
   // DuckDB equivalents. Shingle construction in SQL mirrors Text.shingles:
   // trimmed whitespace split, 3-gram windows space-joined, short docs → the
@@ -874,6 +898,27 @@ object Pipeline {
     "ann_ivf_recall" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    // the resize scale is computed in DOUBLE on both engines (Spark's
+    // Column `/` is double division) and truncated toward zero — DuckDB's
+    // int cast ROUNDS, hence the explicit trunc()
+    "mm_resize_plan" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS w,
+        |    CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS h,
+        |    CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, w, h, n,
+        |    least(CASE WHEN w > 320 THEN 320000.0 / w ELSE 1000.0 END,
+        |          CASE WHEN h > 240 THEN 240000.0 / h ELSE 1000.0 END) AS sc
+        |  FROM g
+        |)
+        |SELECT doc_id,
+        |  CAST(trunc(w * sc / 1000.0) AS INT) AS resized_w,
+        |  CAST(trunc(h * sc / 1000.0) AS INT) AS resized_h,
+        |  CAST(least((n - 1) // 5 + 1, 4) AS INT) AS n_sampled_frames
+        |FROM s""".stripMargin,
     "mm_decode_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
