@@ -140,9 +140,10 @@ object Incremental {
     "WalkOfInterestRouteNetworkElementsModified", "InterestUnregistered")
 
   // Independent family sections of a step run concurrently (they touch
-  // disjoint store tables): a step is ~70 small driver actions whose
-  // planning latency, not data volume, bounds the 2-second loop — four
-  // section threads overlap that latency. Daemon pool, shared across steps.
+  // disjoint store tables): a step is dozens of small driver actions whose
+  // per-job latency, not data volume, bounds the 2-second loop — section
+  // threads (and the output sub-sections they spawn) overlap that latency.
+  // Daemon pool, shared across steps.
   private lazy val stepEc = scala.concurrent.ExecutionContext.fromExecutor(
     java.util.concurrent.Executors.newFixedThreadPool(6, (r: Runnable) => {
       val t = new Thread(r, "graft-step"); t.setDaemon(true); t
