@@ -33,13 +33,22 @@ object Bench {
     try {
       val javaBin = new java.io.File(
         new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      // the child gets a RIGHT-SIZED heap, not this JVM's 48g: the engine
+      // workload needs a fraction of it, and two 48g heaps on one box put
+      // the timed child under page-cache/GC pressure from the parent's
+      // residual garbage (observed as multi-second batch outliers)
+      val childMem = sys.env.getOrElse("SPARK_GRAFT_ENGINE_MEM", "16g")
       val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.asScala.toSeq
-        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xrunjdwp"))
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xrunjdwp") ||
+          a.startsWith("-Xmx") || a.startsWith("-Xms"))
       val cp = System.getProperty("java.class.path")
       if (cp == null || !cp.contains(java.io.File.pathSeparator))
         return Left(s"classpath not forked ($cp) — running under an in-process launcher?")
-      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.EngineBench")
+      // drain this JVM's query-suite garbage before the timed child starts
+      // (a jdk17 G1 full GC also uncommits heap back to the OS)
+      System.gc()
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(s"-Xmx$childMem", "-cp", cp, "graft.EngineBench")
       val pb = new ProcessBuilder(cmd.asJava)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()

@@ -148,20 +148,33 @@ object EngineBench {
     def arr(xs: Seq[Double]) = xs.map(f2).mkString("[", ",", "]")
     val batches = batchSecs.asScala.toVector
     val sparses = sparseSecs.asScala.toVector
+    def mn(xs: Seq[Double]) = if (xs.isEmpty) 0.0 else xs.min
     val soakRatio =
       if (soakSecs.isEmpty || median(sparses) == 0.0) 0.0
       else median(soakSecs) / median(sparses)
+    // min-based ratio alongside the median one: host contention lands as
+    // multi-second spikes on individual batches, and the MIN of each
+    // segment is the contention-robust signal for the state-size-
+    // independence claim (a real state-proportional cost would raise the
+    // min too, not just the tail)
+    val soakRatioMin =
+      if (soakSecs.isEmpty || mn(sparses) == 0.0) 0.0
+      else mn(soakSecs) / mn(sparses)
     s"""{"backfill_sec":$backfillSec,"backfill_events":${evts.size},""" +
       s""""catchup_events_per_sec":${f1(eps)},""" +
       s""""catchup_tail_events":${tail.size},"catchup_sec":$catchupSec,""" +
       s""""catchup_batch_secs":${arr(batches)},""" +
       s""""catchup_batch_median":${f2(median(batches))},""" +
+      s""""catchup_batch_min":${f2(mn(batches))},""" +
       s""""sparse_events_per_sec":${f1(epsSparse)},""" +
       s""""sparse_batch_secs":${arr(sparses)},""" +
       s""""sparse_batch_median":${f2(median(sparses))},""" +
+      s""""sparse_batch_min":${f2(mn(sparses))},""" +
       s""""sparse_batch_secs_soak":${arr(soakSecs)},""" +
       s""""sparse_batch_median_soak":${f2(median(soakSecs))},""" +
+      s""""sparse_batch_min_soak":${f2(mn(soakSecs))},""" +
       s""""soak_sites":$soakSites,"sparse_soak_ratio":${f2(soakRatio)},""" +
+      s""""sparse_soak_ratio_min":${f2(soakRatioMin)},""" +
       s""""sites":$sites}"""
   }
 
