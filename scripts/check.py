@@ -65,6 +65,17 @@ def main():
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(OUT) if os.path.isdir(f"{OUT}/{d}"))
     n_pass = n_fail = n_rowsonly = 0
+    # queries that threw inside graft.Verify have no parquet dir — count
+    # each as a failure instead of silently shrinking the tally
+    err_file = f"{OUT}/verify_errors.json"
+    errored = set(json.load(open(err_file))) if os.path.exists(err_file) else set()
+    for name in sorted(errored):
+        n_fail += 1
+        print(f"{'VERIFY_ERR':18} {name}: query threw in graft.Verify")
+    # an oracle entry with no dumped result dir is also a failure
+    for name in sorted(set(oracle) - set(names) - errored):
+        n_fail += 1
+        print(f"{'MISSING':18} {name}: oracle present but no result dumped")
     for name in names:
         spark_df = pq.read_table(f"{OUT}/{name}").to_pandas()
         if name not in oracle:

@@ -10,6 +10,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * under `PushedFilters` and a narrow `ReadSchema` in
   * `.explain("formatted")`. At 100 TB the same call reads a partitioned
   * directory tree; nothing here assumes a single file.
+  *
+  * Schema inference here is DELIBERATE (unlike every
+  * [[graft.streaming.StateStore]] read, which passes explicit schemas on
+  * the 2-second hot path): these are external tables whose schema the
+  * test-data generator owns, each read once per query, and a hardcoded
+  * copy would silently drift from the generator's.
   */
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -22,20 +28,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** The events table carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects unless `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-    * Verify/Bench/test sessions), in which case `ts` arrives as BIGINT
-    * nanoseconds. Normalize either representation to a `ts_us` BIGINT
-    * microseconds column (matching DuckDB's µs-truncated TIMESTAMP) so
-    * query code is independent of the reader mode.
+  /** The events table's `ts` column has shipped in three physical forms
+    * across test-data generations: TIMESTAMP(NANOS) (readable only with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` → BIGINT nanoseconds),
+    * naive TIMESTAMP(MICROS) (isAdjustedToUTC=false → TIMESTAMP_NTZ under
+    * Spark's default NTZ inference), and UTC-adjusted TIMESTAMP(MICROS)
+    * (→ TIMESTAMP). Normalize all three to a `ts_us` BIGINT microseconds
+    * column (matching DuckDB's naive-µs TIMESTAMP arithmetic; sessions run
+    * in UTC so the NTZ→TZ cast is instant-preserving) so query code is
+    * independent of the writer generation and reader mode.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    val tsUs =
-      if (raw.schema("ts").dataType == LongType) expr("ts div 1000")
-      else unix_micros(col("ts"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case _ => unix_micros(col("ts"))
+    }
     raw.withColumn("ts_us", tsUs)
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

@@ -18,10 +18,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -40,6 +42,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a query that threw has no parquet dir — record it so the gate can
+    // count it as a failure instead of silently dropping it from the tally
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      failed.map(q).mkString("[", ",", "]"))
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
+      spark.stop(); sys.exit(1)
+    }
     spark.stop()
   }
 }

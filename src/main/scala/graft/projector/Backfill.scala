@@ -27,7 +27,8 @@ object Backfill {
     * where this replay stopped instead of refolding the log. */
   def run(spark: SparkSession, eventsPath: String, outDir: String,
       stateDir: Option[String] = None): Long = {
-    val ev = EventLog.decode(spark.read.parquet(eventsPath)).cache()
+    val ev = EventLog.decode(
+      spark.read.schema(EventLog.envelopeSchema).parquet(eventsPath)).cache()
     val (tables, release) = Derivations.deriveAllCached(ev)
     try {
       JdbcSink.writeParquet(tables, outDir)

@@ -71,6 +71,13 @@ object EventLog {
   /** The C# `Guid.Empty` sentinel used for "no terminal connected". */
   val EmptyUuid = "00000000-0000-0000-0000-000000000000"
 
+  /** Raw on-disk envelope schema — every reader of the event parquet
+    * passes this explicitly (schema inference costs a footer-listing job,
+    * and the envelope is a fixed contract, FIXTURES.md §2). */
+  val envelopeDdl = "seq BIGINT, event_type STRING, payload STRING"
+  val envelopeSchema: StructType =
+    DataType.fromDDL(envelopeDdl).asInstanceOf[StructType]
+
   /** Decode a raw envelope (seq, event_type, payload JSON-string) into
     * (seq, event_type, p STRUCT). */
   def decode(raw: DataFrame): DataFrame =

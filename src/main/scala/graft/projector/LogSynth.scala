@@ -130,8 +130,7 @@ object LogSynth {
     }
   }
 
-  val envelopeSchema: StructType =
-    StructType.fromDDL("seq BIGINT, event_type STRING, payload STRING")
+  val envelopeSchema: StructType = EventLog.envelopeSchema
 
   def toDf(spark: SparkSession, evts: Seq[(Long, String, String)]): DataFrame = {
     import scala.jdk.CollectionConverters._

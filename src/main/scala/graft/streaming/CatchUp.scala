@@ -34,8 +34,6 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object CatchUp {
 
-  private val envelopeDdl = "seq BIGINT, event_type STRING, payload STRING"
-
   /** Cold-start dehydration — the reference's single-process lifecycle
     * (`Worker.cs:32-48`: dehydrate the full store, flip `_bulkMode`, then
     * poll): when the store was never seeded AND no streaming checkpoint
@@ -53,8 +51,7 @@ object CatchUp {
     val warm = store.highWater != Long.MinValue || cp.getFileSystem(conf).exists(cp)
     if (warm || !ev.getFileSystem(conf).exists(ev)) false
     else {
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(envelopeDdl)
-      val existing = spark.read.schema(schema).parquet(eventsDir)
+      val existing = spark.read.schema(EventLog.envelopeSchema).parquet(eventsDir)
       Incremental.seed(store, EventLog.decode(existing))
       true
     }
@@ -70,7 +67,7 @@ object CatchUp {
       onBatch: Long => Unit = _ => (),
       sink: Incremental.Sink = Incremental.noSink,
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(envelopeDdl)
+    val schema = EventLog.envelopeSchema
     val highWater = store.highWater
     // foreachBatch batch ids are only monotone within one checkpoint
     // incarnation: if the checkpoint was deleted (fresh id, or no metadata

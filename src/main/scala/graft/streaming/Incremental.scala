@@ -454,6 +454,17 @@ object Incremental {
       if (sinkActive) syncSink("conduit_slack",
         touchedNodes.toDf(spark, "k")
           .select(Derivations.deterministicUuid(col("k")).as("id")), slackRows)
+      } else if (sinkActive) {
+        // delivery contract (see writeOutput): an active sink observes ONE
+        // callback per output table whose section ran, even with nothing to
+        // deliver — crash-point tests count callbacks, and a sink that
+        // batches per-table acks would otherwise see a hole. Zero jobs:
+        // both frames are empty local relations (ADVICE r6).
+        syncSink("conduit_slack",
+          KeySet.empty.toDf(spark, "k")
+            .select(Derivations.deterministicUuid(col("k")).as("id")),
+          Derivations.slackFromEnds(
+            store.readKeyed("st_eligible_ends", eligSchema, "route_node_id", KeySet.empty)))
       }
       } else if (interestRelevant) launchInterestSection()
       // join the concurrent sections (first failure propagates; drain

@@ -53,8 +53,32 @@ object KeySet {
 
   val empty: KeySet = LocalKeys(Array.empty, StringType)
 
-  def local(vals: Array[Any], dt: DataType = StringType): KeySet =
-    LocalKeys(vals.distinct, dt)
+  /** `dt` must describe the runtime type of `vals` — a mismatch would
+    * only surface later (or mis-declare the schema) inside
+    * [[LocalKeys.toDf]], far from the bad call site (ADVICE r6). Checked
+    * here for the types the store buckets on. */
+  def local(vals: Array[Any], dt: DataType = StringType): KeySet = {
+    val d = vals.distinct
+    d.find(v => !typeMatches(v, dt)).foreach { v =>
+      throw new IllegalArgumentException(
+        s"KeySet.local: value of ${v.getClass.getName} does not match declared $dt")
+    }
+    LocalKeys(d, dt)
+  }
+
+  private def typeMatches(v: Any, dt: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (v, dt) match {
+      case (null, _) => true
+      case (_: String, StringType) => true
+      case (_: Int, IntegerType) => true
+      case (_: Long, LongType) => true
+      case (_: Short, ShortType) => true
+      case (_: Byte, ByteType) => true
+      case (_: Boolean, BooleanType) => true
+      case _ => false
+    }
+  }
 
   /** Distinct non-null keys of `keys` (a one-column frame): ONE bounded
     * job — `limit(cap+1).collect()` (CollectLimit stops fetching past the
@@ -74,6 +98,10 @@ object KeySet {
     * stays distributed. */
   def union(a: KeySet, b: KeySet, cap: Int, spark: SparkSession): KeySet = (a, b) match {
     case (LocalKeys(va, dta), LocalKeys(vb, dtb)) =>
+      // both sides non-empty ⇒ their declared types must agree; picking one
+      // silently would mis-declare half the union's schema (ADVICE r6)
+      require(va.isEmpty || vb.isEmpty || dta == dtb,
+        s"KeySet.union: mismatched key types $dta vs $dtb")
       val vals = (va ++ vb).distinct
       val dt = if (va.isEmpty) dtb else dta
       if (vals.length <= cap) LocalKeys(vals, dt)

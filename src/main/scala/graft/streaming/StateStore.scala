@@ -57,6 +57,11 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
 
   private def path(table: String) = s"$root/$table"
 
+  // merge-coverage verification (see mergeReplaceReturning): off on the
+  // production hot path, on for the whole test suite via SparkTestBase
+  private lazy val verifyMergeSpan: Boolean =
+    spark.conf.getOption("spark.graft.store.verifyMergeSpan").exists(_.toBoolean)
+
   // all store I/O goes through the Hadoop FileSystem API, so the same
   // layout runs on local disk, HDFS, or an object store unchanged
   private def fs: FileSystem =
@@ -99,7 +104,21 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     bucketVal(v, bucketCount(table))
 
   private def bucketVal(v: Any, n: Int): Int = {
-    val s = v match { case s: String => s; case other => String.valueOf(other) }
+    // ONLY the types whose driver-side string form provably matches
+    // `cast("string")` (KeySetSpec pins the parity). A timestamp/decimal/
+    // float key stringifies DIFFERENTLY in the JVM than in Catalyst and
+    // would silently hash to another bucket than its files were written
+    // with — losing rows on keyed reads. Fail loudly instead (ADVICE r6).
+    val s = v match {
+      case s: String => s
+      case _: Int | _: Long | _: Short | _: Byte | _: Boolean => String.valueOf(v)
+      case null => throw new IllegalArgumentException(
+        "StateStore.bucketOfValue: null bucket key (key sets drop nulls)")
+      case other => throw new IllegalArgumentException(
+        s"StateStore.bucketOfValue: unsupported key type ${other.getClass.getName} — " +
+          "driver/column xxhash64 parity is only pinned for string/integral/boolean " +
+          "keys; extend bucketVal AND KeySetSpec before bucketing on this type")
+    }
     val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
       .hash(org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType, 42L)
     (((h % n) + n) % n).toInt
@@ -274,6 +293,13 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
       replacement: DataFrame, coversKeys: Boolean = false,
       bucketSrcCol: Option[String] = None,
       extraBucketVals: Option[KeySet] = None): Option[DataFrame] = {
+    // split layout without the bucket-source values would compute an empty
+    // span and silently no-op the merge (ADVICE r6) — the caller must pass
+    // the covered values explicitly (even an intentionally-empty KeySet
+    // states the intent; None is always a bug)
+    require(bucketSrcCol.isEmpty || extraBucketVals.nonEmpty,
+      s"mergeReplace($table): bucketSrcCol=${bucketSrcCol.orNull} requires " +
+        "extraBucketVals carrying the replacement+deleted rows' bucket-source values")
     val bcol = bucketSrcCol.getOrElse(keyCol)
     if (!exists(table)) {
       writeFull(table, bcol, replacement, bucketCount(table))
@@ -292,7 +318,14 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
       case DistKeys(df) => df.select(bucketExpr(col("k"), n).as("b"))
         .distinct().collect().map(_.getInt(0))
     }
-    if (buckets.isEmpty) return None
+    if (buckets.isEmpty) {
+      // under verification an empty span must mean an empty replacement —
+      // otherwise rows are being silently dropped (coverage contract)
+      if (verifyMergeSpan && !replacement.isEmpty) sys.error(
+        s"mergeReplace($table): empty bucket span but non-empty replacement — " +
+          "the touched keys / extraBucketVals do not cover the replacement rows")
+      return None
+    }
     val pruned = prunedRead(table, replacement.schema, buckets)
       .select(withBucket.columns.map(col).toSeq: _*)
     // batch-bounded touched keys as IN-set literals (see maxInsetKeys): a
@@ -317,6 +350,21 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     val merged = kept.unionByName(withBucket.select(kept.columns.map(col).toSeq: _*))
       .repartition(buckets.length, col("bucket"))
       .localCheckpoint(true)
+    // coverage-contract assertion (test/debug only — the whole test suite
+    // runs with it on via SparkTestBase): a replacement row hashing OUTSIDE
+    // the computed span would be dynamically overwritten into a bucket
+    // whose kept rows were never read — destroying every untouched row
+    // there. Cheap here: `merged` is already checkpointed, so this is one
+    // bounded collect over in-memory blocks, and any out-of-span bucket in
+    // `merged` can only have come from `replacement`.
+    if (verifyMergeSpan) {
+      val outOfSpan = merged.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet -- buckets.toSet
+      if (outOfSpan.nonEmpty) sys.error(
+        s"mergeReplace($table): replacement rows hash to buckets " +
+          s"${outOfSpan.toSeq.sorted.mkString(",")} outside the touched-key span — " +
+          "dynamic overwrite would destroy the untouched rows stored there")
+    }
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(path(table))
@@ -553,7 +601,11 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
   def readSmall(table: String, schema: StructType): DataFrame = {
     val p = new Path(path(table))
     if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
-      spark.read.parquet(p.toString).select(schema.fieldNames.map(col).toSeq: _*)
+      // explicit schema, like every other store read: inference costs a
+      // footer-listing job per read, and this sits on the 2-second hot
+      // path via the dim-merge skip (Incremental.mergeDim returns it lazily)
+      spark.read.schema(schema).parquet(p.toString)
+        .select(schema.fieldNames.map(col).toSeq: _*)
     else emptyDf(schema)
   }
 }

@@ -13,5 +13,8 @@ trait SparkTestBase extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // every test-suite StateStore merge asserts the span-coverage contract
+    // (StateStore.mergeReplaceReturning scaladoc); off on the prod hot path
+    .config("spark.graft.store.verifyMergeSpan", "true")
     .getOrCreate()
 }
