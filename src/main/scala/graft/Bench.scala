@@ -22,22 +22,34 @@ import org.apache.spark.sql.SparkSession
   * additionally reports per-query `queries_min` — min is robust to any
   * residual one-off stall, so a median/min gap flags harness noise rather
   * than silently distorting the round-over-round comparison.
+  *
+  * Round-7 hardening — noise attribution (VERDICT r6 #1). Host ambient
+  * load was shifting whole rounds ±15–30% on byte-identical code, which
+  * made round-over-round comparison unusable. Two additions: (a)
+  * [[Sentinel]] probes — fixed, never-changing work timed before/between/
+  * after the suite — quantify the ambient level inside each run's JSON;
+  * (b) the isolated section now reruns ALL queries in a forked,
+  * right-sized child JVM ([[QueryBench]], same treatment the engine
+  * segment got in round 6), with its own sentinels. A code regression
+  * moves one query against a flat sentinel; ambient load moves the
+  * sentinel itself.
   */
 object Bench {
 
-  /** Launch [[EngineBench]] as a child JVM and capture its one-line JSON.
-    * Inherits this JVM's options (add-opens, heap) and environment
-    * (SPARK_GRAFT_* knobs); stderr passes through for progress lines. */
-  private def forkEngineBench(): Either[String, String] = {
+  /** Launch `mainClass` as a child JVM and capture its one-line JSON
+    * (the line starting with `{` containing `jsonMarker`). Inherits this
+    * JVM's options (add-opens) and environment (SPARK_GRAFT_* knobs);
+    * stderr passes through for progress lines.
+    *
+    * The child gets a RIGHT-SIZED heap, not this JVM's 48g: two 48g heaps
+    * on one box put the timed child under page-cache/GC pressure from the
+    * parent's residual garbage (observed as multi-second batch outliers). */
+  private def forkChild(mainClass: String, childMem: String,
+      jsonMarker: String): Either[String, String] = {
     import scala.jdk.CollectionConverters._
     try {
       val javaBin = new java.io.File(
         new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
-      // the child gets a RIGHT-SIZED heap, not this JVM's 48g: the engine
-      // workload needs a fraction of it, and two 48g heaps on one box put
-      // the timed child under page-cache/GC pressure from the parent's
-      // residual garbage (observed as multi-second batch outliers)
-      val childMem = sys.env.getOrElse("SPARK_GRAFT_ENGINE_MEM", "16g")
       val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.asScala.toSeq
         .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xrunjdwp") ||
@@ -48,14 +60,14 @@ object Bench {
       // drain this JVM's query-suite garbage before the timed child starts
       // (a jdk17 G1 full GC also uncommits heap back to the OS)
       System.gc()
-      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(s"-Xmx$childMem", "-cp", cp, "graft.EngineBench")
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(s"-Xmx$childMem", "-cp", cp, mainClass)
       val pb = new ProcessBuilder(cmd.asJava)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
       val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
       val code = proc.waitFor()
       val json = out.linesIterator
-        .filter(l => l.startsWith("{") && l.contains("backfill_sec")).toSeq.lastOption
+        .filter(l => l.startsWith("{") && l.contains(jsonMarker)).toSeq.lastOption
       (code, json) match {
         case (0, Some(j)) => Right(j)
         case (c, j) => Left(s"child exited $c, json=${j.isDefined}")
@@ -90,69 +102,59 @@ object Bench {
     // Optional comma-separated query filter for isolated probing.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      // Isolate from the previous query: drop cached plans/broadcasts and
-      // drain GC + ContextCleaner debt outside the timing window.
-      spark.catalog.clearCache()
-      System.gc()
-      val times = (1 to runs).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            errors(name) = e.getClass.getSimpleName + ": " +
-              Option(e.getMessage).getOrElse("").take(120).replaceAll("[\"\\n\\\\]", " ")
-            None
-        }
-      }
-      val median =
-        if (times.isEmpty) -1.0
-        else times.sorted.apply(times.size / 2)
-      val minT = if (times.isEmpty) -1.0 else times.min
-      (name, median, minT)
-    }
-    // Round-4 addition (VERDICT r3 #5): re-run the 5 most expensive queries
-    // in a FRESH session after the suite — the in-suite numbers carry ~1 s
-    // of residual cross-query contention (GC/ContextCleaner debt from 30+
-    // preceding queries); a fresh context with only these five approximates
-    // the isolated probe, so rounds compare without manual re-probing.
-    val isolated: Seq[(String, Double)] =
-      if (only.isDefined) { spark.stop(); Seq.empty }
-      else {
-        val top5 = results.filter(_._3 >= 0).sortBy(-_._3).take(5).map(_._1)
-        spark.stop()
-        val spark2 = SparkSession.builder()
-          .master(s"local[$cpus]")
-          .config("spark.sql.shuffle.partitions", cpus)
-          .config("spark.ui.enabled", "false")
-          .config("spark.sql.session.timeZone", "UTC")
-          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-          .getOrCreate()
-        spark2.sparkContext.setLogLevel("WARN")
-        val out = top5.map { name =>
-          spark2.catalog.clearCache()
-          System.gc()
-          val fn = SparkEntry.queries(name)
-          val times = (1 to runs).flatMap { _ =>
-            val t0 = System.nanoTime()
-            try { fn(spark2, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-            catch {
-              case e: Throwable =>
-                // an isolation-only failure must be as loud as an in-suite
-                // one (same errors map + nonzero exit), not a silent -1
-                errors(s"$name (isolated)") = e.getClass.getSimpleName + ": " +
-                  Option(e.getMessage).getOrElse("").take(120).replaceAll("[\"\\n\\\\]", " ")
-                None
-            }
+    def timeQueries(qs: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)]): Seq[(String, Double, Double)] =
+      qs.map { case (name, fn) =>
+        // Isolate from the previous query: drop cached plans/broadcasts and
+        // drain GC + ContextCleaner debt outside the timing window.
+        spark.catalog.clearCache()
+        System.gc()
+        val times = (1 to runs).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              errors(name) = e.getClass.getSimpleName + ": " +
+                Option(e.getMessage).getOrElse("").take(120).replaceAll("[\"\\n\\\\]", " ")
+              None
           }
-          name -> (if (times.isEmpty) -1.0 else times.min)
         }
-        spark2.stop()
-        out
+        val median =
+          if (times.isEmpty) -1.0
+          else times.sorted.apply(times.size / 2)
+        val minT = if (times.isEmpty) -1.0 else times.min
+        (name, median, minT)
+      }
+    // Sentinel probes before / between / after the suite (VERDICT r6 #1):
+    // fixed-work measurements whose drift quantifies host ambient load, so
+    // a round-over-round shift on byte-identical queries is attributable.
+    val (half1, half2) = suite.splitAt(suite.size / 2)
+    Sentinel.warm(spark, sfDir)
+    val sentinelPre = Sentinel.measure(spark, sfDir, runs)
+    val results1 = timeQueries(half1)
+    val sentinelMid = Sentinel.measure(spark, sfDir, runs)
+    val results2 = timeQueries(half2)
+    val sentinelPost = Sentinel.measure(spark, sfDir, runs)
+    val sentinels = Seq(sentinelPre, sentinelMid, sentinelPost)
+    val results = results1 ++ results2
+    // Round-7 (VERDICT r6 #1): the isolated section now covers ALL queries
+    // in a forked, right-sized child JVM ([[QueryBench]]) — the same
+    // outlier-proofing the engine segment got in round 6 — with its own
+    // pre/mid/post sentinels. The child's `queries_forked` minima are
+    // emitted as `queries_isolated` (superset of the old top-5 contract).
+    spark.stop()
+    val forkedQueries: String =
+      if (only.isDefined) "null"
+      else forkChild("graft.QueryBench",
+          sys.env.getOrElse("SPARK_GRAFT_QUERY_MEM", "32g"), "queries_forked") match {
+        case Right(json) => json
+        case Left(reason) =>
+          errors("query_fork") = reason.take(140).replaceAll("[\"\\n\\\\]", " ")
+          "null"
       }
     // Round-5 addition (VERDICT r4 #2 / BASELINE.md engine-internal row):
     // wall-clock full backfill of all 8 tables and sustained events/sec
@@ -169,7 +171,8 @@ object Bench {
     // child inherits it plus the --add-opens/heap options verbatim.
     val engineJson: String =
       if (only.isDefined) "null"
-      else forkEngineBench() match {
+      else forkChild("graft.EngineBench",
+          sys.env.getOrElse("SPARK_GRAFT_ENGINE_MEM", "16g"), "backfill_sec") match {
         case Right(json) => json
         case Left(reason) =>
           // fall back in-process so the metric still exists; the error map
@@ -200,11 +203,13 @@ object Bench {
       .mkString("{", ",", "}")
     val qsMin = results.map { case (k, _, m) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val qsIso = isolated.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // `queries_isolated` continuity: the forked child's per-query minima
+    // (values are plain numbers, so the object contains no nested braces)
+    val qsIso = "\"queries_forked\":(\\{[^}]*\\})".r
+      .findFirstMatchIn(forkedQueries).map(_.group(1)).getOrElse("{}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_isolated":$qsIso,"engine":$engineJson,"errors":$errJson,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_isolated":$qsIso,"sentinel":${Sentinel.json(sentinels)},"forked":$forkedQueries,"engine":$engineJson,"errors":$errJson,"runs":$runs,"sf":"$sfDir"}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Child-JVM query-suite benchmark (VERDICT r6 #1): runs EVERY SparkEntry
+  * query in a freshly forked, right-sized JVM — the same isolation the
+  * engine segment got in round 6 — and prints ONE JSON line with per-query
+  * minima plus the [[Sentinel]] ambient probes.
+  *
+  * Why a fork: the in-suite numbers in [[Bench]] are measured inside a JVM
+  * that has already run 40+ queries × 3 passes; allocator, ContextCleaner
+  * and GC debt from that history inflate later queries in ways
+  * `clearCache()+System.gc()` cannot fully drain, and host ambient load
+  * shifts whole runs ±15–30% (observed on byte-identical code across
+  * rounds). A fresh JVM per section plus sentinel probes before/between/
+  * after the queries makes the two distinguishable: code regressions move
+  * specific queries relative to the sentinel; host ambient moves the
+  * sentinel itself.
+  */
+object QueryBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-query-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // same warmup as the parent suite: steady-state cost, not first-touch JIT
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) {
+      Seq("q1_pricing_summary", "q3_join_agg", "q4_window_rank", "evt_lww_state",
+        "text_token_stats", "ann_brute_topk", "dedup_minhash_lsh", "text_langid")
+        .foreach { n =>
+          SparkEntry.queries.get(n).foreach(fn =>
+            try fn(spark, warmDir).count() catch { case _: Throwable => () })
+        }
+    }
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    Sentinel.warm(spark, sfDir)
+    val sentinelPre = Sentinel.measure(spark, sfDir, runs)
+    val (firstHalf, secondHalf) = names.splitAt(names.size / 2)
+    def runHalf(half: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
+      half.map { case (name, fn) =>
+        spark.catalog.clearCache()
+        System.gc()
+        val times = (1 to runs).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch {
+            case e: Throwable =>
+              errors(name) = e.getClass.getSimpleName + ": " +
+                Option(e.getMessage).getOrElse("").take(120).replaceAll("[\"\\n\\\\]", " ")
+              None
+          }
+        }
+        name -> (if (times.isEmpty) -1.0 else times.min)
+      }
+    val r1 = runHalf(firstHalf)
+    val sentinelMid = Sentinel.measure(spark, sfDir, runs)
+    val r2 = runHalf(secondHalf)
+    val sentinelPost = Sentinel.measure(spark, sfDir, runs)
+    spark.stop()
+    val qs = (r1 ++ r2).map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
+    println(s"""{"queries_forked":$qs,""" +
+      s""""sentinel":${Sentinel.json(Seq(sentinelPre, sentinelMid, sentinelPost))},""" +
+      s""""errors":$errJson}""")
+    if (errors.nonEmpty) sys.exit(1)
+  }
+}

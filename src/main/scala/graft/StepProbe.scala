@@ -23,7 +23,7 @@ object StepProbe {
 
     val sites = 4000
     val evts = graft.projector.LogSynth.events(sites)
-    val root = java.nio.file.Files.createTempDirectory("graft-step-probe").toFile.getPath
+    val root = graft.util.Scratch.dir("graft-step-probe")
     val store = new graft.streaming.StateStore(spark, s"$root/state")
     graft.streaming.Incremental.seed(store,
       graft.projector.EventLog.decode(graft.projector.LogSynth.toDf(spark, evts)))

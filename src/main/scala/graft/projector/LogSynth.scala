@@ -148,11 +148,13 @@ object LogSynth {
     val per = math.max(1, math.ceil(evts.size.toDouble / chunks).toInt)
     evts.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
       val tmp = java.nio.file.Files.createTempDirectory("graft-logsynth").toFile
-      toDf(spark, chunk).coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        new java.io.File(target, f"chunk-$i%03d.parquet").toPath)
-      ()
+      try {
+        toDf(spark, chunk).coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(target, f"chunk-$i%03d.parquet").toPath)
+        ()
+      } finally graft.util.Scratch.deleteRecursively(tmp)
     }
   }
 }
