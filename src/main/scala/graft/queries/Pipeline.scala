@@ -102,6 +102,49 @@ object Pipeline {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Blocked EXACT 3-gram-shingle Jaccard pairs (id_a < id_b, J ≥ `tau`):
+    * the ground truth both the minhash recall contract and its DuckDB
+    * oracle compute independently. Blocking is [[ngramJaccard]]'s — same
+    * lang, |Δn_chars| ≤ 50 via exploded adjacent length buckets (band
+    * width == bucket width ⇒ every in-band pair meets in exactly one
+    * bucket) — so the pair universe is identical on both engines and
+    * sub-quadratic at scale. */
+  private[graft] def exactShinglePairs(spark: SparkSession, dir: String,
+      tau: Double): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        Text.shingles(col("text"), 3).as("sh"))
+    val bk = floor(col("n_chars") / 50)
+    val a = d.select(col("doc_id").as("id_a"), col("lang"), col("n_chars").as("nc_a"),
+      col("sh").as("sh_a"), explode(array(bk - 1, bk, bk + 1)).as("bucket"))
+    val b = d.select(col("doc_id").as("id_b"), col("lang"), col("n_chars").as("nc_b"),
+      col("sh").as("sh_b"), bk.as("bucket"))
+    a.join(b, Seq("lang", "bucket"))
+      .filter(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= 50)
+      .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= tau)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** dedup_minhash_recall: hash-checked recall contract for
+    * [[dedupMinhash]] (VERDICT r6 #3 — the ann_*_recall pattern applied
+    * to the dedup family): the LSH+verify pipeline's found pairs vs the
+    * in-plan blocked exact J ≥ 0.5 set. DuckDB recomputes the exact-pair
+    * COUNT independently (shingle SQL) and pins recall_ok = TRUE — a
+    * recall regression (bad banding, broken signatures) hash-mismatches
+    * the round's gate. Floor 0.6: banding k=32/b=8 detects J=0.5 pairs
+    * with p≈0.40 but the synthetic near-dups sit at J≈0.8–1.0 (p≈0.99);
+    * measured recall is 1.0 at sf0.001/sf0.01 — 0.6 leaves room for pair
+    * mix drift while still catching any real signature/banding break. */
+  def dedupMinhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = exactShinglePairs(spark, dir, 0.5)
+    val found = minhashVerified(spark, dir).select(col("id_a"), col("id_b"), lit(1).as("hit"))
+    exact.join(found, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).cast("long").as("n_true_pairs"),
+        (count(lit(1)) === 0 ||
+          coalesce(sum(col("hit")), lit(0)).cast("double") / count(lit(1)) >= 0.6)
+          .as("recall_ok"))
+  }
+
   /** dedup_simhash: 64-bit SimHash sketch per document plus hamming
     * distance to the doc's exact-dup fingerprint bucket — rows-only
     * (seeded hashing), asserted in unit tests. */
@@ -111,6 +154,42 @@ object Pipeline {
       .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
     d.select(col("doc_id"), Dedup.simhash(col("sh")).as("simhash"))
       .orderBy(col("doc_id"))
+  }
+
+  /** dedup_simhash_margin: hash-checked separation contract for
+    * [[dedupSimhash]] (VERDICT r6 #3). Over the full blocked shingle-pair
+    * universe (the [[exactShinglePairs]] blocking, oracle-countable in
+    * SQL): near-dup pairs (3-gram shingle J ≥ 0.5) must have LOW mean
+    * simhash hamming distance and dissimilar pairs (J ≤ 0.05) HIGH — a
+    * broken sketch fails one side (constant sketch → far mean 0; random
+    * sketch → near mean ≈ 32). DuckDB pins both pair counts plus
+    * sep_ok = TRUE. Bounds 16/24: measured means are near ≈ 3–6 and
+    * far ≈ 31.8 at sf0.001/0.01/0.1 — ≥ 8-bit margin on each side.
+    * "Near" is defined on the SAME shingle sets the sketch hashes; a
+    * token-set notion of similarity would not bound shingle hamming
+    * (measured: token-J ≥ 0.5 pairs in this corpus share vocabulary but
+    * not word ORDER, and their sketch distance is ≈ random's 32). */
+  def dedupSimhashMargin(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        Text.shingles(col("text"), 3).as("sh"))
+      .withColumn("sim", Dedup.simhash(col("sh")))
+    val bk = floor(col("n_chars") / 50)
+    val a = d.select(col("doc_id").as("id_a"), col("lang"), col("n_chars").as("nc_a"),
+      col("sh").as("sh_a"), col("sim").as("sim_a"),
+      explode(array(bk - 1, bk, bk + 1)).as("bucket"))
+    val b = d.select(col("doc_id").as("id_b"), col("lang"), col("n_chars").as("nc_b"),
+      col("sh").as("sh_b"), col("sim").as("sim_b"), bk.as("bucket"))
+    val pairs = a.join(b, Seq("lang", "bucket"))
+      .filter(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= 50)
+      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("ham", Dedup.hamming(col("sim_a"), col("sim_b")))
+    pairs.agg(
+      sum(when(col("jaccard") >= 0.5, 1).otherwise(0)).cast("long").as("n_near"),
+      sum(when(col("jaccard") <= 0.05, 1).otherwise(0)).cast("long").as("n_far"),
+      (coalesce(avg(when(col("jaccard") >= 0.5, col("ham"))), lit(0.0)) <= 16.0 &&
+        coalesce(avg(when(col("jaccard") <= 0.05, col("ham"))), lit(32.0)) >= 24.0)
+        .as("sep_ok"))
   }
 
   /** dedup_ngram_jaccard: exact 3-gram Jaccard for a deterministic sample
@@ -219,13 +298,23 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** ann_lsh_topk: LSH-bucketed approximate top-10 for the same query set,
-    * two independent hash tables (recall managed by table count — see
-    * [[Vectors.lshTopK]]); rows-only (seeded hyperplanes); recall vs.
-    * brute force is asserted in unit tests. */
+  /** ann_lsh_topk: LSH-bucketed approximate top-10 for the same query set
+    * — 4 hyperplanes × 4 independent tables (recall managed by table
+    * count — see [[Vectors.lshTopK]]); rows-only (seeded hyperplanes);
+    * recall vs. brute force is pinned by [[annLshRecall]].
+    *
+    * Config note (VERDICT r6 #6): the corpus is near-isotropic (no
+    * cluster structure), the hardest case for hyperplane LSH — measured
+    * mean recall@10 across sf0.001/0.01/0.1 is 0.42/0.46/0.41 at 4×4
+    * (candidates ≈ corpus/4), versus 0.00–0.06 at the old 8-plane
+    * 2-table setting whose buckets were too fine for 10 true neighbors
+    * to survive. On production corpora with real cluster structure the
+    * same plan shape yields far higher recall at far lower candidate
+    * fractions; IVF ([[annIvf]]) is the better scale path when training
+    * a quantizer is acceptable. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    Vectors.lshTopK(e, q => q % 100 === 0, 10, nTables = 2)
+    Vectors.lshTopK(e, q => q % 100 === 0, 10, nPlanes = 4, nTables = 4)
       .select(col("query_id"), col("neighbor_id"), col("sim_q"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -266,10 +355,15 @@ object Pipeline {
       (avg(col("recall")) >= floor).as("recall_ok"))
   }
 
-  /** ann_lsh_recall: hash-checked recall contract for [[annLsh]]. */
+  /** ann_lsh_recall: hash-checked recall contract for [[annLsh]].
+    * Floor 0.25 against measured means of 0.41–0.46 (VERDICT r6 #6): a
+    * real banding/signature regression scores ≈ 0.05 on this corpus, so
+    * the floor now genuinely discriminates — the old 0.05 floor at the
+    * 8-plane 2-table config pinned only plumbing. */
   def annLshRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    annRecall(spark, dir, Vectors.lshTopK(e, q => q % 100 === 0, 10, nTables = 2), 0.05)
+    annRecall(spark, dir,
+      Vectors.lshTopK(e, q => q % 100 === 0, 10, nPlanes = 4, nTables = 4), 0.25)
   }
 
   /** ann_ivf_recall: hash-checked recall contract for [[annIvf]] (trained
@@ -297,9 +391,13 @@ object Pipeline {
     // vector bytes, the standard multi-table LSH trade; norms are computed
     // per VECTOR before the join, the dot once per band collision, and the
     // cross-band dedup runs on the (tiny) verified survivor set.
+    // 8 bands (VERDICT r6 #3, retuned on the regenerated corpus): recall
+    // vs exact cos ≥ 0.4 measured 0.25/0.61/0.48 at sf0.001/0.01/0.1 —
+    // the old 4 bands gave 0.125/0.39/0.25. Candidate volume stays
+    // corpus × nBands rows; verification still prunes in-plan.
     val withB = e.select(col("vec_id"), col("embedding"),
       Vectors.quantizedDot(col("embedding"), col("embedding")).as("nq"),
-      explode(Vectors.bandSignatures(col("embedding"), 4, planes)).as("bb"))
+      explode(Vectors.bandSignatures(col("embedding"), 8, planes)).as("bb"))
     // Explicit partition count: pair verification is CPU-bound, so AQE's
     // byte-based coalescing must not serialize it onto one task.
     val par = spark.sparkContext.defaultParallelism
@@ -318,6 +416,38 @@ object Pipeline {
       .select(col("id_a"), col("id_b"), col("dot_q"))
       .dropDuplicates("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** dedup_embedding_recall: hash-checked recall contract for
+    * [[dedupEmbedding]] (VERDICT r6 #3). Ground truth: EXACT quantized
+    * cosine ≥ 0.4 pairs over the sampled sub-universe whose smaller id is
+    * ≡ 0 (mod 20) — small enough (|sample| × |corpus| pairs) that both
+    * Spark (in-plan, broadcast sampled side) and DuckDB (list ops, same
+    * floor(x·1000) quantization as the ann_brute_topk oracle) can compute
+    * it independently; integer-exact compare means the two agree
+    * bit-for-bit. DuckDB pins the exact-pair count + recall_ok = TRUE. */
+  def dedupEmbeddingRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"),
+      Vectors.quantizedDot(col("embedding"), col("embedding")).as("nq"))
+    val qa = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nq").as("na_q"))
+    val qb = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nq").as("nb_q"))
+    val exact = broadcast(qa).join(qb, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("na_q"), col("nb_q"),
+        Vectors.quantizedDot(col("ea"), col("eb")).as("dot_q"))
+      .filter(col("dot_q") > 0 &&
+        col("dot_q") * col("dot_q") * lit(100L) >= col("na_q") * col("nb_q") * lit(16L))
+      .select(col("id_a"), col("id_b"))
+    val found = dedupEmbedding(spark, dir)
+      .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+    // floor 0.2 against measured 0.25/0.61/0.48 at sf0.001/0.01/0.1 with
+    // 8 bands: TRUE at every SF, while a broken-hyperplane regression
+    // (random candidates) scores ≈ 0.05
+    exact.join(found, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).cast("long").as("n_true_pairs"),
+        (count(lit(1)) === 0 ||
+          coalesce(sum(col("hit")), lit(0)).cast("double") / count(lit(1)) >= 0.2)
+          .as("recall_ok"))
   }
 
   /** mm_decode_meta: multimodal plumbing, oracle-checkable part — binary
@@ -604,7 +734,9 @@ object Pipeline {
     "dedup_exact" -> dedupExact,
     "dedup_clusters" -> dedupClusters,
     "dedup_minhash_lsh" -> dedupMinhash,
+    "dedup_minhash_recall" -> dedupMinhashRecall,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_margin" -> dedupSimhashMargin,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
@@ -616,6 +748,7 @@ object Pipeline {
     "ann_lsh_recall" -> annLshRecall,
     "ann_ivf_recall" -> annIvfRecall,
     "dedup_embedding_cosine" -> dedupEmbedding,
+    "dedup_embedding_recall" -> dedupEmbeddingRecall,
     "mm_decode_meta" -> multimodalMeta,
     "mm_media_plan" -> multimodalPlan,
     "mm_resize_plan" -> multimodalResizePlan)
@@ -741,8 +874,62 @@ object Pipeline {
       |  SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
       |)""".stripMargin
 
+  // Blocked 3-gram-shingle pair universe with exact Jaccard — the DuckDB
+  // mirror of `exactShinglePairs`/`dedupSimhashMargin`'s pair frame (same
+  // shingle construction as repetitionOracle's sh0, same (lang, ±50 chars)
+  // blocking as the Spark side).
+  private val blockedShinglePairsCte: String =
+    """sh0 AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CASE WHEN length(trim(text)) = 0 THEN []
+      |         WHEN len(string_split_regex(trim(text), '\s+')) < 3
+      |           THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+      |         ELSE [array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')
+      |               FOR i IN range(1, len(string_split_regex(trim(text), '\s+')) - 1)]
+      |    END AS shl
+      |  FROM documents
+      |), pr AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CASE WHEN len(list_distinct(list_concat(a.shl, b.shl))) = 0 THEN 0.0
+      |         ELSE CAST(len(list_distinct(list_intersect(a.shl, b.shl))) AS DOUBLE) /
+      |              CAST(len(list_distinct(list_concat(a.shl, b.shl))) AS DOUBLE)
+      |    END AS jaccard
+      |  FROM sh0 a JOIN sh0 b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |    AND abs(a.n_chars - b.n_chars) <= 50
+      |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "text_repetition" -> repetitionOracle,
+    // dedup-family contracts (VERDICT r6 #3): DuckDB independently counts
+    // the exact ground-truth pair sets; the ok-booleans are Spark-computed
+    // against the same in-plan ground truth, and a FALSE hash-mismatches
+    // the gate (same pattern as ann_*_recall).
+    "dedup_minhash_recall" ->
+      s"""WITH $blockedShinglePairsCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok
+         |FROM pr WHERE jaccard >= 0.5""".stripMargin,
+    "dedup_simhash_margin" ->
+      s"""WITH $blockedShinglePairsCte
+         |SELECT CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+         |  CAST(sum(CASE WHEN jaccard <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_far,
+         |  TRUE AS sep_ok
+         |FROM pr""".stripMargin,
+    "dedup_embedding_recall" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nq FROM v
+        |), p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS dot_q,
+        |    a.nq AS na_q, b.nq AS nb_q
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id % 20 = 0
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok
+        |FROM p WHERE dot_q > 0 AND dot_q * dot_q * 100 >= na_q * nb_q * 16""".stripMargin,
     "samp_stratified" ->
       """SELECT doc_id, lang,
         |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 WHEN 'fr' THEN 25
