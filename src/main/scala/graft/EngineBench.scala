@@ -211,6 +211,14 @@ object EngineBench {
       // at micro-batch frame sizes
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+      // micro-batch frames are a few hundred rows: per-stage janino
+      // compilation (re-triggered every batch — the IN-set literals make
+      // each plan's generated source unique) costs more than interpreted
+      // evaluation ever saves at this size (StepProbe: dense step 7.9 s →
+      // 6.4 s with codegen off). Production projector sessions pin the
+      // same; SPARK_GRAFT_CODEGEN=true restores codegen for probing.
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var last = System.nanoTime()

@@ -18,6 +18,11 @@ object StepProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+      // same default as the production projector sessions (see
+      // EngineBench.main): interpreted beats per-batch janino at
+      // micro-batch sizes
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -55,7 +60,7 @@ object StepProbe {
       import scala.jdk.CollectionConverters._
       val js = done.asScala.toVector
       println(f"== $name: ${js.size} jobs, $secs%.2f s, sum-of-jobs ${js.map(_._2).sum}%.2f s ==")
-      js.sortBy(-_._2).take(25).foreach { case (id, s, d) =>
+      js.sortBy(-_._2).take(60).foreach { case (id, s, d) =>
         println(f"  $s%6.2fs job=$id $d")
       }
     }

@@ -130,6 +130,12 @@ object CatchUp {
       // touched-bucket reads. Production projector sessions pin both.
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+      // micro-batch frames are a few hundred rows: per-stage janino
+      // compilation (re-triggered every batch by the per-batch IN-set
+      // literals) costs more than interpreted evaluation saves at this
+      // size — see EngineBench.main
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -12,16 +12,18 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *
   *   - READS the buckets those keys hash to (Spark partition pruning on the
   *     `bucket` directory column — untouched buckets are never opened), and
-  *   - REWRITES exactly those buckets (dynamic partition overwrite — the
-  *     commit protocol stages and atomically swaps only the partitions
-  *     present in the written frame).
+  *   - REWRITES exactly those buckets (ONE job writes the merged buckets to
+  *     a staging dir, then the driver swaps the touched bucket directories
+  *     — same commit class as Spark's dynamic partition overwrite, minus
+  *     its separate materialization job).
   *
   * So per-batch I/O is proportional to the touched key set's bucket span,
   * not to table size — the property the reference gets from its in-memory
   * dictionaries (`ProjektorState.cs:23-125`) and a 1000-executor cluster
-  * gets from a MERGE-capable table format. On an object store the same
-  * layout works unchanged (no directory renames on the per-batch hot path —
-  * the committer only relies on task-file atomicity).
+  * gets from a MERGE-capable table format. On an object store the per-batch
+  * commit is one rename (or copy, on rename-free stores) per touched bucket
+  * — proportional to the delta, the same order as the dynamic-overwrite
+  * committer it replaces.
   *
   * '''Write amplification is bounded''' (VERDICT r4 #1): the bucket count
   * is PER TABLE and scales with table size. A full write ([[writeBucketed]]
@@ -260,16 +262,15 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
       replacement, coversKeys = false)
 
   /** [[mergeReplace(table:String,keyCol:String,touchedKeys:org\.apache\.spark\.sql\.DataFrame*]]
-    * over a [[KeySet]]. With a driver-resident key set the merge costs TWO
-    * jobs (checkpoint + write): the bucket span and the delete IN-set come
-    * from the keys with no collect, and `coversKeys = true` (the caller
-    * asserts `replacement` contains every touched key that has any stored
-    * or batch row — true for all field-wise partial merges, where the
-    * merged frame is a groupBy over stored ∪ batch) additionally skips the
-    * emptied-bucket sweep: a touched bucket then always retains rows, so
-    * dynamic overwrite alone is complete. Output-table merges (finalizers
-    * FILTER keys, e.g. not-yet-alive entities) keep `coversKeys = false`
-    * and pay the one present-bucket collect. */
+    * over a [[KeySet]]. With a driver-resident key set the merge costs ONE
+    * job (the staged bucket write — see [[mergeReplaceReturning]]): the
+    * bucket span and the delete IN-set come from the keys with no collect,
+    * and the emptied-bucket sweep is a free by-product of the staging-dir
+    * listing. `coversKeys` (the caller asserts `replacement` contains
+    * every touched key that has any stored or batch row — true for all
+    * field-wise partial merges, where the merged frame is a groupBy over
+    * stored ∪ batch) is retained as call-site documentation; since r7 both
+    * paths cost the same. */
   def mergeReplace(table: String, keyCol: String, keys: KeySet,
       replacement: DataFrame, coversKeys: Boolean = false,
       bucketSrcCol: Option[String] = None,
@@ -280,15 +281,16 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     ()
   }
 
-  /** [[mergeReplace]] that additionally RETURNS the checkpointed
-    * post-merge content of the touched buckets (kept ∪ replacement, with
-    * the `bucket` column) instead of releasing it. Restricting that frame
-    * to the touched keys re-derives the replacement rows WITHOUT a second
-    * materialization job — the fusion [[graft.streaming.Incremental]]
-    * uses to finalize output rows from a family merge (VERDICT r5 #1a).
-    * The caller owns the checkpoint's lifetime (the step's exit cleanup
-    * releases every block persisted within it). `None` when the merge was
-    * a no-op (empty bucket span) or the table was created wholesale. */
+  /** [[mergeReplace]] that additionally RETURNS the post-merge content of
+    * the touched buckets (kept ∪ replacement, with the `bucket` column) as
+    * a lazy read of the files the swap just promoted. Restricting that
+    * frame to the touched keys re-derives the replacement rows WITHOUT a
+    * second materialization job — the fusion
+    * [[graft.streaming.Incremental]] uses to finalize output rows from a
+    * family merge (VERDICT r5 #1a; since r7 the frame is file-backed, not
+    * a checkpoint — consumers re-read the just-written, page-cached
+    * files). `None` when the merge was a no-op (empty bucket span) or the
+    * table was created wholesale. */
   def mergeReplaceReturning(table: String, keyCol: String, keys: KeySet,
       replacement: DataFrame, coversKeys: Boolean = false,
       bucketSrcCol: Option[String] = None,
@@ -339,48 +341,59 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
       case ks =>
         pruned.join(broadcast(ks.toDf(spark, keyCol)), Seq(keyCol), "left_anti")
     }
-    // localCheckpoint cuts the lineage back to the store files we are about
-    // to overwrite (Spark refuses to write a path it is also reading, and a
-    // lazy plan would otherwise re-read post-overwrite files); the
-    // checkpointed frame is bounded by the touched buckets' size.
-    // Repartition BY BUCKET first: otherwise every shuffle partition writes
-    // its own file into every touched bucket dir (partitions × buckets
-    // small files per merge — the dominant per-batch cost at wider
-    // batches); one partition per touched bucket ⇒ one file per bucket.
-    val merged = kept.unionByName(withBucket.select(kept.columns.map(col).toSeq: _*))
-      .repartition(buckets.length, col("bucket"))
-      .localCheckpoint(true)
-    // coverage-contract assertion (test/debug only — the whole test suite
-    // runs with it on via SparkTestBase): a replacement row hashing OUTSIDE
-    // the computed span would be dynamically overwritten into a bucket
-    // whose kept rows were never read — destroying every untouched row
-    // there. Cheap here: `merged` is already checkpointed, so this is one
-    // bounded collect over in-memory blocks, and any out-of-span bucket in
-    // `merged` can only have come from `replacement`.
-    if (verifyMergeSpan) {
-      val outOfSpan = merged.select(col("bucket")).distinct()
-        .collect().map(_.getInt(0)).toSet -- buckets.toSet
-      if (outOfSpan.nonEmpty) sys.error(
-        s"mergeReplace($table): replacement rows hash to buckets " +
-          s"${outOfSpan.toSeq.sorted.mkString(",")} outside the touched-key span — " +
-          "dynamic overwrite would destroy the untouched rows stored there")
+    // ONE job (r7, VERDICT r6 #2a): write the merged buckets to a staging
+    // dir — the lazy plan still reads the LIVE files, so nothing it scans
+    // is overwritten until the job completes — then swap the touched
+    // bucket dirs in the driver. This fuses the previous
+    // localCheckpoint-then-dynamic-overwrite pair (two full jobs per
+    // merge, the dominant fixed cost of the 2-second step) and makes the
+    // emptied-bucket sweep free: a touched bucket with no staged dir has
+    // no surviving rows — delete it (no separate present-bucket collect).
+    // Crash windows are the same class as the dynamic-overwrite commit it
+    // replaces (per-partition delete+move): a crash mid-swap leaves some
+    // buckets new and some old, and the batch — not yet marked applied —
+    // replays through the pre-merge snapshots / fixpoint merges.
+    // Repartition BY BUCKET first: one shuffle partition per touched
+    // bucket ⇒ one file per bucket dir (not partitions × buckets). For a
+    // SMALL merge (touched bucket bytes under one bucket's budget — the
+    // micro-batch steady state) skip the exchange entirely: coalesce(1)
+    // collapses scan+union+write into one single-task stage, still one
+    // file per bucket (one task writes each partition dir once), and
+    // drops a whole stage boundary from the 2-second step. The gate is a
+    // driver-side metadata probe of dirs growIfNeeded probes anyway.
+    val touchedBytes = buckets.iterator
+      .map(b => dirBytes(new Path(s"${path(table)}/bucket=$b"))).sum
+    val planned = kept.unionByName(withBucket.select(kept.columns.map(col).toSeq: _*))
+    val merged =
+      if (touchedBytes <= maxBucketBytes) planned.coalesce(1)
+      else planned.repartition(buckets.length, col("bucket"))
+    val tmp = new Path(s"$root/.merge_$table")
+    fs.delete(tmp, true)
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    val staged = fs.listStatus(tmp).map(_.getPath.getName)
+      .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt)
+    // coverage-contract check — ALWAYS on now that it is a driver-side
+    // directory listing (no job): a replacement row hashing outside the
+    // computed span would silently vanish in the swap below (its bucket
+    // is never promoted), destroying the merge's completeness.
+    val outOfSpan = staged.toSet -- buckets.toSet
+    if (outOfSpan.nonEmpty) sys.error(
+      s"mergeReplace($table): replacement rows hash to buckets " +
+        s"${outOfSpan.toSeq.sorted.mkString(",")} outside the touched-key span — " +
+        "the touched keys / extraBucketVals do not cover the replacement rows")
+    buckets.foreach { bk =>
+      val live = new Path(s"${path(table)}/bucket=$bk")
+      val stagedDir = new Path(tmp, s"bucket=$bk")
+      fs.delete(live, true)
+      if (fs.exists(stagedDir) && !fs.rename(stagedDir, live))
+        sys.error(s"mergeReplace($table): failed to promote bucket $bk")
     }
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(path(table))
-    // dynamic overwrite only replaces partitions PRESENT in the written
-    // frame — a touched bucket whose rows were all deleted would silently
-    // keep its stale file. Drop those directories explicitly (single-writer
-    // store; bounded by the bucket count). With coversKeys no touched
-    // bucket can empty out (see scaladoc) — skip the sweep and its job.
-    if (!coversKeys) {
-      val present = merged.select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
-      (buckets.toSet -- present).foreach { bk =>
-        fs.delete(new Path(s"${path(table)}/bucket=$bk"), true)
-      }
-    }
+    fs.delete(tmp, true)
     growIfNeeded(table, bcol, replacement.schema, Some(buckets.toSeq))
-    Some(merged)
+    // the post-merge content of the touched buckets, as a lazy read of the
+    // files just promoted — callers re-derive output rows from it without
+    // another materialization job
+    Some(prunedRead(table, replacement.schema, buckets))
   }
 
   /** Overwrite a bucketed table wholesale (bucket = hash of `bucketCol`).
@@ -550,12 +563,55 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
   /** [[readKeyed]] through the batch snapshot (see above). `batchId < 0`
     * bypasses snapshotting (plain read, caller manages lineage). A
     * known-empty key set skips the snapshot write outright — the replay
-    * re-derives the same empty read from the batch alone. */
+    * re-derives the same empty read from the batch alone.
+    *
+    * r7 (VERDICT r6 #2a): the snapshot is a DRIVER-SIDE FILE COPY of the
+    * touched bucket directories, not a Spark write job — the pre-merge
+    * state of those buckets IS the snapshot (a superset of the keyed rows;
+    * the read-back applies the key restriction, exactly as [[readKeyed]]
+    * does against the live table). Cuts one full job per snapshotting
+    * family from the 2-second step; bytes copied are bounded by the
+    * touched buckets, the same bound the old write job had. */
   def readKeyedSnap(batchId: Long, table: String, schema: StructType,
-      keyCol: String, keys: KeySet): DataFrame =
-    if (keys.knownEmpty) emptyDf(schema)
-    else if (batchId < 0) readKeyed(table, schema, keyCol, keys)
-    else snapshotted(batchId, table, schema, readKeyed(table, schema, keyCol, keys))
+      keyCol: String, keys: KeySet): DataFrame = {
+    if (keys.knownEmpty) return emptyDf(schema)
+    if (batchId < 0) return readKeyed(table, schema, keyCol, keys)
+    val p = new Path(snapPath(batchId, table))
+    val done = new Path(p, "_SUCCESS")
+    if (!fs.exists(done)) { // absent or torn (no _SUCCESS) → (re)copy
+      fs.delete(p, true)
+      fs.mkdirs(p)
+      if (exists(table)) {
+        val n = bucketCount(table)
+        val bks: Array[Int] = keys match {
+          case LocalKeys(vals, _) => bucketIdsOf(vals, n)
+          case DistKeys(df) => df.select(bucketExpr(col("k"), n).as("b"))
+            .distinct().collect().map(_.getInt(0))
+        }
+        bks.foreach { bk =>
+          val src = new Path(s"${path(table)}/bucket=$bk")
+          if (fs.exists(src)) {
+            val ok = org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+              new Path(p, s"bucket=$bk"), false,
+              spark.sparkContext.hadoopConfiguration)
+            if (!ok) sys.error(s"StateStore: snapshot copy failed for $table bucket $bk")
+          }
+        }
+      }
+      fs.create(done, true).close()
+    }
+    val dirs = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("bucket="))
+    if (dirs.isEmpty) return emptyDf(schema)
+    val raw = spark.read.schema(withBucketField(schema))
+      .option("basePath", p.toString).parquet(dirs.map(_.toString).toSeq: _*)
+    val restricted = keys match {
+      case LocalKeys(vals, _) => raw.filter(col(keyCol).isin(vals.toSeq: _*))
+      case DistKeys(df) =>
+        raw.join(broadcast(df.withColumnRenamed("k", keyCol)), Seq(keyCol), "left_semi")
+    }
+    restricted.drop("bucket").select(schema.fieldNames.map(col).toSeq: _*)
+  }
 
   def readKeyedSnap(batchId: Long, table: String, schema: StructType,
       keyCol: String, keys: DataFrame): DataFrame =
@@ -578,6 +634,22 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     }
   }
 
+  // ---- driver-resident small-table cache (VERDICT r6 #2b) ----
+  // The spec dimensions are a handful of rows, and EVERY family finalizer
+  // joins them — served lazily from parquet, each downstream action paid a
+  // 4-table scan on the 2-second hot path. Cache the content driver-side
+  // and serve a LocalRelation: zero scan tasks, and a broadcast join plans
+  // without a file read. Bounded: tables past the cap fall back to the
+  // lazy parquet read. Staleness shares the single-writer assumption the
+  // layout cache already makes (one StateStore instance per root);
+  // writeSmall refreshes the entry in place.
+  private val smallCacheRowCap = 100000
+  private val smallCache = scala.collection.concurrent.TrieMap[
+    String, (StructType, Array[org.apache.spark.sql.Row])]()
+
+  private def localDf(schema: StructType, rows: Array[org.apache.spark.sql.Row]): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
   /** Unbucketed tiny table (specification dimensions): full overwrite via
     * tmp+swap (content is a handful of rows; atomicity via rename checked —
     * on stores without atomic rename the window is a missing-table read,
@@ -595,17 +667,34 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     if (!fs.rename(tmp, target))
       sys.error(s"StateStore: failed to promote $tmp to $target")
     fs.delete(trash, true)
+    // refresh the driver cache from the already-checkpointed frame (cheap
+    // collect over in-memory blocks; the table was just rewritten, so a
+    // stale entry would otherwise survive until the next cold read)
+    val rows = out.limit(smallCacheRowCap + 1).collect()
+    if (rows.length <= smallCacheRowCap) smallCache(table) = (out.schema, rows)
+    else smallCache.remove(table)
     ()
   }
 
   def readSmall(table: String, schema: StructType): DataFrame = {
+    smallCache.get(table) match {
+      case Some((sch, rows)) if sch.fieldNames.sameElements(schema.fieldNames) =>
+        return localDf(sch, rows).select(schema.fieldNames.map(col).toSeq: _*)
+      case _ => ()
+    }
     val p = new Path(path(table))
-    if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
       // explicit schema, like every other store read: inference costs a
-      // footer-listing job per read, and this sits on the 2-second hot
-      // path via the dim-merge skip (Incremental.mergeDim returns it lazily)
-      spark.read.schema(schema).parquet(p.toString)
+      // footer-listing job per read
+      val df = spark.read.schema(schema).parquet(p.toString)
         .select(schema.fieldNames.map(col).toSeq: _*)
-    else emptyDf(schema)
+      // one bounded collect populates the cache; subsequent reads (and
+      // every downstream action of THIS read) serve from the driver
+      val rows = df.limit(smallCacheRowCap + 1).collect()
+      if (rows.length <= smallCacheRowCap) {
+        smallCache(table) = (df.schema, rows)
+        localDf(df.schema, rows)
+      } else df
+    } else emptyDf(schema)
   }
 }
