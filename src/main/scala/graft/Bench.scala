@@ -36,6 +36,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** The timed action: a `noop`-format write materializes EVERY output
+    * column of the query's advertised result (the same work `Verify`'s
+    * parquet dump does, minus the I/O). The previous `count()` action let
+    * Catalyst prune columns no one consumed — for aggregate-shaped
+    * contract queries that silently skipped the expensive part entirely
+    * (dedup_simhash_margin "ran" in 0.4 s while computing none of its
+    * 620 k pairwise Jaccards), making those bench lines fiction. */
+  private[graft] def runQuery(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   /** Launch `mainClass` as a child JVM and capture its one-line JSON
     * (the line starting with `{` containing `jsonMarker`). Inherits this
     * JVM's options (add-opens) and environment (SPARK_GRAFT_* knobs);
@@ -95,7 +105,7 @@ object Bench {
         "text_token_stats", "ann_brute_topk", "dedup_minhash_lsh", "text_langid")
         .foreach { n =>
           SparkEntry.queries.get(n).foreach(fn =>
-            try fn(spark, warmDir).count() catch { case _: Throwable => () })
+            try Bench.runQuery(fn(spark, warmDir)) catch { case _: Throwable => () })
         }
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
@@ -114,7 +124,7 @@ object Bench {
         val times = (1 to runs).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
-            fn(spark, sfDir).count()
+            Bench.runQuery(fn(spark, sfDir))
             Some((System.nanoTime() - t0) / 1e9)
           } catch {
             case e: Throwable =>
@@ -209,7 +219,7 @@ object Bench {
       .findFirstMatchIn(forkedQueries).map(_.group(1)).getOrElse("{}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_isolated":$qsIso,"sentinel":${Sentinel.json(sentinels)},"forked":$forkedQueries,"engine":$engineJson,"errors":$errJson,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_isolated":$qsIso,"sentinel":${Sentinel.json(sentinels)},"forked":$forkedQueries,"engine":$engineJson,"errors":$errJson,"runs":$runs,"action":"noop_write","sf":"$sfDir"}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

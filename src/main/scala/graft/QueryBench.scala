@@ -38,7 +38,7 @@ object QueryBench {
         "text_token_stats", "ann_brute_topk", "dedup_minhash_lsh", "text_langid")
         .foreach { n =>
           SparkEntry.queries.get(n).foreach(fn =>
-            try fn(spark, warmDir).count() catch { case _: Throwable => () })
+            try Bench.runQuery(fn(spark, warmDir)) catch { case _: Throwable => () })
         }
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -52,7 +52,7 @@ object QueryBench {
         System.gc()
         val times = (1 to runs).flatMap { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          try { Bench.runQuery(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
           catch {
             case e: Throwable =>
               errors(name) = e.getClass.getSimpleName + ": " +

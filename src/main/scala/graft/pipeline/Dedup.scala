@@ -110,6 +110,48 @@ object Dedup {
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
+  /** Prepares a shingle array for [[jaccardSorted]]: each shingle hashed
+    * to a LONG (codegen'd xxhash64, once per document occurrence), then
+    * distinct + sorted. The pairwise op then touches no strings at all. */
+  def sortedHashSet(shingleArr: Column): Column =
+    sort_array(array_distinct(transform(shingleArr, s => xxhash64(s))))
+
+  /** Exact set Jaccard of two [[sortedHashSet]]-prepared arrays —
+    * |A∩B| / (|A|+|B|−|A∩B|) over the hashed distinct elements, computed
+    * by one merge walk per pair. Equal to [[jaccard]] of the underlying
+    * string sets whenever xxhash64 is injective on the observed shingles
+    * (P[any collision] < 1e-8 on a ~10⁶-distinct-shingle corpus; a
+    * collision would perturb one pair's value and fail the correctness
+    * gate loudly, not silently).
+    *
+    * Why this shape (same story as `Vectors.quantizedDot`, VERDICT r4):
+    * `array_intersect`/`array_union` build a fresh hash table from BOTH
+    * string arrays on every evaluation (~50 µs per call at ~150 elements
+    * — the blocked exact-pair scans at sf0.1 took ~45 s), and a
+    * string-array UDF pays ~300 UTF8String→String materializations per
+    * pair at its boundary, which costs the same again. Hashing each
+    * shingle ONCE per document inside codegen and merge-walking primitive
+    * longs does neither. The parameter type must be `Array[Long]`, NOT
+    * `Seq[Long]`: the Seq deserializer goes through a boxing converter
+    * per element (~30 µs/pair, measured 22 s → 2.8 s for the whole query
+    * when switched), while Array[Long] is one primitive copy. */
+  def jaccardSorted(a: Column, b: Column): Column = jaccardSortedFn(a, b)
+
+  private val jaccardSortedFn = udf { (a: Array[Long], b: Array[Long]) =>
+    var i = 0
+    var j = 0
+    var common = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i)
+      val y = b(j)
+      if (x == y) { common += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - common
+    if (union == 0) 0.0 else common.toDouble / union
+  }
+
   /** Estimated Jaccard from two MinHash signatures (fraction of agreeing
     * components). */
   def estimatedJaccard(sigA: Column, sigB: Column): Column =
@@ -117,18 +159,38 @@ object Dedup {
       .cast("double") / size(sigA).cast("double")
 
   /** 64-bit SimHash over shingles: bit i of the sketch is the sign of the
-    * sum over shingles of ±1 at bit i of each shingle's hash. Row-local,
-    * expressed with higher-order functions (no UDF).
-    */
-  def simhash(shingleArr: Column): Column = {
-    val hashes = transform(shingleArr, s => h(s, 7919))
-    // per bit: count of set bits minus count of clear bits > 0 → bit set
-    val bitCols = (0 until 64).map { i =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, v) => acc + when(shiftright(v, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    * sum over shingles of ±1 at bit i of each shingle's hash.
+    *
+    * Shape (r7): the shingle hashes come from codegen'd `xxhash64` (one
+    * string hash per shingle occurrence); the 64 sign-votes run in one
+    * JIT'd loop over the primitive hash array. The previous all-expression
+    * form ran 64 interpreted higher-order `aggregate` lambdas per
+    * document (~64 × |shingles| boxed evaluations) — it benched fine only
+    * because `count()` pruned the column; any consumer that actually
+    * materializes the sketch paid ~25 s at sf0.1. Output is bit-identical
+    * (same hashes, same vote rule, ties-to-zero). */
+  def simhash(shingleArr: Column): Column =
+    simhashVotesFn(transform(shingleArr, s => h(s, 7919)))
+
+  private val simhashVotesFn = udf { (hashes: Array[Long]) =>
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < hashes.length) {
+      val hv = hashes(i)
+      var b = 0
+      while (b < 64) {
+        if (((hv >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
     }
-    bitCols.reduce((x, y) => x.bitwiseOR(y))
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
   }
 
   /** Hamming distance between two 64-bit sketches. */
