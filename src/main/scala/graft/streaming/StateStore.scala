@@ -389,11 +389,23 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
         sys.error(s"mergeReplace($table): failed to promote bucket $bk")
     }
     fs.delete(tmp, true)
+    val countBefore = bucketCount(table)
     growIfNeeded(table, bcol, replacement.schema, Some(buckets.toSeq))
     // the post-merge content of the touched buckets, as a lazy read of the
     // files just promoted — callers re-derive output rows from it without
-    // another materialization job
-    Some(prunedRead(table, replacement.schema, buckets))
+    // another materialization job. If the merge just triggered a REBUCKET,
+    // the promoted dirs were rewritten under a different count and the
+    // pre-merge bucket ids no longer span the touched keys — recompute the
+    // span under the new layout (a lazy frame of stale dir names would
+    // silently drop the keys that now hash elsewhere).
+    val outBuckets =
+      if (bucketCount(table) == countBefore) buckets
+      else bucketSource match {
+        case LocalKeys(vals, _) => bucketIdsOf(vals, bucketCount(table))
+        case DistKeys(df) => df.select(bucketOf(table, col("k")).as("b"))
+          .distinct().collect().map(_.getInt(0))
+      }
+    Some(prunedRead(table, replacement.schema, outBuckets))
   }
 
   /** Overwrite a bucketed table wholesale (bucket = hash of `bucketCol`).

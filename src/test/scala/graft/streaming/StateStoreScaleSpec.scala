@@ -107,6 +107,27 @@ class StateStoreScaleSpec extends SparkTestBase {
     assert(got === Set("key-250", "key-999"))
   }
 
+  test("the frame a rebucketing merge RETURNS spans the post-rebucket layout") {
+    // r7 regression guard: mergeReplaceReturning hands back a lazy read of
+    // the touched bucket DIRECTORIES. When the same merge triggers a
+    // rebucket, the pre-merge bucket ids no longer span the touched keys
+    // under the new layout — the returned frame must be recomputed for the
+    // new count or downstream finalizers silently lose the keys that now
+    // hash elsewhere.
+    val dir = Files.createTempDirectory("graft-grow-ret").toFile
+    val store = new StateStore(spark, dir.getPath, nBuckets = 2,
+      maxBucketBytes = 4 * 1024)
+    store.writeBucketed("t", "k", rowsDf(1 to 20))
+    val c0 = store.bucketCount("t")
+    val ks = KeySet.fromDf(keysDf(100 to 400), store.maxInsetKeys)
+    val returned = store.mergeReplaceReturning("t", "k", ks, rowsDf(100 to 400))
+    assert(store.bucketCount("t") > c0, "rebucket did not trigger")
+    val got = returned.get.select("k").collect().map(_.getString(0)).toSet
+    val expected = (100 to 400).map(i => s"key-$i").toSet
+    assert(expected.subsetOf(got),
+      s"returned frame lost ${(expected -- got).size} of the touched keys across the rebucket")
+  }
+
   test("wholesale writes shrink an oversized layout; merges read the new count") {
     // the r6 mirror of the growth bound: a SMALL table must not keep the
     // constructor's 64-bucket floor (64 near-empty files ⇒ every micro-
