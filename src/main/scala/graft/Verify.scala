@@ -43,13 +43,14 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // a query that threw has no parquet dir — record it so the gate can
-    // count it as a failure instead of silently dropping it from the tally
+    // count it as a failure instead of silently dropping it from the tally.
+    // Exit 0 regardless: the dump must stay partial-result-friendly (a
+    // harness that treats a nonzero exit as total failure would turn one
+    // broken query into a zeroed round); the GATE counts the errors.
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
       failed.map(q).mkString("[", ",", "]"))
-    if (failed.nonEmpty) {
+    if (failed.nonEmpty)
       System.err.println(s"[verify] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
-      spark.stop(); sys.exit(1)
-    }
     spark.stop()
   }
 }
