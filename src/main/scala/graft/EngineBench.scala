@@ -73,6 +73,14 @@ object EngineBench {
 
   private def runIn(spark: SparkSession, sites: Int,
       onBatch: Long => Unit, root: String): String = {
+    // ambient-load sentinels around the engine segments (VERDICT r6 #1,
+    // extended to the engine in r7): batches on this host swing 2 s →
+    // 15–20 s under co-tenant load; the fixed-work probe drift makes an
+    // inflated engine run attributable without forensics. CPU probe only —
+    // this bench synthesizes its own data, there is no table dir to scan.
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    Sentinel.measureCpu(spark, 1, Sentinel.EngineRows) // untimed warm (JIT of the probe)
+    sentinels += Sentinel.measureCpu(spark, 3, Sentinel.EngineRows)
     val evts = graft.projector.LogSynth.events(sites)
     val eventsDir = s"$root/events"
     // prefix (60%) as 4 files + tail (40%) as 8 files, one dir: the
@@ -116,6 +124,7 @@ object EngineBench {
     q.awaitTermination()
     val catchupSec = (System.nanoTime() - tC0) / 1e9
     val eps = tail.size / catchupSec
+    sentinels += Sentinel.measureCpu(spark, 3, Sentinel.EngineRows)
 
     // steady-state segment: UPDATE-only batches (status changes + moves —
     // the sparse mix a deployed projector sees between provisioning waves;
@@ -151,6 +160,7 @@ object EngineBench {
     val soakSecs: Vector[Double] =
       if (soakSites <= 0) Vector.empty
       else sparseSegment(spark, soakSites, 2000)
+    sentinels += Sentinel.measureCpu(spark, 3, Sentinel.EngineRows)
 
     import scala.jdk.CollectionConverters._
     // Locale.ROOT: the default locale may render decimals with commas,
@@ -193,6 +203,7 @@ object EngineBench {
       s""""sparse_batch_min_soak":${f2(mn(soakSecs))},""" +
       s""""soak_sites":$soakSites,"sparse_soak_ratio":${f2(soakRatio)},""" +
       s""""sparse_soak_ratio_min":${f2(soakRatioMin)},""" +
+      s""""sentinel_cpu":${sentinels.map(v => "%.4f".formatLocal(java.util.Locale.ROOT, v)).mkString("[", ",", "]")},""" +
       s""""sites":$sites}"""
   }
 

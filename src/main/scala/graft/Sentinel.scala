@@ -38,17 +38,31 @@ object Sentinel {
     ()
   }
 
-  def measure(spark: SparkSession, sfDir: String, runs: Int): Probe = {
-    val cpu = (1 to runs).map { _ =>
+  /** The pure-compute probe alone — for benchmark segments with no table
+    * data dir (the engine bench synthesizes its own logs). `rows` is
+    * FROZEN per call site: 400M in the codegen'd query-bench sessions,
+    * [[EngineRows]] in the interpreted projector sessions (interpreted
+    * eval is ~40× slower per row; the probe must stay in the same
+    * ~0.1–0.5 s band to resolve ambient load without dominating the
+    * bench). */
+  def measureCpu(spark: SparkSession, runs: Int,
+      rows: Long = 400000000L): Double =
+    (1 to runs).map { _ =>
       time {
-        // bit_xor, not sum: summing 400M near-uniform longs overflows
-        // under ANSI mode; xor is closed over Long
-        spark.range(0L, 400000000L, 1L, spark.sparkContext.defaultParallelism)
+        // bit_xor, not sum: summing near-uniform longs overflows under
+        // ANSI mode; xor is closed over Long
+        spark.range(0L, rows, 1L, spark.sparkContext.defaultParallelism)
           .select(xxhash64(col("id")).as("h"))
           .agg(expr("bit_xor(h)")).collect()
         ()
       }
     }.min
+
+  /** Frozen probe size for interpreted (projector/engine) sessions. */
+  val EngineRows = 10000000L
+
+  def measure(spark: SparkSession, sfDir: String, runs: Int): Probe = {
+    val cpu = measureCpu(spark, runs)
     val scan = (1 to runs).map { _ =>
       time {
         spark.read.parquet(s"$sfDir/lineitem.parquet")
