@@ -77,7 +77,14 @@ def main():
         n_fail += 1
         print(f"{'MISSING':18} {name}: oracle present but no result dumped")
     for name in names:
-        spark_df = pq.read_table(f"{OUT}/{name}").to_pandas()
+        if name in errored:
+            continue  # stale dir from a prior run into the same OUT dir
+        try:
+            spark_df = pq.read_table(f"{OUT}/{name}").to_pandas()
+        except Exception as e:
+            n_fail += 1
+            print(f"{'UNREADABLE':18} {name}: {e}")
+            continue
         if name not in oracle:
             status = "ROWS_ONLY" if len(spark_df) > 0 else "ROWS_ONLY_EMPTY!"
             n_rowsonly += 1

@@ -46,6 +46,22 @@ object Bench {
   private[graft] def runQuery(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  /** JVM/codegen warmup on the smallest SF so steady-state per-query cost
+    * is measured rather than first-touch JIT/classloading. ONE definition
+    * shared by the in-suite run and the forked [[QueryBench]] — the two
+    * sections' numbers are only comparable if they warm identically. */
+  private[graft] def warmUp(spark: SparkSession): Unit = {
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) {
+      Seq("q1_pricing_summary", "q3_join_agg", "q4_window_rank", "evt_lww_state",
+        "text_token_stats", "ann_brute_topk", "dedup_minhash_lsh", "text_langid")
+        .foreach { n =>
+          SparkEntry.queries.get(n).foreach(fn =>
+            try runQuery(fn(spark, warmDir)) catch { case _: Throwable => () })
+        }
+    }
+  }
+
   /** Launch `mainClass` as a child JVM and capture its one-line JSON
     * (the line starting with `{` containing `jsonMarker`). Inherits this
     * JVM's options (add-opens) and environment (SPARK_GRAFT_* knobs);
@@ -55,7 +71,7 @@ object Bench {
     * on one box put the timed child under page-cache/GC pressure from the
     * parent's residual garbage (observed as multi-second batch outliers). */
   private def forkChild(mainClass: String, childMem: String,
-      jsonMarker: String): Either[String, String] = {
+      jsonMarker: String): Either[String, (Int, String)] = {
     import scala.jdk.CollectionConverters._
     try {
       val javaBin = new java.io.File(
@@ -78,9 +94,15 @@ object Bench {
       val code = proc.waitFor()
       val json = out.linesIterator
         .filter(l => l.startsWith("{") && l.contains(jsonMarker)).toSeq.lastOption
+      // a child that printed its JSON but exited nonzero (one failing
+      // query) still yields its data — discarding 40+ good isolated
+      // numbers over one bad query would be the opposite of the
+      // partial-result contract Verify follows; the caller records the
+      // exit code so the failure stays loud
       (code, json) match {
-        case (0, Some(j)) => Right(j)
-        case (c, j) => Left(s"child exited $c, json=${j.isDefined}")
+        case (0, Some(j)) => Right((0, j))
+        case (c, Some(j)) => Right((c, j))
+        case (c, None) => Left(s"child exited $c, no json")
       }
     } catch { case e: Throwable => Left(e.getClass.getSimpleName + ": " + e.getMessage) }
   }
@@ -96,18 +118,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup on the smallest SF so steady-state per-query cost
-    // is measured rather than first-touch JIT/classloading (which otherwise
-    // lands arbitrarily on whichever query runs first).
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory) {
-      Seq("q1_pricing_summary", "q3_join_agg", "q4_window_rank", "evt_lww_state",
-        "text_token_stats", "ann_brute_topk", "dedup_minhash_lsh", "text_langid")
-        .foreach { n =>
-          SparkEntry.queries.get(n).foreach(fn =>
-            try Bench.runQuery(fn(spark, warmDir)) catch { case _: Throwable => () })
-        }
-    }
+    Bench.warmUp(spark)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // Optional comma-separated query filter for isolated probing.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -161,7 +172,12 @@ object Bench {
       if (only.isDefined) "null"
       else forkChild("graft.QueryBench",
           sys.env.getOrElse("SPARK_GRAFT_QUERY_MEM", "32g"), "queries_forked") match {
-        case Right(json) => json
+        case Right((0, json)) => json
+        case Right((code, json)) =>
+          // keep the child's data (its own errors map carries the per-query
+          // detail) but stay loud: the parent exits nonzero too
+          errors("query_fork") = s"child exited $code (JSON kept; see forked.errors)"
+          json
         case Left(reason) =>
           errors("query_fork") = reason.take(140).replaceAll("[\"\\n\\\\]", " ")
           "null"
@@ -183,15 +199,24 @@ object Bench {
       if (only.isDefined) "null"
       else forkChild("graft.EngineBench",
           sys.env.getOrElse("SPARK_GRAFT_ENGINE_MEM", "16g"), "backfill_sec") match {
-        case Right(json) => json
+        case Right((0, json)) => json
+        case Right((code, json)) =>
+          errors("engine_fork") = s"child exited $code (JSON kept)"
+          json
         case Left(reason) =>
           // fall back in-process so the metric still exists; the error map
           // records why the outlier-proof path was unavailable
           errors("engine_fork") = reason.take(140).replaceAll("[\"\\n\\\\]", " ")
           val parts = sys.env.getOrElse("SPARK_GRAFT_ENGINE_PARTITIONS", "8")
+          // must mirror EngineBench.main's session exactly — a fallback
+          // measured under a different engine mode (codegen on) would not
+          // be comparable to forked rounds, and the interpreted-sized
+          // sentinel probe could no longer resolve ambient load
           val spark3 = SparkSession.builder()
             .master(s"local[$cpus]")
             .config("spark.sql.shuffle.partitions", parts)
+            .config("spark.sql.codegen.wholeStage",
+              sys.env.getOrElse("SPARK_GRAFT_CODEGEN", "false"))
             .config("spark.ui.enabled", "false")
             .config("spark.sql.session.timeZone", "UTC")
             .config("spark.sql.adaptive.enabled", "false")

@@ -31,16 +31,7 @@ object QueryBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // same warmup as the parent suite: steady-state cost, not first-touch JIT
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory) {
-      Seq("q1_pricing_summary", "q3_join_agg", "q4_window_rank", "evt_lww_state",
-        "text_token_stats", "ann_brute_topk", "dedup_minhash_lsh", "text_langid")
-        .foreach { n =>
-          SparkEntry.queries.get(n).foreach(fn =>
-            try Bench.runQuery(fn(spark, warmDir)) catch { case _: Throwable => () })
-        }
-    }
+    Bench.warmUp(spark) // identical to the parent suite's warmup by construction
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     Sentinel.warm(spark, sfDir)

@@ -174,7 +174,7 @@ object Incremental {
     val cap = store.maxInsetKeys
     def ksUnion(a: KeySet, b: KeySet): KeySet = KeySet.union(a, b, cap, spark)
     // concurrent: sections may SPAWN sub-sections from their own threads
-    // (a family's output merge depends only on the already-checkpointed
+    // (a family's output merge depends only on the already-written
     // merged frame, so it runs concurrently with the family's remaining
     // chain). A child is enqueued before its parent's body returns, so
     // draining the queue until empty quiesces the whole tree.
@@ -254,7 +254,7 @@ object Incremental {
         val (ncKeys, ncStored, ncMerged) = mergeFamily(store, "st_node_container", "id",
           Derivations.nodeContainerPartial(b), Derivations.nodeContainerPartialPairs, Nil,
           extraReadKeys = Some(contRefs), batchId = batchId)
-        // sub-section: depends only on the merge's checkpoint — overlaps
+        // sub-section: depends only on the merge's written files — overlaps
         // the terminal chain below
         section { writeOutput(store, syncSink, sinkActive, "node_container", ncKeys,
           Derivations.nodeContainerFromPartial(ncMerged)
@@ -320,7 +320,7 @@ object Incremental {
         val (intKeys, intStored, intMerged) = mergeFamily(store, "st_interest", "interest_id",
           Derivations.interestPartial(b), Derivations.interestPartialPairs, Nil,
           extraReadKeys = Some(applyInterests), batchId = batchId)
-        // sub-section: depends only on the merge's checkpoint — overlaps
+        // sub-section: depends only on the merge's written files — overlaps
         // the cable-walk resolve below
         section { writeOutput(store, syncSink, sinkActive, "rel_interest_to_route_element", intKeys,
           Walks.explodeOrdered(
@@ -409,7 +409,7 @@ object Incremental {
         if (!hcK.knownEmpty) {
           // no snapshot: batchHc is replay-stable (derives from the
           // st_child_affixes snapshot) and the hc merge is a max-seq
-          // fixpoint; neither side needs its own checkpoint — the merge's
+          // fixpoint; neither side needs its own checkpoint — the merge
           // internal one materializes the whole union before the overwrite
           val hcStored = store.readKeyed("st_has_child", hcSchema, "parent_id", hcK)
           val hcMerged = Folds
@@ -609,7 +609,7 @@ object Incremental {
     * ([[StateStore.mergeReplaceReturning]]): the post-merge bucket content
     * restricted to the touched keys IS the replacement (the kept side
     * excludes every touched key), so finalizers read the merge's own
-    * checkpoint instead of materializing the replacement a second time. */
+    * written files instead of materializing the replacement a second time. */
   private def restrictToKeys(written: DataFrame, keys: KeySet, keyCol: String,
       cols: Seq[String]): DataFrame = {
     val filtered = keys match {
@@ -628,7 +628,8 @@ object Incremental {
     *
     * Job shape (r6): the touched keys are ONE bounded collect
     * ([[KeySet.fromDf]]); a known-empty set short-circuits the whole merge.
-    * `merged` is checkpointed (callers finalize output rows from it AFTER
+    * `merged` is a lazy read of the merge's written files (callers
+    * finalize output rows from it AFTER
     * the table overwrite). `stored` is materialized only on the snapshot
     * path — `snapshot = false` callers must not consume it after the merge
     * (its lazy lineage reads the overwritten table; they all discard it).
@@ -656,7 +657,7 @@ object Incremental {
     // vacated positions) — it must be materialized before the overwrite:
     // parquet-backed in batch mode, checkpointed in ad-hoc (-1) mode.
     // snapshot=false callers discard it, so it stays a lazy plan folded
-    // into `merged`'s checkpoint.
+    // into the merge's staged write.
     val stored =
       if (batchId >= 0 && snapshot)
         store.readKeyedSnap(batchId, table, batchPartial.schema, idCol, keys)
@@ -666,7 +667,7 @@ object Incremental {
     val mergedPlan = Folds.mergePartials(Seq(stored, batchPartial), idCol, pairs, seqs)
     // coversKeys: merged is a groupBy over stored ∪ batch, so every touched
     // key with any row appears — the merge skips the emptied-bucket sweep.
-    // The merge's returned checkpoint doubles as the merged frame (ONE
+    // The merge's returned file-backed frame doubles as the merged frame (ONE
     // materialization job per family instead of two).
     val merged = store
       .mergeReplaceReturning(table, idCol, keys, mergedPlan, coversKeys = true) match {
@@ -680,7 +681,7 @@ object Incremental {
 
   /** Delete+reinsert the touched keys' output rows, then notify the sink.
     * With the no-op sink the rows materialize exactly once, inside the
-    * merge's internal checkpoint; an active sink checkpoints them first so
+    * merge's staged write; an active sink reads the merge's written files so
     * the post-overwrite sink call cannot recompute against rewritten
     * files. A known-empty key set skips the merge and the rows evaluation
     * entirely — an ACTIVE sink still observes its per-table callback with
@@ -696,7 +697,7 @@ object Incremental {
       return
     }
     if (!sinkActive) { store.mergeReplace(table, keyCol, keys, rows); return }
-    // active sink: the merge's checkpoint doubles as the sink's upsert
+    // active sink: the merge's written files double as the sink's upsert
     // frame (restricted to the touched keys) — one materialization, and
     // the post-overwrite sink call cannot recompute against rewritten files
     val out = store.mergeReplaceReturning(table, keyCol, keys, rows) match {

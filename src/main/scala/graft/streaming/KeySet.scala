@@ -56,9 +56,12 @@ object KeySet {
   /** `dt` must describe the runtime type of `vals` — a mismatch would
     * only surface later (or mis-declare the schema) inside
     * [[LocalKeys.toDf]], far from the bad call site (ADVICE r6). Checked
-    * here for the types the store buckets on. */
+    * here for the types the store buckets on. Nulls are DROPPED, matching
+    * [[fromDf]] (distinct non-null keys) — a retained null would crash
+    * bucket hashing deep inside the store and poison IN-set three-valued
+    * logic. */
   def local(vals: Array[Any], dt: DataType = StringType): KeySet = {
-    val d = vals.distinct
+    val d = vals.filter(_ != null).distinct
     d.find(v => !typeMatches(v, dt)).foreach { v =>
       throw new IllegalArgumentException(
         s"KeySet.local: value of ${v.getClass.getName} does not match declared $dt")
@@ -69,7 +72,6 @@ object KeySet {
   private def typeMatches(v: Any, dt: DataType): Boolean = {
     import org.apache.spark.sql.types._
     (v, dt) match {
-      case (null, _) => true
       case (_: String, StringType) => true
       case (_: Int, IntegerType) => true
       case (_: Long, LongType) => true

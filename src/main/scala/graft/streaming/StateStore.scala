@@ -275,9 +275,9 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
       replacement: DataFrame, coversKeys: Boolean = false,
       bucketSrcCol: Option[String] = None,
       extraBucketVals: Option[KeySet] = None): Unit = {
+    // the returned frame is a lazy read since r7 (nothing to release)
     mergeReplaceReturning(table, keyCol, keys, replacement, coversKeys,
       bucketSrcCol, extraBucketVals)
-      .foreach(_.unpersist(blocking = false))
     ()
   }
 
