@@ -46,6 +46,46 @@ object Bench {
   private[graft] def runQuery(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  /** Time one query: cache clear + GC outside the window, `runs` passes,
+    * failures recorded under `name`. Returns (median, min), -1.0 on
+    * failure. ONE definition shared by the in-suite loop, the forked
+    * [[QueryBench]] and the fork-failure fallback — the sections' numbers
+    * are only comparable if their isolation steps are identical. */
+  private[graft] def timeOne(spark: SparkSession, sfDir: String, runs: Int,
+      name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      errors: scala.collection.mutable.Map[String, String]): (Double, Double) = {
+    // Isolate from the previous query: drop cached plans/broadcasts and
+    // drain GC + ContextCleaner debt outside the timing window.
+    spark.catalog.clearCache()
+    System.gc()
+    val times = (1 to runs).flatMap { _ =>
+      val t0 = System.nanoTime()
+      try { runQuery(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case e: Throwable =>
+          errors(name) = e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").take(120).replaceAll("[\"\\n\\\\]", " ")
+          None
+      }
+    }
+    if (times.isEmpty) (-1.0, -1.0)
+    else (times.sorted.apply(times.size / 2), times.min)
+  }
+
+  /** [[Sentinel.measure]] that can never kill the run: a probe failure
+    * (e.g. a partial sfDir without lineitem.parquet) degrades to a
+    * recorded error and (-1, -1) markers, not a lost JSON line — the
+    * same partial-result contract every query action follows. */
+  private[graft] def safeSentinel(spark: SparkSession, sfDir: String, runs: Int,
+      errors: scala.collection.mutable.Map[String, String]): Sentinel.Probe =
+    try Sentinel.measure(spark, sfDir, runs)
+    catch {
+      case e: Throwable =>
+        errors("sentinel") = e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("").take(120).replaceAll("[\"\\n\\\\]", " ")
+        Sentinel.Probe(-1.0, -1.0)
+    }
+
   /** JVM/codegen warmup on the smallest SF so steady-state per-query cost
     * is measured rather than first-touch JIT/classloading. ONE definition
     * shared by the in-suite run and the forked [[QueryBench]] — the two
@@ -128,39 +168,25 @@ object Bench {
     def timeQueries(qs: Seq[(String, (SparkSession, String) =>
         org.apache.spark.sql.DataFrame)]): Seq[(String, Double, Double)] =
       qs.map { case (name, fn) =>
-        // Isolate from the previous query: drop cached plans/broadcasts and
-        // drain GC + ContextCleaner debt outside the timing window.
-        spark.catalog.clearCache()
-        System.gc()
-        val times = (1 to runs).flatMap { _ =>
-          val t0 = System.nanoTime()
-          try {
-            Bench.runQuery(fn(spark, sfDir))
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch {
-            case e: Throwable =>
-              errors(name) = e.getClass.getSimpleName + ": " +
-                Option(e.getMessage).getOrElse("").take(120).replaceAll("[\"\\n\\\\]", " ")
-              None
-          }
-        }
-        val median =
-          if (times.isEmpty) -1.0
-          else times.sorted.apply(times.size / 2)
-        val minT = if (times.isEmpty) -1.0 else times.min
+        val (median, minT) = Bench.timeOne(spark, sfDir, runs, name, fn, errors)
         (name, median, minT)
       }
     // Sentinel probes before / between / after the suite (VERDICT r6 #1):
     // fixed-work measurements whose drift quantifies host ambient load, so
     // a round-over-round shift on byte-identical queries is attributable.
+    // Skipped in SPARK_GRAFT_BENCH_ONLY targeted-probe mode — the sections
+    // the probes exist to interpret are skipped there too.
+    def probe(): Option[Sentinel.Probe] =
+      if (only.isDefined) None
+      else Some(Bench.safeSentinel(spark, sfDir, runs, errors))
     val (half1, half2) = suite.splitAt(suite.size / 2)
-    Sentinel.warm(spark, sfDir)
-    val sentinelPre = Sentinel.measure(spark, sfDir, runs)
+    if (only.isEmpty) { try Sentinel.warm(spark, sfDir) catch { case _: Throwable => () } }
+    val sentinelPre = probe()
     val results1 = timeQueries(half1)
-    val sentinelMid = Sentinel.measure(spark, sfDir, runs)
+    val sentinelMid = probe()
     val results2 = timeQueries(half2)
-    val sentinelPost = Sentinel.measure(spark, sfDir, runs)
-    val sentinels = Seq(sentinelPre, sentinelMid, sentinelPost)
+    val sentinelPost = probe()
+    val sentinels = Seq(sentinelPre, sentinelMid, sentinelPost).flatten
     val results = results1 ++ results2
     // Round-7 (VERDICT r6 #1): the isolated section now covers ALL queries
     // in a forked, right-sized child JVM ([[QueryBench]]) — the same
@@ -168,6 +194,28 @@ object Bench {
     // pre/mid/post sentinels. The child's `queries_forked` minima are
     // emitted as `queries_isolated` (superset of the old top-5 contract).
     spark.stop()
+    // In-process fallback when forking is impossible (single-jar
+    // classpath, spawn failure): rerun the 5 most expensive queries in a
+    // FRESH session — the pre-r7 isolated contract. Degraded (same JVM,
+    // top-5 only) but the round-over-round isolated comparison survives
+    // instead of silently becoming {}; `errors` records why.
+    def inProcessIsolated(): String = {
+      val top5 = results.filter(_._3 >= 0).sortBy(-_._3).take(5).map(_._1)
+      val spark2 = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      spark2.sparkContext.setLogLevel("WARN")
+      val out = try top5.map { name =>
+        val (_, minT) = Bench.timeOne(spark2, sfDir, runs, s"$name (isolated)",
+          SparkEntry.queries(name), errors)
+        s"\"$name\":$minT"
+      } finally spark2.stop()
+      s"""{"queries_forked":${out.mkString("{", ",", "}")},"fallback":"in_process_top5"}"""
+    }
     val forkedQueries: String =
       if (only.isDefined) "null"
       else forkChild("graft.QueryBench",
@@ -180,7 +228,7 @@ object Bench {
           json
         case Left(reason) =>
           errors("query_fork") = reason.take(140).replaceAll("[\"\\n\\\\]", " ")
-          "null"
+          inProcessIsolated()
       }
     // Round-5 addition (VERDICT r4 #2 / BASELINE.md engine-internal row):
     // wall-clock full backfill of all 8 tables and sustained events/sec

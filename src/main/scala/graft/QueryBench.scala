@@ -39,19 +39,9 @@ object QueryBench {
     val (firstHalf, secondHalf) = names.splitAt(names.size / 2)
     def runHalf(half: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
       half.map { case (name, fn) =>
-        spark.catalog.clearCache()
-        System.gc()
-        val times = (1 to runs).flatMap { _ =>
-          val t0 = System.nanoTime()
-          try { Bench.runQuery(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
-          catch {
-            case e: Throwable =>
-              errors(name) = e.getClass.getSimpleName + ": " +
-                Option(e.getMessage).getOrElse("").take(120).replaceAll("[\"\\n\\\\]", " ")
-              None
-          }
-        }
-        name -> (if (times.isEmpty) -1.0 else times.min)
+        // shared timing loop (Bench.timeOne): in-suite vs forked numbers
+        // are only comparable if the isolation steps stay identical
+        name -> Bench.timeOne(spark, sfDir, runs, name, fn, errors)._2
       }
     val r1 = runHalf(firstHalf)
     val sentinelMid = Sentinel.measure(spark, sfDir, runs)

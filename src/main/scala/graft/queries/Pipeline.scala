@@ -109,18 +109,29 @@ object Pipeline {
     * width == bucket width ⇒ every in-band pair meets in exactly one
     * bucket) — so the pair universe is identical on both engines and
     * sub-quadratic at scale. */
+  /** The blocked pair self-join both shingle contracts build on — ONE
+    * definition because BOTH Spark pair universes must stay byte-identical
+    * to the single DuckDB `blockedShinglePairsCte` mirror: same lang,
+    * |Δn_chars| ≤ 50 via exploded adjacent length buckets (band width ==
+    * bucket width ⇒ every in-band pair meets in exactly one bucket).
+    * `carried` columns of `d` arrive suffixed `_a`/`_b`. */
+  private def blockedPairs(d: DataFrame, carried: Seq[String]): DataFrame = {
+    val bk = floor(col("n_chars") / 50)
+    val a = d.select(Seq(col("doc_id").as("id_a"), col("lang"), col("n_chars").as("nc_a")) ++
+      carried.map(c => col(c).as(s"${c}_a")) :+
+      explode(array(bk - 1, bk, bk + 1)).as("bucket"): _*)
+    val b = d.select(Seq(col("doc_id").as("id_b"), col("lang"), col("n_chars").as("nc_b")) ++
+      carried.map(c => col(c).as(s"${c}_b")) :+ bk.as("bucket"): _*)
+    a.join(b, Seq("lang", "bucket"))
+      .filter(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= 50)
+  }
+
   private[graft] def exactShinglePairs(spark: SparkSession, dir: String,
       tau: Double): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         Dedup.sortedHashSet(Text.shingles(col("text"), 3)).as("sh"))
-    val bk = floor(col("n_chars") / 50)
-    val a = d.select(col("doc_id").as("id_a"), col("lang"), col("n_chars").as("nc_a"),
-      col("sh").as("sh_a"), explode(array(bk - 1, bk, bk + 1)).as("bucket"))
-    val b = d.select(col("doc_id").as("id_b"), col("lang"), col("n_chars").as("nc_b"),
-      col("sh").as("sh_b"), bk.as("bucket"))
-    a.join(b, Seq("lang", "bucket"))
-      .filter(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= 50)
+    blockedPairs(d, Seq("sh"))
       .select(col("id_a"), col("id_b"),
         Dedup.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       // Aggregate barrier (measured 33 s → 0.6 s at sf0.1): a plain
@@ -187,14 +198,7 @@ object Pipeline {
         Text.shingles(col("text"), 3).as("sh0"))
       .select(col("doc_id"), col("lang"), col("n_chars"),
         Dedup.sortedHashSet(col("sh0")).as("sh"), Dedup.simhash(col("sh0")).as("sim"))
-    val bk = floor(col("n_chars") / 50)
-    val a = d.select(col("doc_id").as("id_a"), col("lang"), col("n_chars").as("nc_a"),
-      col("sh").as("sh_a"), col("sim").as("sim_a"),
-      explode(array(bk - 1, bk, bk + 1)).as("bucket"))
-    val b = d.select(col("doc_id").as("id_b"), col("lang"), col("n_chars").as("nc_b"),
-      col("sh").as("sh_b"), col("sim").as("sim_b"), bk.as("bucket"))
-    val pairs = a.join(b, Seq("lang", "bucket"))
-      .filter(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= 50)
+    val pairs = blockedPairs(d, Seq("sh", "sim"))
       .withColumn("jaccard", Dedup.jaccardSorted(col("sh_a"), col("sh_b")))
       .withColumn("ham", Dedup.hamming(col("sim_a"), col("sim_b")))
     pairs.agg(
