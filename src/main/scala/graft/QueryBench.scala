@@ -34,8 +34,12 @@ object QueryBench {
     Bench.warmUp(spark) // identical to the parent suite's warmup by construction
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    Sentinel.warm(spark, sfDir)
-    val sentinelPre = Sentinel.measure(spark, sfDir, runs)
+    // guarded like the parent suite (ADVICE r7): a sentinel failure (e.g. a
+    // partial sfDir without lineitem.parquet) must degrade to (-1,-1)
+    // probes + an errors entry, not kill the child and discard every
+    // isolated query number the fork exists to produce
+    try Sentinel.warm(spark, sfDir) catch { case _: Throwable => () }
+    val sentinelPre = Bench.safeSentinel(spark, sfDir, runs, errors)
     val (firstHalf, secondHalf) = names.splitAt(names.size / 2)
     def runHalf(half: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
       half.map { case (name, fn) =>
@@ -44,9 +48,9 @@ object QueryBench {
         name -> Bench.timeOne(spark, sfDir, runs, name, fn, errors)._2
       }
     val r1 = runHalf(firstHalf)
-    val sentinelMid = Sentinel.measure(spark, sfDir, runs)
+    val sentinelMid = Bench.safeSentinel(spark, sfDir, runs, errors)
     val r2 = runHalf(secondHalf)
-    val sentinelPost = Sentinel.measure(spark, sfDir, runs)
+    val sentinelPost = Bench.safeSentinel(spark, sfDir, runs, errors)
     spark.stop()
     val qs = (r1 ++ r2).map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")

@@ -58,6 +58,23 @@ object Vectors {
   }
   def quantizedDot(a: Column, b: Column): Column = quantizedDotFn(a, b)
 
+  /** Overflow guard for quantized-cosine compares (ADVICE r7): the dedup
+    * queries compare `dot_q·dot_q·100 ≥ na_q·nb_q·16` in LongType, while
+    * the DuckDB oracle's list products promote to HUGEINT (128-bit) — a
+    * silent 64-bit wrap on the Spark side would surface only as a
+    * confusing hash mismatch. By Cauchy–Schwarz over the quantized
+    * INTEGER vectors, dot_q² ≤ na_q·nb_q exactly, so bounding every
+    * self-dot at [[MaxNormQ]] bounds both compare operands:
+    * (2.9e8)²·100 ≈ 8.4e18 < 2⁶³−1. Unit-norm embeddings sit at
+    * nq ≈ 1e6 — two orders under the bound; a corpus that trips it needs
+    * a Decimal-side compare, and this raise makes that loud. */
+  val MaxNormQ = 290000000L
+  def checkedNormQ(nq: Column): Column =
+    when(nq > lit(MaxNormQ), raise_error(concat(
+      lit("quantized self-dot overflow hazard: nq="), nq.cast("string"),
+      lit(s" > $MaxNormQ — the Long cosine compare could wrap; use a Decimal compare"))))
+      .otherwise(nq)
+
   /** Vectors longer than this are truncated by the hyperplane LSH — the
     * ±1 weight matrices are pre-materialized to this width so the per-row
     * work is pure dot products. */

@@ -413,7 +413,9 @@ object Pipeline {
     // the old 4 bands gave 0.125/0.39/0.25. Candidate volume stays
     // corpus × nBands rows; verification still prunes in-plan.
     val withB = e.select(col("vec_id"), col("embedding"),
-      Vectors.quantizedDot(col("embedding"), col("embedding")).as("nq"),
+      // checkedNormQ: Long-wraparound guard on the cosine compare (ADVICE r7)
+      Vectors.checkedNormQ(
+        Vectors.quantizedDot(col("embedding"), col("embedding"))).as("nq"),
       explode(Vectors.bandSignatures(col("embedding"), 8, planes)).as("bb"))
     // Explicit partition count: pair verification is CPU-bound, so AQE's
     // byte-based coalescing must not serialize it onto one task.
@@ -445,7 +447,9 @@ object Pipeline {
     * bit-for-bit. DuckDB pins the exact-pair count + recall_ok = TRUE. */
   def dedupEmbeddingRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"),
-      Vectors.quantizedDot(col("embedding"), col("embedding")).as("nq"))
+      // checkedNormQ: Long-wraparound guard on the cosine compare (ADVICE r7)
+      Vectors.checkedNormQ(
+        Vectors.quantizedDot(col("embedding"), col("embedding"))).as("nq"))
     val qa = e.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nq").as("na_q"))
     val qb = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nq").as("nb_q"))

@@ -142,6 +142,20 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
   // the 2-second hot path (VERDICT r5 #1c)
   private val knownExists = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Resolve one bucket's move-aside from a crashed [[mergeReplaceReturning]]
+    * swap: live missing → the crash hit between move-aside and promote, the
+    * aside IS the pre-merge bucket — restore it (the unapplied batch then
+    * replays over pre-merge state). Live present → the promote completed,
+    * the aside is pre-merge garbage — drop it. */
+  private def recoverBucketAside(live: Path, aside: Path): Unit =
+    if (fs.exists(aside)) {
+      if (!fs.exists(live)) {
+        if (!fs.rename(aside, live))
+          sys.error(s"StateStore: failed to recover bucket aside $aside")
+      } else fs.delete(aside, true)
+      ()
+    }
+
   def exists(table: String): Boolean = {
     if (knownExists.contains(table)) return true
     val p = new Path(path(table))
@@ -157,6 +171,15 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
         // crash after promote but before trash cleanup — the swap completed
         fs.delete(old, true)
         ()
+      }
+      // bucket-level asides from a crashed merge swap (ADVICE r7): one
+      // listing once per table per process, off the hot path
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
+        fs.listStatus(p).filter(_.getPath.getName.startsWith(".old_bucket="))
+          .foreach { st =>
+            val liveName = st.getPath.getName.stripPrefix(".old_")
+            recoverBucketAside(new Path(p, liveName), st.getPath)
+          }
       }
     }
     // a bare _SUCCESS/empty dir (all-bucket overwrite of an empty frame)
@@ -349,10 +372,10 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     // merge, the dominant fixed cost of the 2-second step) and makes the
     // emptied-bucket sweep free: a touched bucket with no staged dir has
     // no surviving rows — delete it (no separate present-bucket collect).
-    // Crash windows are the same class as the dynamic-overwrite commit it
-    // replaces (per-partition delete+move): a crash mid-swap leaves some
-    // buckets new and some old, and the batch — not yet marked applied —
-    // replays through the pre-merge snapshots / fixpoint merges.
+    // Crash mid-swap leaves some buckets promoted and some not (each
+    // individually recoverable via its move-aside — see the swap loop);
+    // the batch — not yet marked applied — replays through the pre-merge
+    // snapshots / fixpoint merges.
     // Repartition BY BUCKET first: one shuffle partition per touched
     // bucket ⇒ one file per bucket dir (not partitions × buckets). For a
     // SMALL merge (touched bucket bytes under one bucket's budget — the
@@ -381,12 +404,26 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
       s"mergeReplace($table): replacement rows hash to buckets " +
         s"${outOfSpan.toSeq.sorted.mkString(",")} outside the touched-key span — " +
         "the touched keys / extraBucketVals do not cover the replacement rows")
+    // Per-bucket promote is move-aside, not delete-then-rename (ADVICE r7
+    // medium): a crash between a delete and the staged rename would
+    // PERMANENTLY lose the bucket's untouched-key rows — on replay `kept`
+    // prunedReads the now-missing live dir, and the batch snapshot copy
+    // holds touched keys' buckets only. With the aside, every crash point
+    // leaves the bucket recoverable: [[recoverBucketAsides]] (run from
+    // [[exists]] once per table per process, and here for the touched
+    // span before a retry-in-process) restores `.old_bucket=N` → live when
+    // live is missing, and discards it when the promote completed. Leading
+    // dot keeps the aside invisible to readAll's partition discovery.
     buckets.foreach { bk =>
       val live = new Path(s"${path(table)}/bucket=$bk")
+      val aside = new Path(s"${path(table)}/.old_bucket=$bk")
+      recoverBucketAside(live, aside)
       val stagedDir = new Path(tmp, s"bucket=$bk")
-      fs.delete(live, true)
+      if (fs.exists(live) && !fs.rename(live, aside))
+        sys.error(s"mergeReplace($table): failed to move aside bucket $bk")
       if (fs.exists(stagedDir) && !fs.rename(stagedDir, live))
         sys.error(s"mergeReplace($table): failed to promote bucket $bk")
+      fs.delete(aside, true)
     }
     fs.delete(tmp, true)
     val countBefore = bucketCount(table)
@@ -590,27 +627,75 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     if (batchId < 0) return readKeyed(table, schema, keyCol, keys)
     val p = new Path(snapPath(batchId, table))
     val done = new Path(p, "_SUCCESS")
-    if (!fs.exists(done)) { // absent or torn (no _SUCCESS) → (re)copy
-      fs.delete(p, true)
-      fs.mkdirs(p)
-      if (exists(table)) {
+    def requiredBuckets(): Array[Int] =
+      if (!exists(table)) Array.empty
+      else {
         val n = bucketCount(table)
-        val bks: Array[Int] = keys match {
+        keys match {
           case LocalKeys(vals, _) => bucketIdsOf(vals, n)
           case DistKeys(df) => df.select(bucketExpr(col("k"), n).as("b"))
             .distinct().collect().map(_.getInt(0))
         }
-        bks.foreach { bk =>
-          val src = new Path(s"${path(table)}/bucket=$bk")
-          if (fs.exists(src)) {
-            val ok = org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-              new Path(p, s"bucket=$bk"), false,
-              spark.sparkContext.hadoopConfiguration)
-            if (!ok) sys.error(s"StateStore: snapshot copy failed for $table bucket $bk")
-          }
-        }
       }
+    // dotted-tmp copy + rename: a torn copy must never be readable as a
+    // complete snapshot bucket dir (the initial creation is guarded by the
+    // whole-dir delete + _SUCCESS instead, but top-ups land in a live dir)
+    def copyBucket(bk: Int): Unit = {
+      val src = new Path(s"${path(table)}/bucket=$bk")
+      if (fs.exists(src)) {
+        val tmpDst = new Path(p, s".copy_bucket=$bk")
+        fs.delete(tmpDst, true)
+        val ok = org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmpDst, false,
+          spark.sparkContext.hadoopConfiguration)
+        if (!ok) sys.error(s"StateStore: snapshot copy failed for $table bucket $bk")
+        val dst = new Path(p, s"bucket=$bk")
+        fs.delete(dst, true)
+        if (!fs.rename(tmpDst, dst))
+          sys.error(s"StateStore: snapshot promote failed for $table bucket $bk")
+      }
+    }
+    // ADVICE r7 (low): the snapshot is keyed by (batchId, table) but each
+    // call copies only ITS key set's buckets — a `_buckets` manifest
+    // records the COPIED ids (including ids whose live dir was absent, so
+    // they are not re-probed), and a later call with a different key set
+    // tops up what it is missing instead of silently reading a partial
+    // copy. Replay-deterministic: a top-up completes (copies + manifest,
+    // tmp+rename) before the call returns, so program order guarantees any
+    // later merge of this table replays AFTER the same top-up decision.
+    val manifest = new Path(p, "_buckets")
+    def readCopied(): Set[Int] =
+      if (!fs.exists(manifest)) Set.empty
+      else {
+        val in = fs.open(manifest)
+        try {
+          val bytes = new Array[Byte](fs.getFileStatus(manifest).getLen.toInt)
+          in.readFully(bytes)
+          new String(bytes, "UTF-8").split(",").filter(_.nonEmpty).map(_.toInt).toSet
+        } finally in.close()
+      }
+    def writeCopied(bks: Set[Int]): Unit = {
+      val tmpM = new Path(p, "._tmp_buckets")
+      val out = fs.create(tmpM, true)
+      try out.write(bks.toSeq.sorted.mkString(",").getBytes("UTF-8")) finally out.close()
+      fs.delete(manifest, false)
+      if (!fs.rename(tmpM, manifest))
+        sys.error(s"StateStore: failed to publish snapshot manifest for $table")
+      ()
+    }
+    if (!fs.exists(done)) { // absent or torn (no _SUCCESS) → (re)copy
+      fs.delete(p, true)
+      fs.mkdirs(p)
+      val bks = requiredBuckets()
+      bks.foreach(copyBucket)
+      writeCopied(bks.toSet)
       fs.create(done, true).close()
+    } else {
+      val have = readCopied()
+      val need = requiredBuckets().filterNot(have)
+      if (need.nonEmpty) {
+        need.foreach(copyBucket)
+        writeCopied(have ++ need)
+      }
     }
     val dirs = fs.listStatus(p).map(_.getPath)
       .filter(_.getName.startsWith("bucket="))
@@ -689,8 +774,14 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
   }
 
   def readSmall(table: String, schema: StructType): DataFrame = {
+    // cache hit requires name AND type agreement (ADVICE r7): a caller
+    // asking for the same names with different types must fall through to
+    // the parquet read (which applies the requested schema), not silently
+    // receive the cached types. Nullability is excluded — parquet reads
+    // relax it, and a spurious miss here would re-collect every call.
     smallCache.get(table) match {
-      case Some((sch, rows)) if sch.fieldNames.sameElements(schema.fieldNames) =>
+      case Some((sch, rows)) if sch.fields.map(f => (f.name, f.dataType))
+          .sameElements(schema.fields.map(f => (f.name, f.dataType))) =>
         return localDf(sch, rows).select(schema.fieldNames.map(col).toSeq: _*)
       case _ => ()
     }

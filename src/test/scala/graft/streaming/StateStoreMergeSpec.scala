@@ -71,4 +71,55 @@ class StateStoreMergeSpec extends SparkTestBase {
       }
     }
   }
+
+  test("bucket aside from a crashed swap is recovered, not lost (ADVICE r7 medium)") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft-aside").toFile.getPath
+    val store = new StateStore(spark, dir, nBuckets = 4)
+    val rows = (0 until 24).map(i => s"k$i" -> i)
+    store.writeBucketed("t", "k", toDf(rows))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val someBucket = fs.listStatus(new Path(s"$dir/t"))
+      .map(_.getPath.getName).find(_.startsWith("bucket=")).get
+    // crash point: live moved aside, staged dir never promoted — the
+    // pre-r8 delete-then-rename would have lost these rows permanently
+    assert(fs.rename(new Path(s"$dir/t/$someBucket"),
+      new Path(s"$dir/t/.old_$someBucket")))
+    val store2 = new StateStore(spark, dir, nBuckets = 4) // fresh process
+    assert(contents(store2) === rows.toSet,
+      "rows of the crashed bucket swap were not recovered from the aside")
+    assert(!fs.exists(new Path(s"$dir/t/.old_$someBucket")), "aside not cleaned up")
+    // crash point: promote completed, aside cleanup crashed — the aside is
+    // pre-merge garbage and must be DISCARDED (live wins), not restored
+    toDf(Seq("zz-stale" -> -99)).write.mode("overwrite")
+      .parquet(s"$dir/t/.old_$someBucket")
+    val store3 = new StateStore(spark, dir, nBuckets = 4)
+    assert(contents(store3) === rows.toSet, "completed-swap aside leaked into reads")
+    assert(!fs.exists(new Path(s"$dir/t/.old_$someBucket")), "garbage aside not dropped")
+    ()
+  }
+
+  test("readKeyedSnap tops up buckets for a second key set in the same batch (ADVICE r7)") {
+    val dir = Files.createTempDirectory("graft-snaptop").toFile.getPath
+    val store = new StateStore(spark, dir, nBuckets = 8)
+    val rows = (0 until 40).map(i => s"k$i" -> i)
+    store.writeBucketed("t", "k", toDf(rows))
+    // first call: a small key set — snapshot copies only its buckets
+    val firstKeys = Seq("k0")
+    val got1 = store.readKeyedSnap(5L, "t", schema, "k", keysDf(firstKeys))
+      .collect().map(_.getString(0)).toSet
+    assert(got1 === Set("k0"))
+    // second call, same batch, different key set: before the manifest
+    // top-up this silently returned only keys whose buckets happened to
+    // be in the first copy
+    val secondKeys = (1 until 40).map(i => s"k$i")
+    val got2 = store.readKeyedSnap(5L, "t", schema, "k", keysDf(secondKeys))
+      .collect().map(_.getString(0)).toSet
+    assert(got2 === secondKeys.toSet,
+      s"snapshot reuse missed ${(secondKeys.toSet -- got2).size} keys whose buckets were never copied")
+    // and the snapshot view is stable: replaying both calls agrees
+    val replay = store.readKeyedSnap(5L, "t", schema, "k", keysDf(secondKeys))
+      .collect().map(_.getString(0)).toSet
+    assert(replay === secondKeys.toSet)
+  }
 }
