@@ -33,8 +33,9 @@ object StepProbe {
     graft.streaming.Incremental.seed(store,
       graft.projector.EventLog.decode(graft.projector.LogSynth.toDf(spark, evts)))
 
+    val probeT0 = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
-    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, Double, String)]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val d = Option(js.properties)
@@ -44,7 +45,8 @@ object StepProbe {
       }
       override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         Option(starts.remove(je.jobId)).foreach { case (t0, d) =>
-          done.add((je.jobId, (System.nanoTime() - t0) / 1e9, d)); ()
+          done.add((je.jobId, (t0 - probeT0.get()) / 1e9, (System.nanoTime() - t0) / 1e9, d))
+          ()
         }
       }
     }
@@ -53,15 +55,19 @@ object StepProbe {
     def probe(name: String, batch: Vector[(Long, String, String)]): Unit = {
       done.clear(); starts.clear()
       val t0 = System.nanoTime()
+      probeT0.set(t0)
       graft.streaming.Incremental.step(store,
         graft.projector.EventLog.decode(graft.projector.LogSynth.toDf(spark, batch)),
         batchId = -1L)
       val secs = (System.nanoTime() - t0) / 1e9
       import scala.jdk.CollectionConverters._
       val js = done.asScala.toVector
-      println(f"== $name: ${js.size} jobs, $secs%.2f s, sum-of-jobs ${js.map(_._2).sum}%.2f s ==")
-      js.sortBy(-_._2).take(60).foreach { case (id, s, d) =>
-        println(f"  $s%6.2fs job=$id $d")
+      println(f"== $name: ${js.size} jobs, $secs%.2f s, sum-of-jobs ${js.map(_._3).sum}%.2f s ==")
+      // timeline (start-ordered, offsets from step start): the serial
+      // chains and the gaps BETWEEN jobs — driver planning time — are
+      // what bounds the 2-second loop, not any one job's duration
+      js.sortBy(_._2).take(90).foreach { case (id, st, s, d) =>
+        println(f"  [$st%6.2f → ${st + s}%6.2f] ($s%5.2fs) job=$id $d")
       }
     }
 

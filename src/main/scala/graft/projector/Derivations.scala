@@ -456,6 +456,65 @@ object Derivations {
       .select(col("child_id"), col("seq"), col("affix.spanSegmentId").as("root_segment_id"))
   }
 
+  /** Tagged per-family touched-id expressions over one decoded batch row —
+    * the id columns of the partial folds WITHOUT the fold itself, as
+    * `(family, ARRAY<STRING> of ids)` pairs (null/absent when the row is
+    * outside the family). The incremental step folds ALL of them into ONE
+    * single-scan driver collect ([[graft.streaming.Incremental.step]]):
+    * per row, an exploded array of (family, ids) structs — instead of a
+    * per-family `KeySet.fromDf` job each (~8 jobs × 0.1–0.3 s on the
+    * 2-second hot path — VERDICT r7 #1; a union-of-frames formulation
+    * re-decoded the not-yet-cached batch once per branch, serialized on
+    * the cache-population lock). Each family's distinct non-null value
+    * set equals the corresponding partial's id set BY CONSTRUCTION: the
+    * folds group by exactly these expressions, and grouping cannot add or
+    * drop an id. FusedKeysSpec pins the per-family equality over a full
+    * synthetic log — keep the filters/expressions in lockstep when
+    * editing a `*Partial` builder above.
+    *
+    * Excluded on purpose: st_terminal (its id set passes the spec
+    * eligibility join — not batch-pure) and every post-merge set
+    * (rootKeys, touchedChildren, hcK, touchedNodes) that reads stored
+    * state. All ids here are STRING uuids; the fused collect validates
+    * that via [[graft.streaming.KeySet.local]]. */
+  private[graft] def touchedIdCols: Seq[(String, Column)] = {
+    val placedWithHops = typeIs("SpanEquipmentPlacedInRouteNetwork") &&
+      size(col("p.equipment.utilityNetworkHops")) > 0
+    val affixHops =
+      when(typeIs("SpanEquipmentAffixedToParent"), col("p.newUtilityHopList"))
+        .when(placedWithHops, col("p.equipment.utilityNetworkHops"))
+    Seq(
+      "st_installation" -> when(col("event_type").isin("InstallationCreated",
+          "InstallationUnitAddressChanged", "InstallationStatusChanged",
+          "InstallationLocationRemarkChanged"), array(col("p.id"))),
+      "st_work_task" -> when(typeIs("WorkTaskCreated") || typeIs("WorkTaskStatusChanged"),
+        array(col("p.workTaskId"))),
+      "st_node_container" -> when(col("event_type").isin(
+          "NodeContainerPlacedInRouteNetwork", "NodeContainerRemovedFromRouteNetwork",
+          "NodeContainerSpecificationChanged"),
+        array(coalesce(col("p.container.id"), col("p.nodeContainerId")))),
+      // terminalPlacements' container_id column
+      "cont_refs" -> when(typeIs("TerminalEquipmentPlacedInNodeContainer"),
+        array(col("p.equipment.nodeContainerId"))),
+      "st_interest" -> when(col("event_type").isin(interestTypes: _*),
+        array(coalesce(col("p.interest.id"), col("p.interestId")))),
+      "st_span" -> when(col("event_type").isin("SpanEquipmentPlacedInRouteNetwork",
+          "SpanEquipmentMoved", "SpanEquipmentMerged", "SpanEquipmentRemoved",
+          "SpanEquipmentSpecificationChanged", "SpanEquipmentAddressInfoChanged"),
+        array(coalesce(col("p.equipment.id"), col("p.spanEquipmentId")))),
+      "ad_children" -> when(typeIs("SpanEquipmentAffixedToParent") ||
+          typeIs("SpanEquipmentDetachedFromParent"), array(col("p.spanEquipmentId"))),
+      // affixEdges' root_segment_id column (all hops' parent affixes)
+      "root_ids" -> transform(flatten(affixHops.getField("parentAffixes")),
+        a => a.getField("spanSegmentId")))
+  }
+
+  /** Per-family frames over one batch — the overflow-fallback and
+    * parity-spec view of [[touchedIdCols]] (explode drops null/absent
+    * arrays, so each frame carries exactly the family's id occurrences). */
+  private[graft] def touchedIdFrames(ev: DataFrame): Seq[(String, DataFrame)] =
+    touchedIdCols.map { case (f, ks) => f -> ev.select(explode(ks).as("k")) }
+
   /** Attach to each affix row (child_id, seq, extra...) the child's first
     * detach seq strictly after it (`next_detach_seq`, NULL if none). The
     * per-child window partitions are bounded by a child's affix/detach

@@ -101,10 +101,13 @@ object CatchUp {
       .trigger(trigger)
       .option("checkpointLocation", s"${store.root}/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          Incremental.step(store, EventLog.decode(batch), sink, batchId = batchId)
+        // no isEmpty pre-check: that was one extra job per batch on the
+        // 2-second path; the step's fused step-start collect answers
+        // emptiness for free (an events-free batch — e.g. a seeded prefix
+        // file pruned by the high-water filter — skips every section and
+        // reports false, so onBatch still fires only for folded events)
+        if (Incremental.step(store, EventLog.decode(batch), sink, batchId = batchId))
           onBatch(batchId)
-        }
         ()
       }
       .start()

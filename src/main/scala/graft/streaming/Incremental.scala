@@ -157,10 +157,15 @@ object Incremental {
     * sink callbacks are serialized (sink impls need not be thread-safe).
     * Write-write and write-read table sets across concurrent sections are
     * disjoint by construction (the interest/cable section launches only
-    * after the st_span merge it reads). */
+    * after the st_span merge it reads).
+    *
+    * Returns whether the batch carried any events (the fused step-start
+    * collect knows for free) — so [[CatchUp]] needs NO separate
+    * `batch.isEmpty` job on the 2-second path; an already-applied
+    * redelivery reports true (it did carry the events, last time). */
   def step(store: StateStore, batchDecoded: DataFrame, sink: Sink = noSink,
-      batchId: Long = -1L): Unit = {
-    if (batchId >= 0 && store.lastAppliedBatch.exists(_ >= batchId)) return
+      batchId: Long = -1L): Boolean = {
+    if (batchId >= 0 && store.lastAppliedBatch.exists(_ >= batchId)) return true
     if (batchId >= 0) store.clearSnapshots(batchId) // drop other batches' leftovers
     val spark = batchDecoded.sparkSession
     val sc = spark.sparkContext
@@ -191,13 +196,56 @@ object Incremental {
     val persistedBefore = sc.getPersistentRDDs.keySet
     val b = batchDecoded.persist()
     try {
+      // ---------- fused step-start collect (VERDICT r7 #1) ----------
+      // ONE bounded job answers every batch-pure question the step asks up
+      // front: which event types are present (dim + section gating) AND
+      // each family's touched-id set ([[Derivations.touchedIdFrames]] —
+      // the per-family KeySet.fromDf jobs this replaces cost 0.1–0.3 s
+      // each on the 2-second hot path). A family whose set exceeds the
+      // cap falls back to the distributed KeySet path individually; a
+      // blown global bound falls back to the pre-fusion shape wholesale
+      // (exact types collect + per-family fromDf inside each section) —
+      // StepDistKeysSpec drives the step with a tiny cap so both
+      // fallbacks stay E2E-exercised.
+      val idCols = Derivations.touchedIdCols
+      // global bound: every family under its cap, plus the ≤28-element
+      // event-type domain; CollectLimit fetches partitions incrementally,
+      // so a normal micro-batch collects a few hundred rows
+      val fusedBound = idCols.size * cap + 40
+      // ONE scan of the batch (this is also the action that populates the
+      // batch cache): per row, an exploded array of (family, ids) structs
+      // — a union-of-frames formulation here re-decoded the uncached
+      // batch once per branch, serialized on the cache-population lock
+      val entryCols = idCols.map { case (f, ks) =>
+        struct(lit(f).as("f"), ks.as("ks")) } :+
+        struct(lit("__types").as("f"), array(col("event_type")).as("ks"))
+      val fusedRows = b.select(explode(array(entryCols: _*)).as("e"))
+        .select(col("e.f").as("f"), explode(col("e.ks")).as("k"))
+        .filter(col("k").isNotNull).distinct()
+        .limit(fusedBound + 1).collect()
+      val (typesPresent, fusedKeys): (Set[String], Map[String, KeySet]) =
+        if (fusedRows.length > fusedBound)
+          (b.select(col("event_type")).distinct().collect()
+            .map(_.getString(0)).toSet, Map.empty[String, KeySet])
+        else {
+          val byF = fusedRows.groupBy(_.getString(0))
+          val idFrames = Derivations.touchedIdFrames(b).toMap
+          val km = idCols.map { case (f, _) =>
+            val vals: Array[Any] = byF.getOrElse(f, Array.empty[org.apache.spark.sql.Row])
+              .map(_.get(1))
+            f -> (if (vals.length <= cap)
+                KeySet.local(vals, org.apache.spark.sql.types.StringType)
+              else KeySet.fromDf(idFrames(f), cap))
+          }.toMap
+          (byF.getOrElse("__types", Array.empty[org.apache.spark.sql.Row])
+            .map(_.getString(1)).toSet, km)
+        }
+      // fused set when the one-job collect produced it; the section's own
+      // bounded-collect job otherwise (overflow fallback)
+      def fusedOr(f: String, mk: => KeySet): KeySet = fusedKeys.getOrElse(f, mk)
+
       // ---------- dimension tables (tiny; merged first — every family
       // finalizer joins them) ----------
-      // ONE action decides which dim merges AND which family sections run
-      // (instead of per-section isEmpty jobs on the 2-second hot path):
-      // the distinct event types present in the batch
-      val typesPresent = b
-        .select(col("event_type")).distinct().collect().map(_.getString(0)).toSet
       def dimHas(table: String): Boolean = typesPresent(dimEventType(table))
       def has(ts: Seq[String]): Boolean = ts.exists(typesPresent)
       // the four dim merges are independent (disjoint tiny tables) and
@@ -233,7 +281,8 @@ object Incremental {
       if (has(instTypes)) section {
         val (instKeys, _, instMerged) = mergeFamily(store, "st_installation", "id",
           Derivations.installationPartial(b), Derivations.installationPartialPairs, Nil,
-          batchId = batchId, snapshot = false)
+          batchId = batchId, snapshot = false,
+          batchKeys = fusedKeys.get("st_installation"))
         writeOutput(store, syncSink, sinkActive, "installation", instKeys,
           Derivations.installationFromPartial(instMerged))
       }
@@ -241,7 +290,8 @@ object Incremental {
       if (has(wtTypes)) section {
         val (wtKeys, _, wtMerged) = mergeFamily(store, "st_work_task", "id",
           Derivations.workTaskPartial(b), Derivations.workTaskPartialPairs, Nil,
-          batchId = batchId, snapshot = false)
+          batchId = batchId, snapshot = false,
+          batchKeys = fusedKeys.get("st_work_task"))
         writeOutput(store, syncSink, sinkActive, "work_task", wtKeys,
           Derivations.workTaskFromPartial(wtMerged))
       }
@@ -250,10 +300,12 @@ object Incremental {
       // below — moved ahead of the span chain so the section overlaps it) --
       if (has(ncTermTypes)) section {
         val termPlac = Derivations.terminalPlacements(b) // (seq, container_id, t)
-        val contRefs = KeySet.fromDf(termPlac.select(col("container_id")), cap)
+        val contRefs = fusedOr("cont_refs",
+          KeySet.fromDf(termPlac.select(col("container_id")), cap))
         val (ncKeys, ncStored, ncMerged) = mergeFamily(store, "st_node_container", "id",
           Derivations.nodeContainerPartial(b), Derivations.nodeContainerPartialPairs, Nil,
-          extraReadKeys = Some(contRefs), batchId = batchId)
+          extraReadKeys = Some(contRefs), batchId = batchId,
+          batchKeys = fusedKeys.get("st_node_container"))
         // sub-section: depends only on the merge's written files — overlaps
         // the terminal chain below
         section { writeOutput(store, syncSink, sinkActive, "node_container", ncKeys,
@@ -294,10 +346,10 @@ object Incremental {
       def launchInterestSection(): Unit = section {
         val interestOf =
           if (hasAffixDetach) {
-            val adChildren = KeySet.fromDf(
+            val adChildren = fusedOr("ad_children", KeySet.fromDf(
               b.filter(col("event_type") === "SpanEquipmentAffixedToParent" ||
                   col("event_type") === "SpanEquipmentDetachedFromParent")
-                .select(col("p.spanEquipmentId")), cap)
+                .select(col("p.spanEquipmentId")), cap))
             store.readKeyed("st_span", bSpan.schema, "id", adChildren)
               .select(col("id").as("cable_id"),
                 col("pl").getField("walk_of_interest_id").as("interest_id"))
@@ -319,7 +371,8 @@ object Incremental {
 
         val (intKeys, intStored, intMerged) = mergeFamily(store, "st_interest", "interest_id",
           Derivations.interestPartial(b), Derivations.interestPartialPairs, Nil,
-          extraReadKeys = Some(applyInterests), batchId = batchId)
+          extraReadKeys = Some(applyInterests), batchId = batchId,
+          batchKeys = fusedKeys.get("st_interest"))
         // sub-section: depends only on the merge's written files — overlaps
         // the cable-walk resolve below
         section { writeOutput(store, syncSink, sinkActive, "rel_interest_to_route_element", intKeys,
@@ -354,7 +407,8 @@ object Incremental {
       // runs for touched spans — moves change node positions. ----------
       if (has(spanTypes)) {
       val (seKeys, seStored, seMerged) = mergeFamily(store, "st_span", "id",
-        bSpan, Derivations.spanPartialPairs, Nil, batchId = batchId)
+        bSpan, Derivations.spanPartialPairs, Nil, batchId = batchId,
+        batchKeys = fusedKeys.get("st_span"))
       if (interestRelevant) launchInterestSection() // reads POST-merge st_span
 
       if (typesPresent("SpanEquipmentPlacedInRouteNetwork")) {
@@ -368,7 +422,8 @@ object Incremental {
       val hcKeys: KeySet =
       if (hasAffixDetach || typesPresent("SpanEquipmentPlacedInRouteNetwork")) {
         val edges = Derivations.affixEdges(b) // (child_id, seq, root_segment_id)
-        val rootIds = KeySet.fromDf(edges.select(col("root_segment_id")), cap)
+        val rootIds = fusedOr("root_ids",
+          KeySet.fromDf(edges.select(col("root_segment_id")), cap))
         val rootMap = store.readKeyed("st_root_segment", rootSchema, "root_segment_id", rootIds)
         val batchAffixes = edges.join(rootMap, Seq("root_segment_id"))
           .select(col("child_id"), col("seq"), col("id").as("parent_id"),
@@ -478,7 +533,7 @@ object Incremental {
         store.setLastAppliedBatch(batchId)
         store.clearSnapshots(batchId, including = true)
       }
-      ()
+      typesPresent.nonEmpty
     } finally {
       // a section that crashed must not leave siblings racing the caller's
       // redelivery: quiesce every section (and spawned sub-section) before
@@ -644,9 +699,14 @@ object Incremental {
   private def mergeFamily(store: StateStore, table: String, idCol: String,
       batchPartial: DataFrame, pairs: Seq[(String, String)], seqs: Seq[String],
       extraReadKeys: Option[KeySet] = None,
-      batchId: Long = -1L, snapshot: Boolean = true): (KeySet, DataFrame, DataFrame) = {
+      batchId: Long = -1L, snapshot: Boolean = true,
+      batchKeys: Option[KeySet] = None): (KeySet, DataFrame, DataFrame) = {
     val spark = batchPartial.sparkSession
-    val keys0 = KeySet.fromDf(batchPartial.select(col(idCol)), store.maxInsetKeys)
+    // batchKeys: the step's fused one-job collect already knows this
+    // family's touched ids (identical set — the partial groups by exactly
+    // the projected id expression); absent on the overflow fallback
+    val keys0 = batchKeys.getOrElse(
+      KeySet.fromDf(batchPartial.select(col(idCol)), store.maxInsetKeys))
     val keys = extraReadKeys
       .map(KeySet.union(keys0, _, store.maxInsetKeys, spark)).getOrElse(keys0)
     if (keys.knownEmpty) {

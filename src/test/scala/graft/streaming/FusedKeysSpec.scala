@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.projector.{Derivations, EventLog, LogGen, Sim}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+import java.nio.file.Files
+import scala.util.Random
+
+/** Pins the fused step-start key collect (VERDICT r7 #1) to the partial
+  * folds it replaces: per family, the distinct non-null values of
+  * [[Derivations.touchedIdFrames]] must equal the id set of the
+  * corresponding `*Partial` fold — the set the pre-fusion step collected
+  * per family with its own [[KeySet.fromDf]] job. A drifted filter or id
+  * expression in either place fails here loudly instead of silently
+  * merging the wrong keys. Also drives the per-family DistKeys fallback
+  * (one family above the IN-set cap while the global fused bound holds)
+  * end-to-end through a step — the path StepDistKeysSpec's blown-bound
+  * scenario cannot reach.
+  */
+class FusedKeysSpec extends SparkTestBase {
+
+  private val envelopeSchema =
+    StructType.fromDDL("seq BIGINT, event_type STRING, payload STRING")
+
+  private def toDf(rows: Seq[Row]) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, envelopeSchema)
+  }
+
+  test("touchedIdFrames matches each partial fold's id set over a full log") {
+    val events = LogGen.scenario(new Random(17))
+    val rows = events.zipWithIndex.map { case (e, i) => Row((i + 1).toLong, e.typ, e.payload) }
+    val b = EventLog.decode(toDf(rows)).cache()
+    try {
+      def setOf(df: DataFrame): Set[String] =
+        df.collect().map(_.get(0)).filter(_ != null).map(_.toString).toSet
+      val fused = Derivations.touchedIdFrames(b).toMap
+      val expected = Map(
+        "st_installation" -> Derivations.installationPartial(b).select(col("id")),
+        "st_work_task" -> Derivations.workTaskPartial(b).select(col("id")),
+        "st_node_container" -> Derivations.nodeContainerPartial(b).select(col("id")),
+        "st_interest" -> Derivations.interestPartial(b).select(col("interest_id")),
+        "st_span" -> Derivations.spanEquipmentPartial(b).select(col("id")))
+      expected.foreach { case (f, df) =>
+        val got = setOf(fused(f))
+        assert(got === setOf(df), s"family $f id set diverged from its partial fold")
+        assert(got.nonEmpty, s"family $f parity is vacuous — scenario generates no ids")
+      }
+      // the other three tags ARE the expressions the step consumed
+      // pre-fusion (terminalPlacements container refs, affix/detach
+      // children, affix root-segment ids) — assert the scenario exercises
+      // them so the fused job's coverage is not vacuous
+      Seq("cont_refs", "ad_children", "root_ids").foreach { f =>
+        assert(setOf(fused(f)).nonEmpty, s"tag $f vacuous in scenario")
+      }
+    } finally { b.unpersist(); () }
+  }
+
+  test("per-family DistKeys fallback: one family above the cap, global bound intact") {
+    // 12 installations > cap 5, while total distinct (12 ids + 1 type)
+    // stays far under the fused bound (9*5+40): the fused collect
+    // succeeds, the st_installation entry alone spills to DistKeys
+    val evts: Seq[Sim.Evt] = (1 to 12).map(i =>
+      Sim.InstCreated(s"inst-$i", s"I-$i", Some(s"ua-$i"), "ACTIVE", None))
+    val rows = evts.zipWithIndex.map { case (e, i) => Row((i + 1).toLong, e.typ, e.payload) }
+    val stateDir = Files.createTempDirectory("graft-fusedkeys").toFile.getPath
+    val store = new StateStore(spark, stateDir, nBuckets = 4, maxInsetKeys = 5)
+    Incremental.step(store, EventLog.decode(toDf(rows)), batchId = 0L)
+    val got = store.readAll("installation", Incremental.outputSchema("installation"))
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[String]("installation_id"),
+        r.getAs[String]("unit_address_id"), r.getAs[String]("status"))).toSet
+    val want = (1 to 12).map(i => (s"inst-$i", s"I-$i", s"ua-$i", "ACTIVE")).toSet
+    assert(got === want)
+  }
+}
