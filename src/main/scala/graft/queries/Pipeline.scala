@@ -568,6 +568,35 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** mm_plan_contract: the hash-matched companion for `mm_media_plan`
+    * (VERDICT r7 #5) — the plan COMPOSITION itself, aggregated down to
+    * oracle-computable facts. Per media format (format derives from the
+    * first payload byte + length, both DuckDB-reproducible): the plan
+    * count, the total planned bytes, and a Spark-side geometry invariant
+    * over the hash-derived dimensions the oracle cannot see — every
+    * resize fits the 320×240 box without upscaling (`resized ≤ original`,
+    * truncation can legally reach 0) and every frame sample is non-empty
+    * and capped at 4. The oracle pins `plan_ok` to TRUE, so any plan row
+    * violating the geometry contract hash-mismatches the round gate —
+    * the same pattern as the `ann_*_recall` contracts. */
+  def multimodalPlanContract(spark: SparkSession, dir: String): DataFrame = {
+    val d = Multimodal.withMedia(Tables.documents(spark, dir), "text")
+    val meta = col("media_meta")
+    val resized = Multimodal.resizeMeta(meta, 320, 240)
+    val ok = resized.getField("width").between(0, 320) &&
+      resized.getField("height").between(0, 240) &&
+      resized.getField("width") <= meta.getField("width") &&
+      resized.getField("height") <= meta.getField("height") &&
+      size(Multimodal.sampleFrameIdx(meta, 5, 4)).between(1, 4)
+    d.select(meta.getField("format").as("format"),
+        meta.getField("byte_len").as("byte_len"), ok.as("ok"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).cast("long").as("n_media"),
+        sum(col("byte_len")).cast("long").as("total_bytes"),
+        min(col("ok")).as("plan_ok"))
+      .orderBy(col("format"))
+  }
+
   /** samp_stratified: deterministic per-stratum (language) sampling —
     * keep a doc iff an arithmetic hash of its id falls under the
     * stratum's keep-rate. Row-local predicate: no shuffle, pushes to the
@@ -822,6 +851,7 @@ object Pipeline {
     "dedup_embedding_recall" -> dedupEmbeddingRecall,
     "mm_decode_meta" -> multimodalMeta,
     "mm_media_plan" -> multimodalPlan,
+    "mm_plan_contract" -> multimodalPlanContract,
     "mm_resize_plan" -> multimodalResizePlan)
 
   // DuckDB equivalents. Shingle construction in SQL mirrors Text.shingles:
@@ -1184,5 +1214,19 @@ object Pipeline {
         |       WHEN ascii(substring(text, 1, 1)) % 3 = 0 THEN 'img'
         |       WHEN ascii(substring(text, 1, 1)) % 3 = 1 THEN 'aud'
         |       ELSE 'vid' END AS format
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // mm_media_plan's companion contract: format/byte_len are oracle-
+    // computable; the geometry invariant is Spark-evaluated over the
+    // hash-derived dims and pinned TRUE here (a violating plan row
+    // hash-mismatches) — same shape as the ann_*_recall contracts
+    "mm_plan_contract" ->
+      """SELECT
+        |  CASE WHEN octet_length(encode(text)) = 0 THEN 'empty'
+        |       WHEN ascii(substring(text, 1, 1)) % 3 = 0 THEN 'img'
+        |       WHEN ascii(substring(text, 1, 1)) % 3 = 1 THEN 'aud'
+        |       ELSE 'vid' END AS format,
+        |  CAST(count(*) AS BIGINT) AS n_media,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  TRUE AS plan_ok
+        |FROM documents GROUP BY 1 ORDER BY format""".stripMargin)
 }
