@@ -20,27 +20,45 @@ object EngineBench {
   private def median(xs: Seq[Double]): Double =
     if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.size / 2)
 
-  /** Seed a FRESH store at `sites` and stream one sparse (update-only)
-    * segment through the real catch-up query; returns per-batch seconds.
-    * The 4×-state soak (VERDICT r5 #5): per-batch cost must be
-    * state-size-independent — the stream-level version of
-    * StateStoreScaleSpec's write-bound promise. */
-  private def sparseSegment(spark: SparkSession, sites: Int,
-      updates: Int): Vector[Double] = {
+  /** Seed a FRESH store at `sites` (4× the base run) and stream TWO soak
+    * segments through the real catch-up query against it: a dense
+    * provisioning tail of `denseTail` events in 8 chunk files (same
+    * per-batch event count as the base dense segment — only the state is
+    * 4×), then a sparse (update-only) segment. Returns (dense per-batch
+    * secs, sparse per-batch secs). The 4×-state soak (VERDICT r5 #5,
+    * dense added per r7 #4): per-batch cost must be state-size-
+    * independent on BOTH mixes — the stream-level version of
+    * StateStoreScaleSpec's write-bound promise. One seeded store serves
+    * both segments (a second 4×-site seed would double the soak's cost
+    * for no added signal). */
+  private def soakSegments(spark: SparkSession, sites: Int,
+      denseTail: Int, updates: Int): (Vector[Double], Vector[Double]) = {
     val root = graft.util.Scratch.dir("graft-engine-soak")
-    try sparseSegmentIn(spark, sites, updates, root)
+    try soakSegmentsIn(spark, sites, denseTail, updates, root)
     finally graft.util.Scratch.deleteRecursively(root)
   }
 
-  private def sparseSegmentIn(spark: SparkSession, sites: Int,
-      updates: Int, root: String): Vector[Double] = {
+  private def soakSegmentsIn(spark: SparkSession, sites: Int,
+      denseTail: Int, updates: Int, root: String): (Vector[Double], Vector[Double]) = {
     val evts = graft.projector.LogSynth.events(sites)
     val eventsDir = s"$root/events"
-    graft.projector.LogSynth.write(spark, eventsDir, evts, 4)
+    // seed from everything but the dense tail, then stream the tail: the
+    // batches carry the same event mix/count as the base dense segment
+    // (site logs are emitted in site order, so a fixed-size tail covers
+    // the last ~denseTail/10 sites' provisioning on any `sites`)
+    val (prefix, tail) = evts.splitAt(evts.size - denseTail)
+    graft.projector.LogSynth.write(spark, eventsDir, prefix, 4)
     val store = new graft.streaming.StateStore(spark, s"$root/state")
     graft.streaming.Incremental.seed(store,
       graft.projector.EventLog.decode(
         spark.read.schema(graft.projector.LogSynth.envelopeSchema).parquet(eventsDir)))
+    graft.projector.LogSynth.write(spark, s"$root/dense_stage", tail, 8)
+    new java.io.File(s"$root/dense_stage").listFiles().foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(eventsDir, s"tail-${f.getName}").toPath)
+      ()
+    }
+    val denseSecs = streamSegment(spark, eventsDir, store)
     val sparse = graft.projector.LogSynth.updates(sites, updates, evts.size + 1L)
     graft.projector.LogSynth.write(spark, s"$root/sparse_stage", sparse, 4)
     new java.io.File(s"$root/sparse_stage").listFiles().foreach { f =>
@@ -48,6 +66,13 @@ object EngineBench {
         new java.io.File(eventsDir, s"sparse-${f.getName}").toPath)
       ()
     }
+    (denseSecs, streamSegment(spark, eventsDir, store))
+  }
+
+  /** Drain everything currently unprocessed in `eventsDir` through the
+    * real catch-up query, one micro-batch per file; per-batch seconds. */
+  private def streamSegment(spark: SparkSession, eventsDir: String,
+      store: graft.streaming.StateStore): Vector[Double] = {
     val secs = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
     val mark = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
     val q = graft.streaming.CatchUp.startQuery(spark, eventsDir, store,
@@ -151,15 +176,17 @@ object EngineBench {
     val sparseSec = (System.nanoTime() - tS0) / 1e9
     val epsSparse = sparse.size / sparseSec
 
-    // 4×-state soak (VERDICT r5 #5): the same sparse segment against a
-    // freshly seeded 4×-sites store — per-batch cost must stay within
-    // ~1.5× of the base number (state-size independence of the step).
-    // SPARK_GRAFT_ENGINE_SOAK_SITES=0 skips it (fast local probes).
+    // 4×-state soak (VERDICT r5 #5; dense segment added per r7 #4): a
+    // dense tail of the SAME per-batch size plus the same sparse segment,
+    // both against one freshly seeded 4×-sites store — per-batch cost
+    // must stay within ~1.5× of the base numbers (state-size independence
+    // of the step). SPARK_GRAFT_ENGINE_SOAK_SITES=0 skips it (fast local
+    // probes).
     val soakSites = sys.env.getOrElse("SPARK_GRAFT_ENGINE_SOAK_SITES",
       (sites * 4).toString).toInt
-    val soakSecs: Vector[Double] =
-      if (soakSites <= 0) Vector.empty
-      else sparseSegment(spark, soakSites, 2000)
+    val (denseSoakSecs, soakSecs): (Vector[Double], Vector[Double]) =
+      if (soakSites <= 0) (Vector.empty, Vector.empty)
+      else soakSegments(spark, soakSites, tail.size, 2000)
     sentinels += Sentinel.measureCpu(spark, 3, Sentinel.EngineRows)
 
     import scala.jdk.CollectionConverters._
@@ -187,6 +214,16 @@ object EngineBench {
     val soakRatioMin =
       if (soakSecs.isEmpty || mn(sparses) == 0.0) 0.0
       else mn(soakSecs) / mn(sparses)
+    // dense soak vs the base dense steady state, first batch of each
+    // stream excluded (one-off startup is not a state-size signal)
+    val denseSoakSteady =
+      if (denseSoakSecs.size > 1) denseSoakSecs.drop(1) else denseSoakSecs
+    val denseSoakRatio =
+      if (denseSoakSteady.isEmpty || median(steady) == 0.0) 0.0
+      else median(denseSoakSteady) / median(steady)
+    val denseSoakRatioMin =
+      if (denseSoakSteady.isEmpty || mn(steady) == 0.0) 0.0
+      else mn(denseSoakSteady) / mn(steady)
     s"""{"backfill_sec":$backfillSec,"backfill_events":${evts.size},""" +
       s""""catchup_events_per_sec":${f1(eps)},""" +
       s""""catchup_tail_events":${tail.size},"catchup_sec":$catchupSec,""" +
@@ -201,8 +238,13 @@ object EngineBench {
       s""""sparse_batch_secs_soak":${arr(soakSecs)},""" +
       s""""sparse_batch_median_soak":${f2(median(soakSecs))},""" +
       s""""sparse_batch_min_soak":${f2(mn(soakSecs))},""" +
+      s""""catchup_batch_secs_soak":${arr(denseSoakSecs)},""" +
+      s""""catchup_batch_median_soak":${f2(median(denseSoakSteady))},""" +
+      s""""catchup_batch_min_soak":${f2(mn(denseSoakSteady))},""" +
       s""""soak_sites":$soakSites,"sparse_soak_ratio":${f2(soakRatio)},""" +
       s""""sparse_soak_ratio_min":${f2(soakRatioMin)},""" +
+      s""""dense_soak_ratio":${f2(denseSoakRatio)},""" +
+      s""""dense_soak_ratio_min":${f2(denseSoakRatioMin)},""" +
       s""""sentinel_cpu":${sentinels.map(v => "%.4f".formatLocal(java.util.Locale.ROOT, v)).mkString("[", ",", "]")},""" +
       s""""sites":$sites}"""
   }
