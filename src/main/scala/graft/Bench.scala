@@ -331,7 +331,8 @@ object Bench {
     // headline copies of the engine medians, lifted out of the nested
     // object so the compact line alone carries the round's engine story
     val engineKeys = Seq("backfill_sec", "catchup_events_per_sec",
-      "catchup_first_batch_sec", "catchup_batch_median", "catchup_batch_min",
+      "catchup_first_batch_sec", "catchup_prefix_drain_sec",
+      "catchup_first_fold_sec", "catchup_batch_median", "catchup_batch_min",
       "sparse_batch_median", "sparse_batch_min", "sparse_soak_ratio",
       "sparse_soak_ratio_min", "dense_soak_ratio", "dense_soak_ratio_min",
       "catchup_batch_median_soak", "sites")

@@ -506,7 +506,11 @@ object Derivations {
           typeIs("SpanEquipmentDetachedFromParent"), array(col("p.spanEquipmentId"))),
       // affixEdges' root_segment_id column (all hops' parent affixes)
       "root_ids" -> transform(flatten(affixHops.getField("parentAffixes")),
-        a => a.getField("spanSegmentId")))
+        a => a.getField("spanSegmentId")),
+      // placedRootRows' root column (the st_root_segment merge keys)
+      "new_root_ids" -> when(typeIs("SpanEquipmentPlacedInRouteNetwork"),
+        array(col("p.equipment.spanStructures").getItem(0)
+          .getField("spanSegments").getItem(0).getField("id"))))
   }
 
   /** Per-family frames over one batch — the overflow-fallback and
@@ -514,6 +518,27 @@ object Derivations {
     * arrays, so each frame carries exactly the family's id occurrences). */
   private[graft] def touchedIdFrames(ev: DataFrame): Seq[(String, DataFrame)] =
     touchedIdCols.map { case (f, ks) => f -> ev.select(explode(ks).as("k")) }
+
+  /** (root_segment_id, id) index rows contributed by THIS batch's
+    * placement events — the incremental maintenance delta of the
+    * st_root_segment index. The root segment id is frozen at placement
+    * (`SpanEquipmentState.Create`; [[spanPartialWithFacts]] reads it from
+    * the placement-frozen `pl` struct), so a touched-but-not-placed span
+    * cannot change its entry: the batch's placements ARE the full delta,
+    * making the index merge batch-pure — no dependency on the merged
+    * span partials, so [[graft.streaming.Incremental.step]] overlaps it
+    * with the st_span merge instead of chaining after it. In-batch
+    * re-placement (excluded by the reference's event model — see LogGen
+    * scaladoc) would keep the last root by seq. */
+  private[graft] def placedRootRows(ev: DataFrame): DataFrame =
+    ev.filter(typeIs("SpanEquipmentPlacedInRouteNetwork"))
+      .select(col("p.equipment.spanStructures").getItem(0)
+          .getField("spanSegments").getItem(0).getField("id").as("root_segment_id"),
+        col("p.equipment.id").as("id"), col("seq"))
+      .filter(col("root_segment_id").isNotNull)
+      .groupBy(col("id"))
+      .agg(max_by(col("root_segment_id"), col("seq")).as("root_segment_id"))
+      .select(col("root_segment_id"), col("id"))
 
   /** Attach to each affix row (child_id, seq, extra...) the child's first
     * detach seq strictly after it (`next_detach_seq`, NULL if none). The

@@ -240,9 +240,16 @@ object Incremental {
           (byF.getOrElse("__types", Array.empty[org.apache.spark.sql.Row])
             .map(_.getString(1)).toSet, km)
         }
-      // fused set when the one-job collect produced it; the section's own
-      // bounded-collect job otherwise (overflow fallback)
-      def fusedOr(f: String, mk: => KeySet): KeySet = fusedKeys.getOrElse(f, mk)
+      // fused set when the one-job collect produced it; a bounded collect
+      // of the same canonical id frame otherwise (overflow fallback)
+      lazy val idFrameMap = Derivations.touchedIdFrames(b).toMap
+      def fusedOr(f: String): KeySet =
+        fusedKeys.getOrElse(f, KeySet.fromDf(idFrameMap(f), cap))
+      // an events-free batch (e.g. a seeded prefix file pruned by the
+      // high-water filter) stops here — every section would skip anyway,
+      // and NOT marking it applied matches the stream's pre-fusion
+      // isEmpty contract (replaying an empty batch is a no-op)
+      if (typesPresent.isEmpty) return false
 
       // ---------- dimension tables (tiny; merged first — every family
       // finalizer joins them) ----------
@@ -300,8 +307,7 @@ object Incremental {
       // below — moved ahead of the span chain so the section overlaps it) --
       if (has(ncTermTypes)) section {
         val termPlac = Derivations.terminalPlacements(b) // (seq, container_id, t)
-        val contRefs = fusedOr("cont_refs",
-          KeySet.fromDf(termPlac.select(col("container_id")), cap))
+        val contRefs = fusedOr("cont_refs")
         val (ncKeys, ncStored, ncMerged) = mergeFamily(store, "st_node_container", "id",
           Derivations.nodeContainerPartial(b), Derivations.nodeContainerPartialPairs, Nil,
           extraReadKeys = Some(contRefs), batchId = batchId,
@@ -346,10 +352,7 @@ object Incremental {
       def launchInterestSection(): Unit = section {
         val interestOf =
           if (hasAffixDetach) {
-            val adChildren = fusedOr("ad_children", KeySet.fromDf(
-              b.filter(col("event_type") === "SpanEquipmentAffixedToParent" ||
-                  col("event_type") === "SpanEquipmentDetachedFromParent")
-                .select(col("p.spanEquipmentId")), cap))
+            val adChildren = fusedOr("ad_children")
             store.readKeyed("st_span", bSpan.schema, "id", adChildren)
               .select(col("id").as("cable_id"),
                 col("pl").getField("walk_of_interest_id").as("interest_id"))
@@ -406,24 +409,28 @@ object Incremental {
       // placements (flag resets). The eligible-end/slack recount always
       // runs for touched spans — moves change node positions. ----------
       if (has(spanTypes)) {
+      // the st_root_segment index delta is batch-pure — the root segment
+      // id is placement-frozen, so the batch's placements ARE the full
+      // delta ([[Derivations.placedRootRows]]); its merge overlaps the
+      // st_span merge on a section thread instead of chaining after it.
+      // The affix chain (the only reader) awaits it before its readKeyed,
+      // keeping concurrent write-read table sets disjoint.
+      val fRootMerge: Option[Future[Any]] =
+        if (typesPresent("SpanEquipmentPlacedInRouteNetwork"))
+          Some(tracked(store.mergeReplace("st_root_segment", "root_segment_id",
+            fusedOr("new_root_ids"), Derivations.placedRootRows(b))))
+        else None
       val (seKeys, seStored, seMerged) = mergeFamily(store, "st_span", "id",
         bSpan, Derivations.spanPartialPairs, Nil, batchId = batchId,
         batchKeys = fusedKeys.get("st_span"))
       if (interestRelevant) launchInterestSection() // reads POST-merge st_span
 
-      if (typesPresent("SpanEquipmentPlacedInRouteNetwork")) {
-        val newRoots = rootIndexOf(seMerged)
-        val rootKeys = KeySet.fromDf(newRoots.select(col("root_segment_id"))
-          .unionByName(rootIndexOf(seStored).select(col("root_segment_id"))), cap)
-        store.mergeReplace("st_root_segment", "root_segment_id", rootKeys, newRoots)
-      }
-
       // ---------- affix timeline → child-affix + has-child state ----------
       val hcKeys: KeySet =
       if (hasAffixDetach || typesPresent("SpanEquipmentPlacedInRouteNetwork")) {
         val edges = Derivations.affixEdges(b) // (child_id, seq, root_segment_id)
-        val rootIds = fusedOr("root_ids",
-          KeySet.fromDf(edges.select(col("root_segment_id")), cap))
+        val rootIds = fusedOr("root_ids")
+        fRootMerge.foreach(Await.result(_, Duration.Inf))
         val rootMap = store.readKeyed("st_root_segment", rootSchema, "root_segment_id", rootIds)
         val batchAffixes = edges.join(rootMap, Seq("root_segment_id"))
           .select(col("child_id"), col("seq"), col("id").as("parent_id"),

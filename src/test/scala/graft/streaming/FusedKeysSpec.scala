@@ -49,13 +49,18 @@ class FusedKeysSpec extends SparkTestBase {
         assert(got === setOf(df), s"family $f id set diverged from its partial fold")
         assert(got.nonEmpty, s"family $f parity is vacuous — scenario generates no ids")
       }
-      // the other three tags ARE the expressions the step consumed
-      // pre-fusion (terminalPlacements container refs, affix/detach
-      // children, affix root-segment ids) — assert the scenario exercises
-      // them so the fused job's coverage is not vacuous
-      Seq("cont_refs", "ad_children", "root_ids").foreach { f =>
+      // the other tags ARE the expressions the step consumed pre-fusion
+      // (terminalPlacements container refs, affix/detach children, affix
+      // root-segment ids) — assert the scenario exercises them so the
+      // fused job's coverage is not vacuous
+      Seq("cont_refs", "ad_children", "root_ids", "new_root_ids").foreach { f =>
         assert(setOf(fused(f)).nonEmpty, s"tag $f vacuous in scenario")
       }
+      // new_root_ids is the st_root_segment merge's KEY set: the merge's
+      // span-coverage contract requires it to cover every row's root
+      val rootRows = setOf(Derivations.placedRootRows(b).select(col("root_segment_id")))
+      assert(rootRows.nonEmpty && rootRows.subsetOf(setOf(fused("new_root_ids"))),
+        "placedRootRows roots not covered by the new_root_ids key set")
     } finally { b.unpersist(); () }
   }
 
