@@ -450,9 +450,13 @@ object Incremental {
             val timeline = Derivations
               .affixNextDetach(storedAffixes.unionByName(batchAffixes), detaches)
               .localCheckpoint(true)
-            store.mergeReplace("st_child_affixes", "child_id", touchedChildren,
+            // sub-section: the open-affix rewrite reads only the
+            // checkpointed timeline, and nothing later in the step reads
+            // st_child_affixes (the chain consumed its SNAPSHOT above) —
+            // overlap the write with the has-child fold + merge below
+            section { store.mergeReplace("st_child_affixes", "child_id", touchedChildren,
               timeline.filter(col("next_detach_seq").isNull)
-                .select(col("child_id"), col("parent_id"), col("seq")).distinct())
+                .select(col("child_id"), col("parent_id"), col("seq")).distinct()) }
             // flag timeline rows: batch affixes set, detaches clear every
             // affix they terminate (stored or batch)
             Seq(timeline.filter(!col("stored"))
