@@ -263,6 +263,7 @@ object Bench {
           val spark3 = SparkSession.builder()
             .master(s"local[$cpus]")
             .config("spark.sql.shuffle.partitions", parts)
+            .config("spark.sql.limit.initialNumPartitions", parts)
             .config("spark.sql.codegen.wholeStage",
               sys.env.getOrElse("SPARK_GRAFT_CODEGEN", "false"))
             .config("spark.ui.enabled", "false")

@@ -285,6 +285,9 @@ object EngineBench {
       .master(s"local[$cpus]")
       .appName("graft-engine-bench")
       .config("spark.sql.shuffle.partitions", parts)
+      // one CollectLimit job instead of the 1 → 4 → all ramp-up on the
+      // step's bounded collects (see CatchUp.main)
+      .config("spark.sql.limit.initialNumPartitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // same knobs as the production CatchUp session (see CatchUp.main):

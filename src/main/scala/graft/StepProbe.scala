@@ -14,6 +14,7 @@ object StepProbe {
       .master("local[32]")
       .appName("graft-step-probe")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.limit.initialNumPartitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "false")

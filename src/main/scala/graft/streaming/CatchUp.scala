@@ -124,6 +124,11 @@ object CatchUp {
       .master(s"local[$cpus]")
       .appName("graft-catchup")
       .config("spark.sql.shuffle.partitions", cpus)
+      // bounded collects (KeySet.fromDf, the fused step-start job) sit on
+      // the 2-second path; the default CollectLimit ramp-up (1 → 4 → all
+      // partitions) turns each into up to 3 driver jobs on frames that
+      // never satisfy the limit early — start at full coverage
+      .config("spark.sql.limit.initialNumPartitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the poll loop folds batch-bounded frames: AQE's per-stage re-plan
