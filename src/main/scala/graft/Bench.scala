@@ -255,7 +255,7 @@ object Bench {
           // fall back in-process so the metric still exists; the error map
           // records why the outlier-proof path was unavailable
           errors("engine_fork") = reason.take(140).replaceAll("[\"\\n\\\\]", " ")
-          val parts = sys.env.getOrElse("SPARK_GRAFT_ENGINE_PARTITIONS", "8")
+          val parts = sys.env.getOrElse("SPARK_GRAFT_ENGINE_PARTITIONS", "4")
           // must mirror EngineBench.main's session exactly — a fallback
           // measured under a different engine mode (codegen on) would not
           // be comparable to forked rounds, and the interpreted-sized

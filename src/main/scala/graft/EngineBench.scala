@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * standalone main for probing.
   *
   * The catch-up session sizes `spark.sql.shuffle.partitions` down to
-  * `SPARK_GRAFT_ENGINE_PARTITIONS` (default 8): a 2-second poll loop folds
+  * `SPARK_GRAFT_ENGINE_PARTITIONS` (default 4): a 2-second poll loop folds
   * batch-bounded frames, so task count per tiny stage — not parallelism on
   * big data — dominates; production would set the same knob (or AQE
   * coalescing) for its trigger cadence.
@@ -279,7 +279,7 @@ object EngineBench {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val parts = sys.env.getOrElse("SPARK_GRAFT_ENGINE_PARTITIONS", "8")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_ENGINE_PARTITIONS", "4")
     val sites = sys.env.getOrElse("SPARK_GRAFT_ENGINE_SITES", "4000").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
