@@ -510,7 +510,17 @@ object Derivations {
       // placedRootRows' root column (the st_root_segment merge keys)
       "new_root_ids" -> when(typeIs("SpanEquipmentPlacedInRouteNetwork"),
         array(col("p.equipment.spanStructures").getItem(0)
-          .getField("spanSegments").getItem(0).getField("id"))))
+          .getField("spanSegments").getItem(0).getField("id"))),
+      // affixEdges' child_id column ∪ detach children — the affix
+      // chain's touched-children set. Equals the post-resolve set
+      // (batchAffixes ∪ detaches children) whenever every affix root
+      // resolves a parent, which well-formed logs guarantee (parents are
+      // placed before affixes); an unresolved affix only ADDS its child
+      // here, and extra keys in the st_child_affixes merge rewrite that
+      // child's stored rows unchanged — content-identical either way
+      "affix_children" -> when(typeIs("SpanEquipmentAffixedToParent") ||
+          typeIs("SpanEquipmentDetachedFromParent"), array(col("p.spanEquipmentId")))
+        .when(placedWithHops, array(col("p.equipment.id"))))
   }
 
   /** Per-family frames over one batch — the overflow-fallback and

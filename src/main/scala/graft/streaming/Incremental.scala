@@ -437,8 +437,10 @@ object Incremental {
             lit(false).as("stored"))
         val detaches = b.filter(col("event_type") === "SpanEquipmentDetachedFromParent")
           .select(col("p.spanEquipmentId").as("child_id"), col("seq"))
-        val touchedChildren = KeySet.fromDf(batchAffixes.select(col("child_id"))
-          .unionByName(detaches.select(col("child_id"))), cap)
+        // batch-pure superset of (batchAffixes ∪ detaches) children — equal
+        // in well-formed logs; see the affix_children note in
+        // [[Derivations.touchedIdCols]]
+        val touchedChildren = fusedOr("affix_children")
         // a placement-only batch (no hops, no detaches) has an empty affix
         // timeline: only the flag resets below remain
         val affixRows =

@@ -61,6 +61,15 @@ class FusedKeysSpec extends SparkTestBase {
       val rootRows = setOf(Derivations.placedRootRows(b).select(col("root_segment_id")))
       assert(rootRows.nonEmpty && rootRows.subsetOf(setOf(fused("new_root_ids"))),
         "placedRootRows roots not covered by the new_root_ids key set")
+      // affix_children is the st_child_affixes merge's KEY set: it must
+      // cover every affix edge's child and every detach child (equality
+      // may fail only for affixes whose root never resolves — the fused
+      // set keeps the child, the resolved set drops it)
+      val affixKids = setOf(Derivations.affixEdges(b).select(col("child_id"))) ++
+        setOf(b.filter(col("event_type") === "SpanEquipmentDetachedFromParent")
+          .select(col("p.spanEquipmentId")))
+      assert(affixKids.nonEmpty && affixKids.subsetOf(setOf(fused("affix_children"))),
+        "affix/detach children not covered by the affix_children key set")
     } finally { b.unpersist(); () }
   }
 
