@@ -336,7 +336,8 @@ object Bench {
       "catchup_first_fold_sec", "catchup_batch_median", "catchup_batch_min",
       "sparse_batch_median", "sparse_batch_min", "sparse_soak_ratio",
       "sparse_soak_ratio_min", "dense_soak_ratio", "dense_soak_ratio_min",
-      "catchup_batch_median_soak", "sites")
+      "catchup_batch_median_soak", "catchup_batch_min_norm",
+      "sparse_batch_min_norm", "sites")
     val engineHead = engineKeys.flatMap { k =>
       ("\"" + k + "\":(-?[0-9][0-9.eE+-]*)").r.findFirstMatchIn(engineJson)
         .map(m => "\"" + k + "\":" + m.group(1))

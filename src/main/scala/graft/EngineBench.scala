@@ -274,6 +274,13 @@ object EngineBench {
       s""""dense_soak_ratio":${f2(denseSoakRatio)},""" +
       s""""dense_soak_ratio_min":${f2(denseSoakRatioMin)},""" +
       s""""sentinel_cpu":${sentinels.map(v => "%.4f".formatLocal(java.util.Locale.ROOT, v)).mkString("[", ",", "]")},""" +
+      // sentinel-normalized minima (query-suite counterpart: VERDICT r7
+      // #8): batch-min ÷ mid-run cpu sentinel — the one-field host-
+      // corrected round-over-round comparison for the engine axis
+      s""""catchup_batch_min_norm":${
+        if (sentinels.lift(1).exists(_ > 0)) f2(mn(steady) / sentinels(1)) else "null"},""" +
+      s""""sparse_batch_min_norm":${
+        if (sentinels.lift(1).exists(_ > 0)) f2(mn(sparses) / sentinels(1)) else "null"},""" +
       s""""sites":$sites}"""
   }
 
