@@ -40,7 +40,8 @@ object StepProbe {
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val d = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("") + " " +
+          .flatMap(p => Option(p.getProperty("spark.job.description"))
+            .orElse(Option(p.getProperty("spark.jobGroup.id")))).getOrElse("") + " " +
           js.stageInfos.map(_.name.takeWhile(_ != '(')).mkString("|").take(120)
         starts.put(js.jobId, (System.nanoTime(), d)); ()
       }
@@ -53,13 +54,18 @@ object StepProbe {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // real ascending batch ids: the production stream always has one, and
+    // batchId >= 0 changes the step's shape (snapshot copies + the early
+    // interest launch) — a -1 probe would measure the wrong plan
+    var nextBatchId = 0L
     def probe(name: String, batch: Vector[(Long, String, String)]): Unit = {
       done.clear(); starts.clear()
+      nextBatchId += 1
       val t0 = System.nanoTime()
       probeT0.set(t0)
       graft.streaming.Incremental.step(store,
         graft.projector.EventLog.decode(graft.projector.LogSynth.toDf(spark, batch)),
-        batchId = -1L)
+        batchId = nextBatchId)
       val secs = (System.nanoTime() - t0) / 1e9
       import scala.jdk.CollectionConverters._
       val js = done.asScala.toVector

@@ -496,6 +496,16 @@ object Derivations {
       // terminalPlacements' container_id column
       "cont_refs" -> when(typeIs("TerminalEquipmentPlacedInNodeContainer"),
         array(col("p.equipment.nodeContainerId"))),
+      // batch-pure SUPERSET of the terminal partial's id set: a placement
+      // that fails the spec-eligibility filter (or resolves no route node)
+      // contributes no partial row, but its id here only makes the merge
+      // rewrite that terminal's stored rows unchanged — content-identical,
+      // same argument as affix_children below
+      "st_terminal" -> when(typeIs("TerminalEquipmentPlacedInNodeContainer"),
+          array(col("p.equipment.id")))
+        .when(col("event_type").isin("TerminalEquipmentRemoved",
+          "TerminalEquipmentNamingInfoChanged", "TerminalEquipmentAddressInfoChanged"),
+          array(col("p.terminalEquipmentId"))),
       "st_interest" -> when(col("event_type").isin(interestTypes: _*),
         array(coalesce(col("p.interest.id"), col("p.interestId")))),
       "st_span" -> when(col("event_type").isin("SpanEquipmentPlacedInRouteNetwork",

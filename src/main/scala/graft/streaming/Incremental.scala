@@ -144,8 +144,13 @@ object Incremental {
   // per-job latency, not data volume, bounds the 2-second loop — section
   // threads (and the output sub-sections they spawn) overlap that latency.
   // Daemon pool, shared across steps.
+  // 8 threads: up to 5 top-level tasks (inst, wt, ncTerm, root merge,
+  // affix chain) can be in flight before their sub-sections land; the
+  // extra headroom keeps a spawned sub-section from queueing behind a
+  // blocked parent. Threads block on driver-side Await almost all their
+  // life — the count bounds concurrent Spark job SUBMISSIONS, not CPU.
   private lazy val stepEc = scala.concurrent.ExecutionContext.fromExecutor(
-    java.util.concurrent.Executors.newFixedThreadPool(6, (r: Runnable) => {
+    java.util.concurrent.Executors.newFixedThreadPool(8, (r: Runnable) => {
       val t = new Thread(r, "graft-step"); t.setDaemon(true); t
     }))
 
@@ -329,17 +334,27 @@ object Incremental {
           Derivations.terminalUpdateRows(b))
         // st_terminal's own stored partial feeds only its merge (the as-of
         // inputs come from the st_node_container SNAPSHOT above)
+        // fused batch keys are a batch-pure SUPERSET of bTerm's ids (a
+        // spec-filtered placement folds no partial row) — the merge
+        // rewrites those terminals' stored rows unchanged, the same
+        // contract affix_children relies on (Derivations.touchedIdCols)
         val (termKeys, _, termMerged) = mergeFamily(store, "st_terminal", "id", bTerm,
           Derivations.terminalPartialPairs, Derivations.terminalPartialSeqs,
-          batchId = batchId, snapshot = false)
+          batchId = batchId, snapshot = false,
+          batchKeys = fusedKeys.get("st_terminal"))
         writeOutput(store, syncSink, sinkActive, "service_termination", termKeys,
           Derivations.serviceTerminationFromPartial(termMerged))
       }
 
-      // ---------- interests + cable walks (concurrent; launched after the
-      // st_span merge when the span family is active — affix/detach
-      // interest ids resolve from the POST-merge span partials; the as-of
-      // resolve reads the PRE-merge interest snapshot).
+      // ---------- interests + cable walks (concurrent; launched BEFORE the
+      // st_span merge when a real batch snapshot is available (r8) —
+      // affix/detach interest ids resolve the placement-frozen `pl` struct,
+      // which the PRE-merge span snapshot ∪ the batch partial determine
+      // exactly (pl merges as lastNonNull on placed_seq, so
+      // merge(snapshot, batch) ≡ the post-merge value); the as-of resolve
+      // reads the PRE-merge interest snapshot. Without a batch id
+      // (diagnostic/spec drivers) there is no pinned snapshot, so the
+      // section keeps the post-merge read and launches after the merge.
       // Gated on the event types that can actually change an interest or a
       // cable walk: interest events, cable/conduit placements, affixes and
       // detaches. A move-only span batch (the steady-state mix) skips the
@@ -349,13 +364,18 @@ object Incremental {
         typesPresent("SpanEquipmentDetachedFromParent")
       val interestRelevant = has(interestTypes) || hasAffixDetach ||
         typesPresent("SpanEquipmentPlacedInRouteNetwork")
-      def launchInterestSection(): Unit = section {
+      def launchInterestSection(spanPreMerge: Option[DataFrame]): Unit = section {
         val interestOf =
-          if (hasAffixDetach) {
-            val adChildren = fusedOr("ad_children")
-            store.readKeyed("st_span", bSpan.schema, "id", adChildren)
-              .select(col("id").as("cable_id"),
-                col("pl").getField("walk_of_interest_id").as("interest_id"))
+          if (hasAffixDetach) spanPreMerge match {
+            case Some(snap) =>
+              Folds.mergePartials(Seq(snap, bSpan), "id", Seq("pl" -> "placed_seq"))
+                .select(col("id").as("cable_id"),
+                  col("pl").getField("walk_of_interest_id").as("interest_id"))
+            case None =>
+              val adChildren = fusedOr("ad_children")
+              store.readKeyed("st_span", bSpan.schema, "id", adChildren)
+                .select(col("id").as("cable_id"),
+                  col("pl").getField("walk_of_interest_id").as("interest_id"))
           } else emptyFrame(spark, StructType.fromDDL("cable_id STRING, interest_id STRING"))
         val applies = Derivations
           .cablePlacementApplies(b, eqSpecs.select(col("spec_id"), col("spec_is_cable")))
@@ -420,35 +440,45 @@ object Incremental {
           Some(tracked(store.mergeReplace("st_root_segment", "root_segment_id",
             fusedOr("new_root_ids"), Derivations.placedRootRows(b))))
         else None
-      val (seKeys, seStored, seMerged) = mergeFamily(store, "st_span", "id",
-        bSpan, Derivations.spanPartialPairs, Nil, batchId = batchId,
-        batchKeys = fusedKeys.get("st_span"))
-      if (interestRelevant) launchInterestSection() // reads POST-merge st_span
-
       // ---------- affix timeline → child-affix + has-child state ----------
-      val hcKeys: KeySet =
-      if (hasAffixDetach || typesPresent("SpanEquipmentPlacedInRouteNetwork")) {
+      // Runs CONCURRENTLY with the st_span merge below (r8): the chain
+      // reads st_root_segment (after the root merge it awaits),
+      // the st_child_affixes SNAPSHOT and st_has_child, and batch-pure
+      // frames — none of which the st_span merge touches. Only the
+      // eligible-end recount needs BOTH seKeys and hcKeys, so that is
+      // where the future is joined. Await-inside-a-pool-task is safe by
+      // submission order: stepEc is FIFO, fRootMerge is submitted before
+      // this future, and a FIFO pool starts tasks in submission order —
+      // the awaited task is already running (or done) when the awaiter
+      // starts.
+      val fHc: scala.concurrent.Future[(KeySet, Option[DataFrame])] =
+      if (hasAffixDetach || typesPresent("SpanEquipmentPlacedInRouteNetwork")) tracked {
         val edges = Derivations.affixEdges(b) // (child_id, seq, root_segment_id)
         val rootIds = fusedOr("root_ids")
-        fRootMerge.foreach(Await.result(_, Duration.Inf))
-        val rootMap = store.readKeyed("st_root_segment", rootSchema, "root_segment_id", rootIds)
-        val batchAffixes = edges.join(rootMap, Seq("root_segment_id"))
-          .select(col("child_id"), col("seq"), col("id").as("parent_id"),
-            lit(false).as("stored"))
         val detaches = b.filter(col("event_type") === "SpanEquipmentDetachedFromParent")
           .select(col("p.spanEquipmentId").as("child_id"), col("seq"))
         // batch-pure superset of (batchAffixes ∪ detaches) children — equal
         // in well-formed logs; see the affix_children note in
         // [[Derivations.touchedIdCols]]
         val touchedChildren = fusedOr("affix_children")
+        // the st_child_affixes snapshot copy is DRIVER-side file I/O —
+        // take it before the root-merge await so the copy overlaps the
+        // concurrent st_root_segment write instead of chaining after it
+        val storedAffixesOpt =
+          if (touchedChildren.knownEmpty) None
+          else Some(store
+            .readKeyedSnap(batchId, "st_child_affixes", childAffixSchema, "child_id", touchedChildren)
+            .withColumn("stored", lit(true)))
+        fRootMerge.foreach(Await.result(_, Duration.Inf))
+        val rootMap = store.readKeyed("st_root_segment", rootSchema, "root_segment_id", rootIds)
+        val batchAffixes = edges.join(rootMap, Seq("root_segment_id"))
+          .select(col("child_id"), col("seq"), col("id").as("parent_id"),
+            lit(false).as("stored"))
         // a placement-only batch (no hops, no detaches) has an empty affix
         // timeline: only the flag resets below remain
-        val affixRows =
-          if (touchedChildren.knownEmpty) Seq.empty[DataFrame]
-          else {
-            val storedAffixes = store
-              .readKeyedSnap(batchId, "st_child_affixes", childAffixSchema, "child_id", touchedChildren)
-              .withColumn("stored", lit(true))
+        val affixRows = storedAffixesOpt match {
+          case None => Seq.empty[DataFrame]
+          case Some(storedAffixes) =>
             val timeline = Derivations
               .affixNextDetach(storedAffixes.unionByName(batchAffixes), detaches)
               .localCheckpoint(true)
@@ -466,26 +496,49 @@ object Incremental {
               timeline.filter(col("next_detach_seq").isNotNull)
                 .select(col("parent_id"), col("next_detach_seq").as("seq"),
                   lit(false).as("has_child")))
-          }
+        }
         val resetRows = b.filter(col("event_type") === "SpanEquipmentPlacedInRouteNetwork")
           .select(col("p.equipment.id").as("parent_id"), col("seq"), lit(false).as("has_child"))
         val batchHc = affixRows.foldLeft(resetRows)(_ unionByName _)
           .groupBy(col("parent_id"))
           .agg(max_by(col("has_child"), col("seq")).as("has_child"),
             max(col("seq")).as("hc_seq"))
-        val hcK = KeySet.fromDf(batchHc.select(col("parent_id")), cap)
-        if (!hcK.knownEmpty) {
-          // no snapshot: batchHc is replay-stable (derives from the
-          // st_child_affixes snapshot) and the hc merge is a max-seq
-          // fixpoint; neither side needs its own checkpoint — the merge
-          // internal one materializes the whole union before the overwrite
-          val hcStored = store.readKeyed("st_has_child", hcSchema, "parent_id", hcK)
-          val hcMerged = Folds
-            .mergePartials(Seq(hcStored, batchHc), "parent_id", Seq("has_child" -> "hc_seq"))
-          store.mergeReplace("st_has_child", "parent_id", hcK, hcMerged, coversKeys = true)
-        }
-        hcK
-      } else KeySet.empty
+        // the key collect runs over the pre-aggregate parent union (the
+        // checkpointed timeline + the cached batch), NOT batchHc — same
+        // distinct key set, one shuffle stage less on the critical path
+        val hcK = KeySet.fromDf(affixRows.map(_.select(col("parent_id")))
+          .foldLeft(resetRows.select(col("parent_id")))(_ unionByName _), cap)
+        // the st_has_child MERGE is no longer performed here (r8): the
+        // caller computes the post-merge values in-plan from pre-merge
+        // state + batchHc, checkpoints them, and only then launches the
+        // merge as a section — taking its latency off the hcKeys →
+        // eligible-recount critical path. batchHc is replay-stable (it
+        // derives from the st_child_affixes SNAPSHOT), so the deferred
+        // merge keeps the same fixpoint-replay property.
+        (hcK, if (hcK.knownEmpty) None else Some(batchHc))
+      } else scala.concurrent.Future.successful((KeySet.empty: KeySet, None: Option[DataFrame]))
+
+      // pin the pre-merge span rows the interest section needs (driver-side
+      // snapshot copy, milliseconds) and launch it BEFORE the st_span merge
+      // — the section's longest chain (lastApply checkpoint → interest
+      // merge → walk resolves) then overlaps the merge instead of queueing
+      // behind it. Only with a real batchId: batchId < 0 has no pinned
+      // snapshot dir, so the pre-merge read would race the merge's bucket
+      // swap — those callers keep the post-merge launch below.
+      val spanPreForInterest: Option[DataFrame] =
+        if (interestRelevant && hasAffixDetach && batchId >= 0)
+          Some(store.readKeyedSnap(batchId, "st_span", bSpan.schema, "id",
+            fusedOr("ad_children")))
+        else None
+      val interestLaunchedEarly = interestRelevant &&
+        (spanPreForInterest.nonEmpty || !hasAffixDetach)
+      if (interestLaunchedEarly) launchInterestSection(spanPreForInterest)
+      val (seKeys, seStored, seMerged) = mergeFamily(store, "st_span", "id",
+        bSpan, Derivations.spanPartialPairs, Nil, batchId = batchId,
+        batchKeys = fusedKeys.get("st_span"))
+      // late launch only when the early path was unavailable (batchId < 0
+      // with affix/detach events): reads POST-merge st_span
+      if (interestRelevant && !interestLaunchedEarly) launchInterestSection(None)
 
       // ---------- span_equipment output (concurrent with affix chain) ----
       section {
@@ -494,11 +547,39 @@ object Incremental {
             Derivations.spanStateFromPartial(seMerged), eqSpecs, structSpecs))
       }
 
+      // join the affix future here — the recount below is the first (and
+      // only) consumer of hcKeys
+      val (hcKeys, batchHcOpt) = Await.result(fHc, Duration.Inf)
+
       // ---------- eligible ends + conduit_slack recount ----------
       val eligKeys = ksUnion(seKeys, hcKeys)
       if (!eligKeys.knownEmpty) {
       val spanElig = store.readKeyed("st_span", bSpan.schema, "id", eligKeys)
-      val hcFor = store.readKeyed("st_has_child", hcSchema, "parent_id", eligKeys)
+      // post-merge has_child values for every eligible parent, computed
+      // IN-PLAN from the pre-merge store + the batch fold and materialized
+      // to memory BEFORE the st_has_child merge is launched (r8): the
+      // eligible chain then has no file dependency on the merge, so the
+      // merge write runs as a concurrent section instead of sitting on the
+      // hcKeys → recount critical path. The checkpoint is delta-bounded
+      // (one tiny row per touched span/parent). The merge's replacement is
+      // the SAME checkpointed frame restricted to the touched parents —
+      // for those keys mergePartials over (stored ∪ batchHc) IS the
+      // post-merge value, and the restriction keeps the replacement inside
+      // the touched-key bucket span the swap contract requires. Replay
+      // safety is unchanged: batchHc derives from the st_child_affixes
+      // snapshot and the merge stays a max-seq fixpoint.
+      val hcStoredAll = store.readKeyed("st_has_child", hcSchema, "parent_id", eligKeys)
+      val hcFor = batchHcOpt match {
+        case None => hcStoredAll
+        case Some(batchHc) =>
+          val mergedAll = Folds
+            .mergePartials(Seq(hcStoredAll, batchHc), "parent_id", Seq("has_child" -> "hc_seq"))
+            .localCheckpoint(true)
+          section { store.mergeReplace("st_has_child", "parent_id", hcKeys,
+            restrictToKeys(mergedAll, hcKeys, "parent_id", mergedAll.columns.toSeq),
+            coversKeys = true) }
+          mergedAll
+      }
       val enrichedElig = Derivations
         .withSpecDims(Derivations.spanStateFromPartial(spanElig), eqSpecs, structSpecs)
         .join(hcFor.select(col("parent_id").as("id"), col("has_child")), Seq("id"), "left")
@@ -534,7 +615,9 @@ object Incremental {
           Derivations.slackFromEnds(
             store.readKeyed("st_eligible_ends", eligSchema, "route_node_id", KeySet.empty)))
       }
-      } else if (interestRelevant) launchInterestSection()
+      // no span events at all ⇒ hasAffixDetach is false (affix/detach ARE
+      // span types) ⇒ the section never touches st_span
+      } else if (interestRelevant) launchInterestSection(None)
       // join the concurrent sections (first failure propagates; drain
       // until empty — sections can spawn sub-sections) ...
       var nf = pending.poll()

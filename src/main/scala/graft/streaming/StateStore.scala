@@ -392,7 +392,11 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
       else planned.repartition(buckets.length, col("bucket"))
     val tmp = new Path(s"$root/.merge_$table")
     fs.delete(tmp, true)
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    // thread-local job description: names the merge in the Spark UI and
+    // in job-timeline probes (StepProbe) — costs nothing on the data path
+    spark.sparkContext.setJobDescription(s"graft-merge:$table")
+    try merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    finally spark.sparkContext.setJobDescription(null)
     val staged = fs.listStatus(tmp).map(_.getPath.getName)
       .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt)
     // coverage-contract check — ALWAYS on now that it is a driver-side
