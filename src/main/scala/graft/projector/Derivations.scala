@@ -130,23 +130,31 @@ object Derivations {
   private val interestTypes = Seq("WalkOfInterestRegistered",
     "WalkOfInterestRouteNetworkElementsModified", "InterestUnregistered")
 
-  /** Mergeable per-interest partial fold: walk (last non-null, marker
-    * `w_seq`) and the family's last event type (marker `lt_seq`). */
-  private[graft] def interestPartial(ev: DataFrame): DataFrame = {
-    val fam = ev.filter(col("event_type").isin(interestTypes: _*))
-      .select(col("seq"), col("event_type"),
-        coalesce(col("p.interest.id"), col("p.interestId")).as("interest_id"),
+  /** EVENT-level rows of the per-interest partial fold — one row per
+    * family event, in the partial's (value, marker) schema, so
+    * [[graft.ops.Folds.mergePartials]] over `stored ∪ rows` folds batch
+    * events and merges onto state in ONE aggregation (r8: the previous
+    * batch-side pre-aggregation cost the 2-second step a second exchange
+    * per family merge). Seq uniqueness makes the fused fold exact: stored
+    * markers are ≤ high-water < every batch seq, and batch seqs are
+    * distinct, so max-by-marker over rows ≡ max-by-marker over partials. */
+  private[graft] def interestPartialRows(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type").isin(interestTypes: _*))
+      .select(coalesce(col("p.interest.id"), col("p.interestId")).as("interest_id"),
         array_distinct(
           when(typeIs("WalkOfInterestRegistered"), col("p.interest.routeNetworkElementRefs"))
             .when(typeIs("WalkOfInterestRouteNetworkElementsModified"), col("p.routeNetworkElementIds"))
-        ).as("walk"))
-    fam.groupBy(col("interest_id"))
-      .agg(
-        Folds.lastNonNull(col("walk"), col("seq")).as("walk"),
-        max(when(col("walk").isNotNull, col("seq"))).as("w_seq"),
-        max_by(col("event_type"), col("seq")).as("last_type"),
-        max(col("seq")).as("lt_seq"))
-  }
+        ).as("walk"),
+        col("seq").as("w_seq_raw"), col("event_type").as("last_type"),
+        col("seq").as("lt_seq"))
+      .withColumn("w_seq", when(col("walk").isNotNull, col("w_seq_raw")))
+      .select(col("interest_id"), col("walk"), col("w_seq"),
+        col("last_type"), col("lt_seq"))
+
+  /** Mergeable per-interest partial fold: walk (last non-null, marker
+    * `w_seq`) and the family's last event type (marker `lt_seq`). */
+  private[graft] def interestPartial(ev: DataFrame): DataFrame =
+    Folds.mergePartials(Seq(interestPartialRows(ev)), "interest_id", interestPartialPairs)
 
   private[graft] val interestPartialPairs: Seq[(String, String)] =
     Seq("walk" -> "w_seq", "last_type" -> "lt_seq")
@@ -174,29 +182,28 @@ object Derivations {
   // Node containers
   // ---------------------------------------------------------------------
 
-  /** Mergeable per-container partial fold (route node / spec / lifecycle,
-    * each with its marker seq). */
-  private[graft] def nodeContainerPartial(ev: DataFrame): DataFrame = {
+  /** Event-level rows of the per-container partial (see
+    * [[interestPartialRows]] for the fused-fold rationale). */
+  private[graft] def nodeContainerPartialRows(ev: DataFrame): DataFrame = {
     val types = Seq("NodeContainerPlacedInRouteNetwork", "NodeContainerRemovedFromRouteNetwork",
       "NodeContainerSpecificationChanged")
     val placed = typeIs("NodeContainerPlacedInRouteNetwork")
     val lifecycle = placed || typeIs("NodeContainerRemovedFromRouteNetwork")
-    val fam = ev.filter(col("event_type").isin(types: _*))
-      .select(col("seq"), col("event_type"),
-        coalesce(col("p.container.id"), col("p.nodeContainerId")).as("id"),
-        when(placed, col("p.container.routeNodeId")).as("route_node_id"),
-        when(placed, col("p.container.specificationId"))
-          .when(typeIs("NodeContainerSpecificationChanged"), col("p.newSpecificationId")).as("spec_id"),
-        lifecycle.as("is_lifecycle"))
-    fam.groupBy(col("id"))
-      .agg(
-        Folds.lastNonNull(col("route_node_id"), col("seq")).as("route_node_id"),
-        max(when(col("route_node_id").isNotNull, col("seq"))).as("rn_seq"),
-        Folds.lastNonNull(col("spec_id"), col("seq")).as("spec_id"),
-        max(when(col("spec_id").isNotNull, col("seq"))).as("sp_seq"),
-        Folds.lastWhere(col("event_type"), col("seq"), col("is_lifecycle")).as("last_lifecycle"),
-        max(when(col("is_lifecycle"), col("seq"))).as("lc_seq"))
+    val rn = when(placed, col("p.container.routeNodeId"))
+    val sp = when(placed, col("p.container.specificationId"))
+      .when(typeIs("NodeContainerSpecificationChanged"), col("p.newSpecificationId"))
+    ev.filter(col("event_type").isin(types: _*))
+      .select(coalesce(col("p.container.id"), col("p.nodeContainerId")).as("id"),
+        rn.as("route_node_id"), when(rn.isNotNull, col("seq")).as("rn_seq"),
+        sp.as("spec_id"), when(sp.isNotNull, col("seq")).as("sp_seq"),
+        col("event_type").as("last_lifecycle"),
+        when(lifecycle, col("seq")).as("lc_seq"))
   }
+
+  /** Mergeable per-container partial fold (route node / spec / lifecycle,
+    * each with its marker seq). */
+  private[graft] def nodeContainerPartial(ev: DataFrame): DataFrame =
+    Folds.mergePartials(Seq(nodeContainerPartialRows(ev)), "id", nodeContainerPartialPairs)
 
   private[graft] val nodeContainerPartialPairs: Seq[(String, String)] =
     Seq("route_node_id" -> "rn_seq", "spec_id" -> "sp_seq", "last_lifecycle" -> "lc_seq")
@@ -223,26 +230,24 @@ object Derivations {
   // Work tasks / installations (pure LWW folds)
   // ---------------------------------------------------------------------
 
-  /** Mergeable per-work-task partial fold. */
-  private[graft] def workTaskPartial(ev: DataFrame): DataFrame = {
+  /** Event-level rows of the per-work-task partial (see
+    * [[interestPartialRows]] for the fused-fold rationale). */
+  private[graft] def workTaskPartialRows(ev: DataFrame): DataFrame = {
     val validCreate = typeIs("WorkTaskCreated") &&
       col("p.workTask.status").isNotNull && col("p.workTask.status") =!= ""
     val statusChanged = typeIs("WorkTaskStatusChanged")
-    val fam = ev.filter(typeIs("WorkTaskCreated") || statusChanged)
-      .select(col("seq"),
-        col("p.workTaskId").as("id"),
+    ev.filter(typeIs("WorkTaskCreated") || statusChanged)
+      .select(col("p.workTaskId").as("id"),
         when(validCreate, col("p.workTask.number")).as("number"),
+        when(validCreate, col("seq")).as("created_seq"),
         when(validCreate, col("p.workTask.status"))
           .when(statusChanged, col("p.status")).as("status"),
-        (validCreate || statusChanged).as("in_status_family"),
-        validCreate.as("is_valid_create"))
-    fam.groupBy(col("id"))
-      .agg(
-        Folds.lastWhere(col("number"), col("seq"), col("is_valid_create")).as("number"),
-        Folds.lastEvenNull(col("status"), col("seq"), col("in_status_family")).as("status"),
-        max(when(col("in_status_family"), col("seq"))).as("st_seq"),
-        max(when(col("is_valid_create"), col("seq"))).as("created_seq"))
+        when(validCreate || statusChanged, col("seq")).as("st_seq"))
   }
+
+  /** Mergeable per-work-task partial fold. */
+  private[graft] def workTaskPartial(ev: DataFrame): DataFrame =
+    Folds.mergePartials(Seq(workTaskPartialRows(ev)), "id", workTaskPartialPairs)
 
   private[graft] val workTaskPartialPairs: Seq[(String, String)] =
     Seq("number" -> "created_seq", "status" -> "st_seq")
@@ -255,33 +260,32 @@ object Derivations {
   def workTask(ev: DataFrame): DataFrame =
     workTaskFromPartial(workTaskPartial(ev))
 
-  /** Mergeable per-installation partial fold (field families with marker
-    * seqs). */
-  private[graft] def installationPartial(ev: DataFrame): DataFrame = {
+  /** Event-level rows of the per-installation partial (see
+    * [[interestPartialRows]] for the fused-fold rationale). */
+  private[graft] def installationPartialRows(ev: DataFrame): DataFrame = {
     val created = typeIs("InstallationCreated")
     val types = Seq("InstallationCreated", "InstallationUnitAddressChanged",
       "InstallationStatusChanged", "InstallationLocationRemarkChanged")
     val condUa = created || typeIs("InstallationUnitAddressChanged")
     val condSt = created || typeIs("InstallationStatusChanged")
     val condLr = created || typeIs("InstallationLocationRemarkChanged")
-    val fam = ev.filter(col("event_type").isin(types: _*))
-      .select(col("seq"), col("event_type"), col("p.id").as("id"),
-        col("p.installationId").as("installation_id"),
-        col("p.unitAddressId").as("unit_address_id"),
-        col("p.status").as("status"),
-        col("p.locationRemark").as("location_remark"))
     val seq = col("seq")
-    fam.groupBy(col("id"))
-      .agg(
-        Folds.lastWhere(col("installation_id"), seq, created).as("installation_id"),
-        Folds.lastEvenNull(col("unit_address_id"), seq, condUa).as("unit_address_id"),
-        max(when(condUa, seq)).as("ua_seq"),
-        Folds.lastEvenNull(col("status"), seq, condSt).as("status"),
-        max(when(condSt, seq)).as("st_seq"),
-        Folds.lastEvenNull(col("location_remark"), seq, condLr).as("location_remark"),
-        max(when(condLr, seq)).as("lr_seq"),
-        max(when(created, seq)).as("created_seq"))
+    ev.filter(col("event_type").isin(types: _*))
+      .select(col("p.id").as("id"),
+        col("p.installationId").as("installation_id"),
+        when(created, seq).as("created_seq"),
+        col("p.unitAddressId").as("unit_address_id"),
+        when(condUa, seq).as("ua_seq"),
+        col("p.status").as("status"),
+        when(condSt, seq).as("st_seq"),
+        col("p.locationRemark").as("location_remark"),
+        when(condLr, seq).as("lr_seq"))
   }
+
+  /** Mergeable per-installation partial fold (field families with marker
+    * seqs). */
+  private[graft] def installationPartial(ev: DataFrame): DataFrame =
+    Folds.mergePartials(Seq(installationPartialRows(ev)), "id", installationPartialPairs)
 
   private[graft] val installationPartialPairs: Seq[(String, String)] =
     Seq("installation_id" -> "created_seq", "unit_address_id" -> "ua_seq",
@@ -327,13 +331,14 @@ object Derivations {
         col("addr").getField("accessAddressId").as("access_address_id"),
         col("addr").getField("unitAddressId").as("unit_address_id"))
 
-  /** Partial (mergeable) span-equipment fold: one row per id with the raw
-    * fold accumulators and per-family presence markers — NO placed filter,
-    * so the incremental catch-up can merge a batch-only fold onto stored
-    * state (all batch seqs are greater than every stored seq, so cross-
-    * batch merge is field-wise "batch value if present, else state").
+  /** EVENT-level rows of the span partial fold: one row per family event
+    * in the partial's (value, marker) schema — NO placed filter, so the
+    * incremental catch-up can fold the batch and merge onto stored state
+    * in one aggregation (all batch seqs are greater than every stored
+    * marker, so max-by-marker over `stored ∪ rows` is the exact
+    * field-wise "batch value if present, else state" merge).
     */
-  private[graft] def spanEquipmentPartial(ev: DataFrame): DataFrame = {
+  private[graft] def spanEquipmentPartialRows(ev: DataFrame): DataFrame = {
     val placed = typeIs("SpanEquipmentPlacedInRouteNetwork")
     val moved = typeIs("SpanEquipmentMoved") || typeIs("SpanEquipmentMerged")
     val removed = typeIs("SpanEquipmentRemoved")
@@ -365,19 +370,22 @@ object Derivations {
         (placed || removed).as("is_lifecycle"))
 
     val seq = col("seq")
-    fam.groupBy(col("id"))
-      .agg(
-        Folds.lastNonNull(col("pl"), seq).as("pl"),
-        max(when(placed, seq)).as("placed_seq"),
-        Folds.lastNonNull(col("nodes_now"), seq).as("nodes"),
-        max(when(col("nodes_now").isNotNull, seq)).as("n_seq"),
-        Folds.lastNonNull(col("spec_now"), seq).as("eff_spec_id"),
-        max(when(col("spec_now").isNotNull, seq)).as("sp_seq"),
-        Folds.lastEvenNull(col("addr_now"), seq, col("is_addr_event")).as("addr"),
-        max(when(col("is_addr_event"), seq)).as("last_addr_seq"),
-        Folds.lastWhere(col("event_type"), seq, col("is_lifecycle")).as("last_lifecycle"),
-        max(when(col("is_lifecycle"), seq)).as("lc_seq"))
+    fam.select(col("id"),
+      col("pl"), when(col("pl").isNotNull, seq).as("placed_seq"),
+      col("nodes_now").as("nodes"),
+      when(col("nodes_now").isNotNull, seq).as("n_seq"),
+      col("spec_now").as("eff_spec_id"),
+      when(col("spec_now").isNotNull, seq).as("sp_seq"),
+      col("addr_now").as("addr"),
+      when(col("is_addr_event"), seq).as("last_addr_seq"),
+      col("event_type").as("last_lifecycle"),
+      when(col("is_lifecycle"), seq).as("lc_seq"))
   }
+
+  /** Mergeable span partial (see [[interestPartialRows]] for the
+    * fused-fold rationale behind the rows/aggregate split). */
+  private[graft] def spanEquipmentPartial(ev: DataFrame): DataFrame =
+    Folds.mergePartials(Seq(spanEquipmentPartialRows(ev)), "id", spanPartialPairs)
 
   /** (value, marker) pairs for merging span partials across batches. */
   private[graft] val spanPartialPairs: Seq[(String, String)] =
@@ -1058,26 +1066,29 @@ object Derivations {
         lit(null.asInstanceOf[String]).as("route_node_id"), lit(null).cast("long").as("placement_seq"))
   }
 
-  /** Mergeable terminal partial fold over placement + update rows. The
-    * incremental catch-up folds only the batch's rows and merges onto
-    * stored partials with [[graft.ops.Folds.mergePartials]]. */
-  private[graft] def terminalPartial(placementRows: DataFrame,
+  /** Event-level rows of the terminal partial over placement + update
+    * rows (see [[interestPartialRows]] for the fused-fold rationale). */
+  private[graft] def terminalPartialRows(placementRows: DataFrame,
       updateRows: DataFrame): DataFrame = {
     val seq = col("seq")
     val condNm = col("event_type").isin("placement", "TerminalEquipmentNamingInfoChanged")
     val condAd = col("event_type").isin("placement", "TerminalEquipmentAddressInfoChanged")
     placementRows.unionByName(updateRows)
-      .groupBy(col("id"))
-      .agg(
-        max(col("placement_seq")).as("placement_seq"),
-        max(when(typeIs("TerminalEquipmentRemoved"), seq)).as("removed_seq"),
-        Folds.lastNonNull(col("route_node_id"), seq).as("route_node_id"),
-        max(when(col("route_node_id").isNotNull, seq)).as("rn_seq"),
-        Folds.lastEvenNull(col("naming"), seq, condNm).as("naming"),
-        max(when(condNm, seq)).as("nm_seq"),
-        Folds.lastEvenNull(col("addr"), seq, condAd).as("addr"),
-        max(when(condAd, seq)).as("ad_seq"))
+      .select(col("id"),
+        col("route_node_id"), when(col("route_node_id").isNotNull, seq).as("rn_seq"),
+        col("naming"), when(condNm, seq).as("nm_seq"),
+        col("addr"), when(condAd, seq).as("ad_seq"),
+        col("placement_seq"),
+        when(typeIs("TerminalEquipmentRemoved"), seq).as("removed_seq"))
   }
+
+  /** Mergeable terminal partial fold over placement + update rows. The
+    * incremental catch-up folds the batch's rows and merges onto stored
+    * partials in one aggregation ([[graft.ops.Folds.mergePartials]]). */
+  private[graft] def terminalPartial(placementRows: DataFrame,
+      updateRows: DataFrame): DataFrame =
+    Folds.mergePartials(Seq(terminalPartialRows(placementRows, updateRows)),
+      "id", terminalPartialPairs, terminalPartialSeqs)
 
   private[graft] val terminalPartialPairs: Seq[(String, String)] =
     Seq("route_node_id" -> "rn_seq", "naming" -> "nm_seq", "addr" -> "ad_seq")

@@ -292,7 +292,7 @@ object Incremental {
       // ---------- simple per-entity families (concurrent sections) ----------
       if (has(instTypes)) section {
         val (instKeys, _, instMerged) = mergeFamily(store, "st_installation", "id",
-          Derivations.installationPartial(b), Derivations.installationPartialPairs, Nil,
+          Derivations.installationPartialRows(b), Derivations.installationPartialPairs, Nil,
           batchId = batchId, snapshot = false,
           batchKeys = fusedKeys.get("st_installation"))
         writeOutput(store, syncSink, sinkActive, "installation", instKeys,
@@ -301,7 +301,7 @@ object Incremental {
 
       if (has(wtTypes)) section {
         val (wtKeys, _, wtMerged) = mergeFamily(store, "st_work_task", "id",
-          Derivations.workTaskPartial(b), Derivations.workTaskPartialPairs, Nil,
+          Derivations.workTaskPartialRows(b), Derivations.workTaskPartialPairs, Nil,
           batchId = batchId, snapshot = false,
           batchKeys = fusedKeys.get("st_work_task"))
         writeOutput(store, syncSink, sinkActive, "work_task", wtKeys,
@@ -314,7 +314,7 @@ object Incremental {
         val termPlac = Derivations.terminalPlacements(b) // (seq, container_id, t)
         val contRefs = fusedOr("cont_refs")
         val (ncKeys, ncStored, ncMerged) = mergeFamily(store, "st_node_container", "id",
-          Derivations.nodeContainerPartial(b), Derivations.nodeContainerPartialPairs, Nil,
+          Derivations.nodeContainerPartialRows(b), Derivations.nodeContainerPartialPairs, Nil,
           extraReadKeys = Some(contRefs), batchId = batchId,
           batchKeys = fusedKeys.get("st_node_container"))
         // sub-section: depends only on the merge's written files — overlaps
@@ -329,7 +329,7 @@ object Incremental {
           struct(when(col("last_lifecycle") === "NodeContainerPlacedInRouteNetwork",
             col("route_node_id")).as("route_node_id")).as("rel"))
         val relRows = pseudoRel.unionByName(Derivations.containerRelEvents(b))
-        val bTerm = Derivations.terminalPartial(
+        val bTerm = Derivations.terminalPartialRows(
           Derivations.terminalPlacementRows(relRows, termPlac, termSpecs),
           Derivations.terminalUpdateRows(b))
         // st_terminal's own stored partial feeds only its merge (the as-of
@@ -359,7 +359,7 @@ object Incremental {
       // cable walk: interest events, cable/conduit placements, affixes and
       // detaches. A move-only span batch (the steady-state mix) skips the
       // whole section — moves touch neither walks nor interests. ----------
-      val bSpan = Derivations.spanEquipmentPartial(b)
+      val bSpan = Derivations.spanEquipmentPartialRows(b)
       val hasAffixDetach = typesPresent("SpanEquipmentAffixedToParent") ||
         typesPresent("SpanEquipmentDetachedFromParent")
       val interestRelevant = has(interestTypes) || hasAffixDetach ||
@@ -393,7 +393,7 @@ object Incremental {
               KeySet.fromDf(lastApply.select(col("cable_id")), cap))
 
         val (intKeys, intStored, intMerged) = mergeFamily(store, "st_interest", "interest_id",
-          Derivations.interestPartial(b), Derivations.interestPartialPairs, Nil,
+          Derivations.interestPartialRows(b), Derivations.interestPartialPairs, Nil,
           extraReadKeys = Some(applyInterests), batchId = batchId,
           batchKeys = fusedKeys.get("st_interest"))
         // sub-section: depends only on the merge's written files — overlaps
@@ -580,24 +580,49 @@ object Incremental {
             coversKeys = true) }
           mergedAll
       }
-      val enrichedElig = Derivations
-        .withSpecDims(Derivations.spanStateFromPartial(spanElig), eqSpecs, structSpecs)
-        .join(hcFor.select(col("parent_id").as("id"), col("has_child")), Seq("id"), "left")
-        .na.fill(false, Seq("has_child"))
-      val endRows = Derivations.eligibleEnds(enrichedElig)
       def nodesOf(df: DataFrame): DataFrame = df.select(explode(array(
           element_at(col("nodes"), 1), element_at(col("nodes"), -1))).as("b"))
         .filter(col("b").isNotNull)
       // old ∪ new positions of every touched equipment: the buckets whose
       // eligible-end rows may change, and the nodes whose count may change.
       // endRows' route nodes ⊆ spanElig's nodes ⊆ this set — the coverage
-      // the split-layout mergeReplace contract requires.
-      val touchedNodes = KeySet.fromDf(
-        nodesOf(seStored).unionByName(nodesOf(spanElig)).distinct(), cap)
-      store.mergeReplace("st_eligible_ends", "id", eligKeys, endRows,
-        bucketSrcCol = Some("route_node_id"), extraBucketVals = Some(touchedNodes))
-      val slackRows0 = Derivations.slackFromEnds(
-        store.readKeyed("st_eligible_ends", eligSchema, "route_node_id", touchedNodes))
+      // the split-layout mergeReplace contract requires. Collected on a
+      // section thread: it depends only on eligKeys + the span snapshot,
+      // so it overlaps the hcFor checkpoint above (r8).
+      val fTouchedNodes = tracked(KeySet.fromDf(
+        nodesOf(seStored).unionByName(nodesOf(spanElig)).distinct(), cap))
+      val enrichedElig = Derivations
+        .withSpecDims(Derivations.spanStateFromPartial(spanElig), eqSpecs, structSpecs)
+        .join(hcFor.select(col("parent_id").as("id"), col("has_child")), Seq("id"), "left")
+        .na.fill(false, Seq("has_child"))
+      val endRows = Derivations.eligibleEnds(enrichedElig)
+      val touchedNodes = Await.result(fTouchedNodes, Duration.Inf)
+      // POST-merge eligible-end rows at the touched nodes, computed
+      // IN-PLAN from pre-merge state ∪ endRows and checkpointed BEFORE the
+      // st_eligible_ends merge launches (r8, same pattern as hcFor above):
+      // `kept` mirrors the merge's anti-filter (every endRows id is in
+      // eligKeys, so stored-minus-eligKeys at the touched nodes is exactly
+      // the merge's kept side there — a replay after the merge re-derives
+      // the same frame, fixpoint). The slack recount then has no file
+      // dependency on the merge, so the two merges run concurrently
+      // instead of back-to-back on the 2-second path.
+      val storedEnds = store.readKeyed("st_eligible_ends", eligSchema, "route_node_id", touchedNodes)
+      val keptEnds = eligKeys match {
+        case LocalKeys(vals, _) if vals.length <= cap =>
+          if (vals.isEmpty) storedEnds
+          else storedEnds.filter(col("id").isNull || !col("id").isin(vals.toSeq: _*))
+        case ks => storedEnds.join(broadcast(ks.toDf(spark, "id")), Seq("id"), "left_anti")
+      }
+      val mergedEnds = keptEnds.unionByName(endRows.select(keptEnds.columns.map(col).toSeq: _*))
+        .localCheckpoint(true)
+      // the merge's replacement is the checkpointed frame restricted to
+      // the touched ids (= endRows exactly: kept excludes every eligKeys
+      // id and all endRows ids are eligKeys ids) — endRows materializes
+      // once, not once per consumer
+      section { store.mergeReplace("st_eligible_ends", "id", eligKeys,
+        restrictToKeys(mergedEnds, eligKeys, "id", mergedEnds.columns.toSeq),
+        bucketSrcCol = Some("route_node_id"), extraBucketVals = Some(touchedNodes)) }
+      val slackRows0 = Derivations.slackFromEnds(mergedEnds)
       val slackRows = if (sinkActive) slackRows0.localCheckpoint(true) else slackRows0
       store.mergeReplace("conduit_slack", "route_node_id", touchedNodes, slackRows)
       if (sinkActive) syncSink("conduit_slack",
