@@ -56,6 +56,17 @@ class FusedKeysSpec extends SparkTestBase {
       Seq("cont_refs", "ad_children", "root_ids", "new_root_ids").foreach { f =>
         assert(setOf(fused(f)).nonEmpty, s"tag $f vacuous in scenario")
       }
+      // st_terminal (r8): the fused set is a batch-pure SUPERSET of the
+      // partial's ids (a spec-filtered placement folds no partial row but
+      // its id stays in the key set — the merge rewrites those stored
+      // rows unchanged). Coverage direction is what the merge contract
+      // needs: every partial id must be in the key set.
+      val termIds = setOf(Derivations.terminalPartial(
+        Derivations.terminalPlacementRows(Derivations.containerRelEvents(b),
+          Derivations.terminalPlacements(b), Derivations.terminalSpecs(b)),
+        Derivations.terminalUpdateRows(b)).select(col("id")))
+      assert(termIds.nonEmpty && termIds.subsetOf(setOf(fused("st_terminal"))),
+        "terminal partial ids not covered by the st_terminal fused key set")
       // new_root_ids is the st_root_segment merge's KEY set: the merge's
       // span-coverage contract requires it to cover every row's root
       val rootRows = setOf(Derivations.placedRootRows(b).select(col("root_segment_id")))
