@@ -569,16 +569,18 @@ object Incremental {
       // safety is unchanged: batchHc derives from the st_child_affixes
       // snapshot and the merge stays a max-seq fixpoint.
       val hcStoredAll = store.readKeyed("st_has_child", hcSchema, "parent_id", eligKeys)
+      // LAZY local checkpoint (r8): the frame is marked for checkpointing
+      // but materializes inside the mergedEnds checkpoint job below (its
+      // plan joins hcFor, and Spark checkpoints marked ancestor RDDs when
+      // the job completes) — ONE tail-state materialization job instead
+      // of two. The st_has_child merge section launches only after that
+      // job returns, so its bucket swap still cannot race the pre-merge
+      // read inside this plan.
       val hcFor = batchHcOpt match {
         case None => hcStoredAll
-        case Some(batchHc) =>
-          val mergedAll = Folds
-            .mergePartials(Seq(hcStoredAll, batchHc), "parent_id", Seq("has_child" -> "hc_seq"))
-            .localCheckpoint(true)
-          section { store.mergeReplace("st_has_child", "parent_id", hcKeys,
-            restrictToKeys(mergedAll, hcKeys, "parent_id", mergedAll.columns.toSeq),
-            coversKeys = true) }
-          mergedAll
+        case Some(batchHc) => Folds
+          .mergePartials(Seq(hcStoredAll, batchHc), "parent_id", Seq("has_child" -> "hc_seq"))
+          .localCheckpoint(false)
       }
       def nodesOf(df: DataFrame): DataFrame = df.select(explode(array(
           element_at(col("nodes"), 1), element_at(col("nodes"), -1))).as("b"))
@@ -614,7 +616,14 @@ object Incremental {
         case ks => storedEnds.join(broadcast(ks.toDf(spark, "id")), Seq("id"), "left_anti")
       }
       val mergedEnds = keptEnds.unionByName(endRows.select(keptEnds.columns.map(col).toSeq: _*))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // also materializes the lazy hcFor checkpoint
+      // the st_has_child merge launches only now — hcFor's pre-merge read
+      // is already materialized to blocks, so the swap cannot race it
+      batchHcOpt.foreach { _ =>
+        section { store.mergeReplace("st_has_child", "parent_id", hcKeys,
+          restrictToKeys(hcFor, hcKeys, "parent_id", hcFor.columns.toSeq),
+          coversKeys = true) }
+      }
       // the merge's replacement is the checkpointed frame restricted to
       // the touched ids (= endRows exactly: kept excludes every eligKeys
       // id and all endRows ids are eligKeys ids) — endRows materializes
