@@ -433,8 +433,23 @@ object Incremental {
       // id is placement-frozen, so the batch's placements ARE the full
       // delta ([[Derivations.placedRootRows]]); its merge overlaps the
       // st_span merge on a section thread instead of chaining after it.
-      // The affix chain (the only reader) awaits it before its readKeyed,
-      // keeping concurrent write-read table sets disjoint.
+      val needAffixChain = hasAffixDetach ||
+        typesPresent("SpanEquipmentPlacedInRouteNetwork")
+      val affixRootIds = if (needAffixChain) fusedOr("root_ids") else KeySet.empty
+      // pin the pre-merge root rows the affix chain resolves against
+      // (driver-side bucket copy, milliseconds) BEFORE the root merge
+      // launches: snapshot ∪ the batch-pure delta ≡ the post-merge read
+      // (a root id is placement-frozen, so stored and delta rows for the
+      // same root are byte-identical — replay included — and distinct()
+      // restores row multiplicity), so the chain drops the root-merge
+      // await from its critical path (r8). batchId < 0 has no pinned
+      // snapshot: those callers keep the await + post-merge read.
+      val rootSnapOpt: Option[DataFrame] =
+        if (needAffixChain && batchId >= 0 &&
+            typesPresent("SpanEquipmentPlacedInRouteNetwork"))
+          Some(store.readKeyedSnap(batchId, "st_root_segment", rootSchema,
+            "root_segment_id", affixRootIds))
+        else None
       val fRootMerge: Option[Future[Any]] =
         if (typesPresent("SpanEquipmentPlacedInRouteNetwork"))
           Some(tracked(store.mergeReplace("st_root_segment", "root_segment_id",
@@ -442,19 +457,20 @@ object Incremental {
         else None
       // ---------- affix timeline → child-affix + has-child state ----------
       // Runs CONCURRENTLY with the st_span merge below (r8): the chain
-      // reads st_root_segment (after the root merge it awaits),
-      // the st_child_affixes SNAPSHOT and st_has_child, and batch-pure
-      // frames — none of which the st_span merge touches. Only the
-      // eligible-end recount needs BOTH seKeys and hcKeys, so that is
-      // where the future is joined. Await-inside-a-pool-task is safe by
-      // submission order: stepEc is FIFO, fRootMerge is submitted before
-      // this future, and a FIFO pool starts tasks in submission order —
-      // the awaited task is already running (or done) when the awaiter
+      // reads the pinned st_root_segment snapshot (∪ the batch-pure
+      // delta), the st_child_affixes SNAPSHOT and st_has_child, and
+      // batch-pure frames — none of which the st_span merge or the
+      // concurrent st_root_segment merge touches. Only the eligible-end
+      // recount needs BOTH seKeys and hcKeys, so that is where the future
+      // is joined. The batchId < 0 fallback awaits fRootMerge before a
+      // post-merge read; await-inside-a-pool-task is safe by submission
+      // order: stepEc is FIFO, fRootMerge is submitted before this
+      // future, and a FIFO pool starts tasks in submission order — the
+      // awaited task is already running (or done) when the awaiter
       // starts.
       val fHc: scala.concurrent.Future[(KeySet, Option[DataFrame])] =
-      if (hasAffixDetach || typesPresent("SpanEquipmentPlacedInRouteNetwork")) tracked {
+      if (needAffixChain) tracked {
         val edges = Derivations.affixEdges(b) // (child_id, seq, root_segment_id)
-        val rootIds = fusedOr("root_ids")
         val detaches = b.filter(col("event_type") === "SpanEquipmentDetachedFromParent")
           .select(col("p.spanEquipmentId").as("child_id"), col("seq"))
         // batch-pure superset of (batchAffixes ∪ detaches) children — equal
@@ -462,15 +478,24 @@ object Incremental {
         // [[Derivations.touchedIdCols]]
         val touchedChildren = fusedOr("affix_children")
         // the st_child_affixes snapshot copy is DRIVER-side file I/O —
-        // take it before the root-merge await so the copy overlaps the
-        // concurrent st_root_segment write instead of chaining after it
+        // taken first so the copy overlaps the concurrent
+        // st_root_segment write instead of chaining after it
         val storedAffixesOpt =
           if (touchedChildren.knownEmpty) None
           else Some(store
             .readKeyedSnap(batchId, "st_child_affixes", childAffixSchema, "child_id", touchedChildren)
             .withColumn("stored", lit(true)))
-        fRootMerge.foreach(Await.result(_, Duration.Inf))
-        val rootMap = store.readKeyed("st_root_segment", rootSchema, "root_segment_id", rootIds)
+        // pinned pre-merge snapshot ∪ batch-pure delta when available (the
+        // hot path — no await); otherwise await the root merge and read
+        // post-merge (batchId < 0, or placement-free batches where no
+        // merge launched and the plain read is already safe)
+        val rootMap = rootSnapOpt match {
+          case Some(snap) =>
+            snap.unionByName(Derivations.placedRootRows(b)).distinct()
+          case None =>
+            fRootMerge.foreach(Await.result(_, Duration.Inf))
+            store.readKeyed("st_root_segment", rootSchema, "root_segment_id", affixRootIds)
+        }
         val batchAffixes = edges.join(rootMap, Seq("root_segment_id"))
           .select(col("child_id"), col("seq"), col("id").as("parent_id"),
             lit(false).as("stored"))

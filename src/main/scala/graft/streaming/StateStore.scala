@@ -631,15 +631,22 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     if (batchId < 0) return readKeyed(table, schema, keyCol, keys)
     val p = new Path(snapPath(batchId, table))
     val done = new Path(p, "_SUCCESS")
-    def requiredBuckets(): Array[Int] =
+    // `under`: the bucket layout the ids are computed against. Bucket ids
+    // are ONLY meaningful relative to a count — a top-up must compute
+    // requiredness under the count the snapshot was CREATED with (recorded
+    // in the manifest), never the live count: after a crash in a batch
+    // whose merge triggered a REBUCKET, the live count differs, and
+    // new-count ids checked against old-count manifest entries would both
+    // skip buckets whose id collides across layouts (missing keys) and
+    // copy post-merge live dirs into the pre-merge snapshot (replay
+    // contamination). Under the creation count, a replay's requiredness is
+    // a subset of the first run's copies — no top-up, pure pre-merge view.
+    def requiredBuckets(under: Int): Array[Int] =
       if (!exists(table)) Array.empty
-      else {
-        val n = bucketCount(table)
-        keys match {
-          case LocalKeys(vals, _) => bucketIdsOf(vals, n)
-          case DistKeys(df) => df.select(bucketExpr(col("k"), n).as("b"))
-            .distinct().collect().map(_.getInt(0))
-        }
+      else keys match {
+        case LocalKeys(vals, _) => bucketIdsOf(vals, under)
+        case DistKeys(df) => df.select(bucketExpr(col("k"), under).as("b"))
+          .distinct().collect().map(_.getInt(0))
       }
     // dotted-tmp copy + rename: a torn copy must never be readable as a
     // complete snapshot bucket dir (the initial creation is guarded by the
@@ -666,21 +673,27 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     // copy. Replay-deterministic: a top-up completes (copies + manifest,
     // tmp+rename) before the call returns, so program order guarantees any
     // later merge of this table replays AFTER the same top-up decision.
+    // The manifest leads with `n=<count>`, the layout the ids belong to
+    // (see `requiredBuckets`); a count-less manifest from an older store
+    // falls back to the live count (the pre-fix behavior).
     val manifest = new Path(p, "_buckets")
-    def readCopied(): Set[Int] =
-      if (!fs.exists(manifest)) Set.empty
+    def readCopied(): (Option[Int], Set[Int]) =
+      if (!fs.exists(manifest)) (None, Set.empty)
       else {
         val in = fs.open(manifest)
         try {
           val bytes = new Array[Byte](fs.getFileStatus(manifest).getLen.toInt)
           in.readFully(bytes)
-          new String(bytes, "UTF-8").split(",").filter(_.nonEmpty).map(_.toInt).toSet
+          val toks = new String(bytes, "UTF-8").split(",").filter(_.nonEmpty)
+          val (nTok, idToks) = toks.partition(_.startsWith("n="))
+          (nTok.headOption.map(_.stripPrefix("n=").toInt), idToks.map(_.toInt).toSet)
         } finally in.close()
       }
-    def writeCopied(bks: Set[Int]): Unit = {
+    def writeCopied(under: Int, bks: Set[Int]): Unit = {
       val tmpM = new Path(p, "._tmp_buckets")
       val out = fs.create(tmpM, true)
-      try out.write(bks.toSeq.sorted.mkString(",").getBytes("UTF-8")) finally out.close()
+      try out.write((s"n=$under" +: bks.toSeq.sorted.map(_.toString))
+        .mkString(",").getBytes("UTF-8")) finally out.close()
       fs.delete(manifest, false)
       if (!fs.rename(tmpM, manifest))
         sys.error(s"StateStore: failed to publish snapshot manifest for $table")
@@ -689,16 +702,37 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     if (!fs.exists(done)) { // absent or torn (no _SUCCESS) → (re)copy
       fs.delete(p, true)
       fs.mkdirs(p)
-      val bks = requiredBuckets()
+      val n = if (exists(table)) bucketCount(table) else 0
+      val bks = requiredBuckets(n)
       bks.foreach(copyBucket)
-      writeCopied(bks.toSet)
+      writeCopied(n, bks.toSet)
       fs.create(done, true).close()
     } else {
-      val have = readCopied()
-      val need = requiredBuckets().filterNot(have)
+      val (snapCount, have) = readCopied()
+      val under = snapCount.getOrElse(if (exists(table)) bucketCount(table) else 0)
+      // n=0: the snapshot was taken before the table existed — the
+      // faithful pre-merge view is EMPTY, so nothing is ever copied (a
+      // replay may find the table created by the first run's own merge;
+      // topping up from it would contaminate the view with post-merge
+      // rows — and modulo-0 ids are meaningless anyway)
+      val need = if (under == 0) Array.empty[Int]
+        else requiredBuckets(under).filterNot(have)
       if (need.nonEmpty) {
+        // a top-up copies LIVE dirs, whose content is layout-bound: it is
+        // only sound while the live table still has the snapshot's count.
+        // Post-rebucket the required set under the CREATION count is a
+        // subset of the first run's copies by replay determinism — a
+        // nonempty need here means a new key set arrived after this
+        // table's own merge rebucketed it, a state the step's ordering
+        // contract excludes. Fail loudly rather than copy wrong-layout
+        // (and post-merge) rows into the pre-merge snapshot.
+        if (exists(table) && bucketCount(table) != under) sys.error(
+          s"StateStore: snapshot top-up for $table needs buckets " +
+            s"${need.sorted.mkString(",")} under count $under but the live " +
+            s"table was rebucketed to ${bucketCount(table)} — pre-merge " +
+            "rows for those buckets are no longer available")
         need.foreach(copyBucket)
-        writeCopied(have ++ need)
+        writeCopied(under, have ++ need)
       }
     }
     val dirs = fs.listStatus(p).map(_.getPath)

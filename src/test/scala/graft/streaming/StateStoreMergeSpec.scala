@@ -122,4 +122,61 @@ class StateStoreMergeSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSet
     assert(replay === secondKeys.toSet)
   }
+
+  test("snapshot replay stays pre-merge-faithful across a mid-batch rebucket") {
+    val dir = Files.createTempDirectory("graft-snapreb").toFile.getPath
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def liveBucketCount(): Int = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/t"))
+      .map(_.getPath.getName).count(_.startsWith("bucket="))
+    // small bucket budget so the 400-row table lands on a MULTI-bucket
+    // layout (a 1-bucket layout would make every later key set a subset
+    // of the first copy and the guard untestable)
+    val store = new StateStore(spark, dir, nBuckets = 2, maxBucketBytes = 1024)
+    val rows = (0 until 400).map(i => s"k$i" -> i)
+    store.writeBucketed("t", "k", toDf(rows))
+    val n0 = liveBucketCount()
+    assert(n0 >= 2, s"test setup: expected a multi-bucket layout, got $n0")
+    // first run: the pre-merge snapshot pins k0's bucket under count n0
+    val got1 = store.readKeyedSnap(9L, "t", schema, "k", keysDf(Seq("k0")))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got1 === Set("k0" -> 0))
+    // ... then the batch's own merge rewrites k0 AND triggers a REBUCKET
+    // (tinier bucket budget + enough new rows), and the process crashes
+    // before the batch commits
+    val grower = new StateStore(spark, dir, nBuckets = 2, maxBucketBytes = 256)
+    val newKeys = (0 until 300).map(i => s"grow$i")
+    grower.mergeReplace("t", "k", keysDf("k0" +: newKeys),
+      toDf(("k0" -> 999) +: newKeys.map(_ -> -1)))
+    val liveBuckets = liveBucketCount()
+    assert(liveBuckets > n0, s"merge did not rebucket ($n0 -> $liveBuckets)")
+    // replay happens in a FRESH process (its store reads _nbuckets from
+    // disk — the new count): requiredness is computed under the manifest's
+    // CREATION count, so no top-up happens and the view stays pre-merge
+    // (one row, the original value — not the merged 999). Pre-fix, ids
+    // computed under the new live count copied post-merge dirs into the
+    // snapshot: k0 came back doubled (0 AND 999).
+    val replayStore = new StateStore(spark, dir, nBuckets = 2)
+    val replayRows = replayStore.readKeyedSnap(9L, "t", schema, "k", keysDf(Seq("k0")))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(replayRows === Set("k0" -> 0),
+      s"snapshot replay not pre-merge-faithful after rebucket: $replayRows")
+    // a genuinely NEW key set after the rebucket cannot be served
+    // faithfully (pre-merge rows for its buckets are gone) — the store
+    // must fail loudly instead of copying wrong-layout post-merge rows
+    val manifestBytes = {
+      val mp = new org.apache.hadoop.fs.Path(s"$dir/_snap/batch=9/t/_buckets")
+      val in = fs.open(mp)
+      try { val b = new Array[Byte](fs.getFileStatus(mp).getLen.toInt); in.readFully(b); new String(b, "UTF-8") }
+      finally in.close()
+    }
+    val attempt = scala.util.Try {
+      replayStore.readKeyedSnap(9L, "t", schema, "k", keysDf(rows.map(_._1)))
+        .collect().map(_.getString(0)).toSet
+    }
+    assert(attempt.isFailure,
+      s"no error thrown; manifest=$manifestBytes live=$liveBuckets got=${attempt}")
+    assert(attempt.failed.get.getMessage.contains("rebucketed"),
+      s"unexpected error: ${attempt.failed.get.getMessage}")
+  }
 }
