@@ -558,11 +558,20 @@ object Incremental {
       val interestLaunchedEarly = interestRelevant &&
         (spanPreForInterest.nonEmpty || !hasAffixDetach)
       if (interestLaunchedEarly) launchInterestSection(spanPreForInterest)
+      // ASYNC st_span merge (r8, batch mode): mergeFamily materializes the
+      // fold to a checkpoint and the staged write + swap runs on a section
+      // thread — the biggest single job of the dense step comes off the
+      // critical path. Every in-step consumer reads the checkpoint or a
+      // snapshot; the ONE live post-merge read (spanElig below) awaits the
+      // write first. batchId < 0 keeps the synchronous merge.
+      var fSpanWrite: Option[Future[Any]] = None
       val (seKeys, seStored, seMerged) = mergeFamily(store, "st_span", "id",
         bSpan, Derivations.spanPartialPairs, Nil, batchId = batchId,
-        batchKeys = fusedKeys.get("st_span"))
+        batchKeys = fusedKeys.get("st_span"),
+        asyncWrite = Some(body => fSpanWrite = Some(tracked(body()))))
       // late launch only when the early path was unavailable (batchId < 0
-      // with affix/detach events): reads POST-merge st_span
+      // with affix/detach events): reads POST-merge st_span (synchronous
+      // merge in that mode — nothing to await)
       if (interestRelevant && !interestLaunchedEarly) launchInterestSection(None)
 
       // ---------- span_equipment output (concurrent with affix chain) ----
@@ -579,6 +588,11 @@ object Incremental {
       // ---------- eligible ends + conduit_slack recount ----------
       val eligKeys = ksUnion(seKeys, hcKeys)
       if (!eligKeys.knownEmpty) {
+      // the one live post-merge read of st_span: the async write (which
+      // ran concurrent with the affix chain + interest section) must have
+      // promoted its buckets first. In steady state the write finishes
+      // before the affix future joins, so this await is free.
+      fSpanWrite.foreach(Await.result(_, Duration.Inf))
       val spanElig = store.readKeyed("st_span", bSpan.schema, "id", eligKeys)
       // post-merge has_child values for every eligible parent, computed
       // IN-PLAN from the pre-merge store + the batch fold and materialized
@@ -855,7 +869,8 @@ object Incremental {
       batchPartial: DataFrame, pairs: Seq[(String, String)], seqs: Seq[String],
       extraReadKeys: Option[KeySet] = None,
       batchId: Long = -1L, snapshot: Boolean = true,
-      batchKeys: Option[KeySet] = None): (KeySet, DataFrame, DataFrame) = {
+      batchKeys: Option[KeySet] = None,
+      asyncWrite: Option[(() => Unit) => Unit] = None): (KeySet, DataFrame, DataFrame) = {
     val spark = batchPartial.sparkSession
     // batchKeys: the step's fused one-job collect already knows this
     // family's touched ids (identical set — the partial groups by exactly
@@ -880,18 +895,37 @@ object Incremental {
         store.readKeyed(table, batchPartial.schema, idCol, keys).localCheckpoint(true)
       else store.readKeyed(table, batchPartial.schema, idCol, keys)
     val mergedPlan = Folds.mergePartials(Seq(stored, batchPartial), idCol, pairs, seqs)
-    // coversKeys: merged is a groupBy over stored ∪ batch, so every touched
-    // key with any row appears — the merge skips the emptied-bucket sweep.
-    // The merge's returned file-backed frame doubles as the merged frame (ONE
-    // materialization job per family instead of two).
-    val merged = store
-      .mergeReplaceReturning(table, idCol, keys, mergedPlan, coversKeys = true) match {
-        case Some(written) => restrictToKeys(written, keys, idCol, mergedPlan.columns.toSeq)
-        // wholesale-create path: the written table IS the merged state —
-        // read it back (lazy parquet, no extra job)
-        case None => store.readKeyed(table, batchPartial.schema, idCol, keys)
-      }
-    (keys, stored, merged)
+    // ASYNC-WRITE mode (r8, batch mode only): materialize the fold to a
+    // local checkpoint (fold cost only — no parquet encode) and hand the
+    // staged write + bucket swap to the caller's submit function, which
+    // runs it on a section thread. The returned merged frame is the
+    // checkpoint, so every downstream consumer proceeds without the write
+    // on its critical path. Sound because the fold's inputs are pinned
+    // (SNAPSHOT dirs + the cached batch — nothing reads live files), and
+    // the caller guarantees no live read of `table` happens before it
+    // awaits the submitted write (the step's table-disjointness contract).
+    // The write reads the checkpointed blocks, not live state, so it
+    // cannot race its own swap.
+    asyncWrite match {
+      case Some(submit) if batchId >= 0 && snapshot =>
+        val merged = mergedPlan.localCheckpoint(true)
+        submit(() => store.mergeReplace(table, idCol, keys, merged, coversKeys = true))
+        (keys, stored, merged)
+      case _ =>
+        // coversKeys: merged is a groupBy over stored ∪ batch, so every
+        // touched key with any row appears — the merge skips the
+        // emptied-bucket sweep. The merge's returned file-backed frame
+        // doubles as the merged frame (ONE materialization job per family
+        // instead of two).
+        val merged = store
+          .mergeReplaceReturning(table, idCol, keys, mergedPlan, coversKeys = true) match {
+            case Some(written) => restrictToKeys(written, keys, idCol, mergedPlan.columns.toSeq)
+            // wholesale-create path: the written table IS the merged state —
+            // read it back (lazy parquet, no extra job)
+            case None => store.readKeyed(table, batchPartial.schema, idCol, keys)
+          }
+        (keys, stored, merged)
+    }
   }
 
   /** Delete+reinsert the touched keys' output rows, then notify the sink.
