@@ -588,12 +588,25 @@ object Incremental {
       // ---------- eligible ends + conduit_slack recount ----------
       val eligKeys = ksUnion(seKeys, hcKeys)
       if (!eligKeys.knownEmpty) {
-      // the one live post-merge read of st_span: the async write (which
-      // ran concurrent with the affix chain + interest section) must have
-      // promoted its buckets first. In steady state the write finishes
-      // before the affix future joins, so this await is free.
-      fSpanWrite.foreach(Await.result(_, Duration.Inf))
-      val spanElig = store.readKeyed("st_span", bSpan.schema, "id", eligKeys)
+      // hcKeys ⊆ seKeys (driver-set check; ALWAYS true for affix-free
+      // batches — the sparse steady state — where hcKeys is empty):
+      // eligKeys ≡ seKeys and the post-merge keyed view of st_span IS
+      // seMerged — no file read, and no await on the async write (it
+      // only has to finish before the step's drain). Otherwise the one
+      // live post-merge read awaits the write having promoted its
+      // buckets; in dense steady state the affix chain outlives the
+      // write, so that await is free too.
+      val hcSubset = hcKeys.knownEmpty || ((hcKeys, seKeys) match {
+        case (LocalKeys(hv, _), LocalKeys(sv, _)) =>
+          val ss = sv.toSet; hv.forall(ss.contains)
+        case _ => false
+      })
+      val spanElig =
+        if (hcSubset) seMerged
+        else {
+          fSpanWrite.foreach(Await.result(_, Duration.Inf))
+          store.readKeyed("st_span", bSpan.schema, "id", eligKeys)
+        }
       // post-merge has_child values for every eligible parent, computed
       // IN-PLAN from the pre-merge store + the batch fold and materialized
       // to memory BEFORE the st_has_child merge is launched (r8): the
