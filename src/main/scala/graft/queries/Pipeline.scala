@@ -233,21 +233,32 @@ object Pipeline {
     * not word ORDER, and their sketch distance is ≈ random's 32). */
   def dedupSimhashMargin(spark: SparkSession, dir: String): DataFrame = {
     // sim over the RAW shingle array (duplicate shingles vote twice, as in
-    // dedupSimhash); jaccard over the sortedSet form (set semantics)
+    // dedupSimhash); jaccard over the sortedSet form (set semantics).
+    // The keepBase lifecycle (persist → eager 1-row aggregate → release):
+    // blockedPairs is a SELF-join, and without the cache each side
+    // re-shingles, re-sorts and re-sketches the whole corpus — the
+    // per-doc kernels are the expensive half of this contract's cost.
+    val par = spark.sparkContext.defaultParallelism
     val d = Tables.documents(spark, dir)
+      .repartition(par, col("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_chars"),
         Text.shingles(col("text"), 3).as("sh0"))
       .select(col("doc_id"), col("lang"), col("n_chars"),
         Dedup.sortedHashSet(col("sh0")).as("sh"), Dedup.simhash(col("sh0")).as("sim"))
-    val pairs = blockedPairs(d, Seq("sh", "sim"))
-      .withColumn("jaccard", Dedup.jaccardSorted(col("sh_a"), col("sh_b")))
-      .withColumn("ham", Dedup.hamming(col("sim_a"), col("sim_b")))
-    pairs.agg(
-      sum(when(col("jaccard") >= 0.5, 1).otherwise(0)).cast("long").as("n_near"),
-      sum(when(col("jaccard") <= 0.05, 1).otherwise(0)).cast("long").as("n_far"),
-      (coalesce(avg(when(col("jaccard") >= 0.5, col("ham"))), lit(0.0)) <= 16.0 &&
-        coalesce(avg(when(col("jaccard") <= 0.05, col("ham"))), lit(32.0)) >= 24.0)
-        .as("sep_ok"))
+      .persist()
+    try {
+      val pairs = blockedPairs(d, Seq("sh", "sim"))
+        .withColumn("jaccard", Dedup.jaccardSorted(col("sh_a"), col("sh_b")))
+        .withColumn("ham", Dedup.hamming(col("sim_a"), col("sim_b")))
+      val agg = pairs.agg(
+        sum(when(col("jaccard") >= 0.5, 1).otherwise(0)).cast("long").as("n_near"),
+        sum(when(col("jaccard") <= 0.05, 1).otherwise(0)).cast("long").as("n_far"),
+        (coalesce(avg(when(col("jaccard") >= 0.5, col("ham"))), lit(0.0)) <= 16.0 &&
+          coalesce(avg(when(col("jaccard") <= 0.05, col("ham"))), lit(32.0)) >= 24.0)
+          .as("sep_ok"))
+      val rows = agg.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+    } finally { d.unpersist(blocking = false); () }
   }
 
   /** dedup_ngram_jaccard: exact 3-gram Jaccard for a deterministic sample
