@@ -650,6 +650,13 @@ object Incremental {
         .join(hcFor.select(col("parent_id").as("id"), col("has_child")), Seq("id"), "left")
         .na.fill(false, Seq("has_child"))
       val endRows = Derivations.eligibleEnds(enrichedElig)
+      // endRows materializes on a section thread (r8): the big
+      // enrichedElig subtree — Catalyst analysis AND execution, including
+      // the lazy hcFor checkpoint riding inside it — overlaps the
+      // touchedNodes collect and the storedEnds planning below, and the
+      // mergedEnds checkpoint then plans a small scan ∪ cached-blocks
+      // union instead of re-analyzing the whole tail in one go.
+      val fEndRows = tracked(endRows.localCheckpoint(true))
       val touchedNodes = Await.result(fTouchedNodes, Duration.Inf)
       // POST-merge eligible-end rows at the touched nodes, computed
       // IN-PLAN from pre-merge state ∪ endRows and checkpointed BEFORE the
@@ -667,15 +674,17 @@ object Incremental {
           else storedEnds.filter(col("id").isNull || !col("id").isin(vals.toSeq: _*))
         case ks => storedEnds.join(broadcast(ks.toDf(spark, "id")), Seq("id"), "left_anti")
       }
-      val mergedEnds = keptEnds.unionByName(endRows.select(keptEnds.columns.map(col).toSeq: _*))
-        .localCheckpoint(true) // also materializes the lazy hcFor checkpoint
-      // the st_has_child merge launches only now — hcFor's pre-merge read
-      // is already materialized to blocks, so the swap cannot race it
+      val endRowsCk = Await.result(fEndRows, Duration.Inf)
+      // the st_has_child merge launches only now — the endRows job
+      // materialized the lazy hcFor checkpoint (its plan joins hcFor), so
+      // the swap cannot race the pre-merge read inside it
       batchHcOpt.foreach { _ =>
         section { store.mergeReplace("st_has_child", "parent_id", hcKeys,
           restrictToKeys(hcFor, hcKeys, "parent_id", hcFor.columns.toSeq),
           coversKeys = true) }
       }
+      val mergedEnds = keptEnds.unionByName(endRowsCk.select(keptEnds.columns.map(col).toSeq: _*))
+        .localCheckpoint(true)
       // the merge's replacement is the checkpointed frame restricted to
       // the touched ids (= endRows exactly: kept excludes every eligKeys
       // id and all endRows ids are eligKeys ids) — endRows materializes
