@@ -100,4 +100,30 @@ class FusedKeysSpec extends SparkTestBase {
     val want = (1 to 12).map(i => (s"inst-$i", s"I-$i", s"ua-$i", "ACTIVE")).toSet
     assert(got === want)
   }
+
+  test("events-free batch: step reports false, commits nothing, next batch proceeds") {
+    val evts: Seq[Sim.Evt] = Seq(
+      Sim.InstCreated("inst-a", "I-A", Some("ua-a"), "ACTIVE", None))
+    val rows = evts.map(e => Row(1L, e.typ, e.payload))
+    val stateDir = Files.createTempDirectory("graft-emptybatch").toFile.getPath
+    val store = new StateStore(spark, stateDir, nBuckets = 4)
+    assert(Incremental.step(store, EventLog.decode(toDf(rows)), batchId = 0L))
+    assert(store.lastAppliedBatch === Some(0L))
+    // an events-free batch (e.g. a seeded prefix file wholly pruned by
+    // the high-water filter): the fused step-start collect answers
+    // emptiness for free — step reports false and does NOT advance the
+    // applied-batch marker (replaying an empty batch is a no-op, and the
+    // stream's onBatch health signal must not fire for it)
+    assert(!Incremental.step(store, EventLog.decode(toDf(Seq.empty[Row])), batchId = 1L))
+    assert(store.lastAppliedBatch === Some(0L),
+      "events-free batch must not advance the applied-batch marker")
+    // the following real batch applies normally
+    val rows2 = Seq(Row(2L, Sim.InstStatusChanged("inst-a", "CLOSED").typ,
+      Sim.InstStatusChanged("inst-a", "CLOSED").payload))
+    assert(Incremental.step(store, EventLog.decode(toDf(rows2)), batchId = 2L))
+    assert(store.lastAppliedBatch === Some(2L))
+    val st = store.readAll("installation", Incremental.outputSchema("installation"))
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[String]("status"))).toSet
+    assert(st === Set("inst-a" -> "CLOSED"))
+  }
 }
