@@ -653,14 +653,16 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     // whole-dir delete + _SUCCESS instead, but top-ups land in a live dir)
     def copyBucket(bk: Int): Unit = {
       val src = new Path(s"${path(table)}/bucket=$bk")
-      if (fs.exists(src)) {
+      val dst = new Path(p, s"bucket=$bk")
+      // idempotent: a bucket already in the snapshot is PINNED — it was
+      // copied pre-merge, and re-copying from live is never better (after
+      // a manifest-write crash the live dir may already be post-merge)
+      if (fs.exists(src) && !fs.exists(dst)) {
         val tmpDst = new Path(p, s".copy_bucket=$bk")
         fs.delete(tmpDst, true)
         val ok = org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmpDst, false,
           spark.sparkContext.hadoopConfiguration)
         if (!ok) sys.error(s"StateStore: snapshot copy failed for $table bucket $bk")
-        val dst = new Path(p, s"bucket=$bk")
-        fs.delete(dst, true)
         if (!fs.rename(tmpDst, dst))
           sys.error(s"StateStore: snapshot promote failed for $table bucket $bk")
       }
@@ -694,9 +696,17 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
       val out = fs.create(tmpM, true)
       try out.write((s"n=$under" +: bks.toSeq.sorted.map(_.toString))
         .mkString(",").getBytes("UTF-8")) finally out.close()
-      fs.delete(manifest, false)
-      if (!fs.rename(tmpM, manifest))
-        sys.error(s"StateStore: failed to publish snapshot manifest for $table")
+      // rename FIRST (atomic overwrite on POSIX — no lost-manifest
+      // window); only delete-then-rename on filesystems whose rename
+      // refuses an existing target. A crash inside that fallback loses
+      // the manifest, and a replay would recompute requiredness under the
+      // LIVE count — copyBucket's exists-skip pins the already-copied
+      // buckets, bounding the damage to the genuinely-missing ones.
+      if (!fs.rename(tmpM, manifest)) {
+        fs.delete(manifest, false)
+        if (!fs.rename(tmpM, manifest))
+          sys.error(s"StateStore: failed to publish snapshot manifest for $table")
+      }
       ()
     }
     if (!fs.exists(done)) { // absent or torn (no _SUCCESS) → (re)copy
