@@ -501,19 +501,19 @@ object Incremental {
             lit(false).as("stored"))
         // a placement-only batch (no hops, no detaches) has an empty affix
         // timeline: only the flag resets below remain
-        val affixRows = storedAffixesOpt match {
+        val timelineOpt = storedAffixesOpt.map { storedAffixes =>
+          // LAZY local checkpoint (r8, same pattern as hcFor): the window
+          // materializes inside the hcK collect below — one chain job
+          // instead of an eager checkpoint + collect pair. A limit-bounded
+          // collect that stops early still finalizes the marked RDD
+          // (Spark checkpoints missing partitions at job end).
+          Derivations
+            .affixNextDetach(storedAffixes.unionByName(batchAffixes), detaches)
+            .localCheckpoint(false)
+        }
+        val affixRows = timelineOpt match {
           case None => Seq.empty[DataFrame]
-          case Some(storedAffixes) =>
-            val timeline = Derivations
-              .affixNextDetach(storedAffixes.unionByName(batchAffixes), detaches)
-              .localCheckpoint(true)
-            // sub-section: the open-affix rewrite reads only the
-            // checkpointed timeline, and nothing later in the step reads
-            // st_child_affixes (the chain consumed its SNAPSHOT above) —
-            // overlap the write with the has-child fold + merge below
-            section { store.mergeReplace("st_child_affixes", "child_id", touchedChildren,
-              timeline.filter(col("next_detach_seq").isNull)
-                .select(col("child_id"), col("parent_id"), col("seq")).distinct()) }
+          case Some(timeline) =>
             // flag timeline rows: batch affixes set, detaches clear every
             // affix they terminate (stored or batch)
             Seq(timeline.filter(!col("stored"))
@@ -529,10 +529,20 @@ object Incremental {
           .agg(max_by(col("has_child"), col("seq")).as("has_child"),
             max(col("seq")).as("hc_seq"))
         // the key collect runs over the pre-aggregate parent union (the
-        // checkpointed timeline + the cached batch), NOT batchHc — same
-        // distinct key set, one shuffle stage less on the critical path
+        // timeline + the cached batch), NOT batchHc — same distinct key
+        // set, one shuffle stage less on the critical path. This is the
+        // job that materializes the lazy timeline checkpoint.
         val hcK = KeySet.fromDf(affixRows.map(_.select(col("parent_id")))
           .foldLeft(resetRows.select(col("parent_id")))(_ unionByName _), cap)
+        // sub-section AFTER the collect materialized the timeline: the
+        // open-affix rewrite reads only cached blocks, and nothing later
+        // in the step reads st_child_affixes (the chain consumed its
+        // SNAPSHOT above) — the write overlaps everything downstream
+        timelineOpt.foreach { timeline =>
+          section { store.mergeReplace("st_child_affixes", "child_id", touchedChildren,
+            timeline.filter(col("next_detach_seq").isNull)
+              .select(col("child_id"), col("parent_id"), col("seq")).distinct()) }
+        }
         // the st_has_child MERGE is no longer performed here (r8): the
         // caller computes the post-merge values in-plan from pre-merge
         // state + batchHc, checkpoints them, and only then launches the
