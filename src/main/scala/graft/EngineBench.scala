@@ -45,7 +45,16 @@ object EngineBench {
     // seed from everything but the dense tail, then stream the tail: the
     // batches carry the same event mix/count as the base dense segment
     // (site logs are emitted in site order, so a fixed-size tail covers
-    // the last ~denseTail/10 sites' provisioning on any `sites`)
+    // the last ~denseTail/10 sites' provisioning on any `sites`).
+    // A soak log SMALLER than the base dense tail cannot measure
+    // state-size independence (splitAt would silently seed from an empty
+    // prefix and stream full cold provisioning) — fail loudly instead of
+    // reporting a meaningless ratio; SPARK_GRAFT_ENGINE_SOAK_SITES=0 is
+    // the documented skip.
+    require(evts.size > denseTail,
+      s"soak log ($sites sites, ${evts.size} events) is not larger than the " +
+        s"base dense tail ($denseTail events) — raise SPARK_GRAFT_ENGINE_SOAK_SITES " +
+        "or set it to 0 to skip the soak")
     val (prefix, tail) = evts.splitAt(evts.size - denseTail)
     graft.projector.LogSynth.write(spark, eventsDir, prefix, 4)
     val store = new graft.streaming.StateStore(spark, s"$root/state")

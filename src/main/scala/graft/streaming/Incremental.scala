@@ -228,26 +228,30 @@ object Incremental {
         .select(col("e.f").as("f"), explode(col("e.ks")).as("k"))
         .filter(col("k").isNotNull).distinct()
         .limit(fusedBound + 1).collect()
+      // ONE lazily-built frame map serves BOTH fallbacks (the per-family
+      // over-cap spill and fusedOr's overflow path): Dataset.select runs
+      // Catalyst analysis eagerly, so building ~11 analyzed plans per
+      // batch unconditionally would be pure waste on the 2-second path —
+      // the steady state never touches them
+      lazy val idFrameMap = Derivations.touchedIdFrames(b).toMap
       val (typesPresent, fusedKeys): (Set[String], Map[String, KeySet]) =
         if (fusedRows.length > fusedBound)
           (b.select(col("event_type")).distinct().collect()
             .map(_.getString(0)).toSet, Map.empty[String, KeySet])
         else {
           val byF = fusedRows.groupBy(_.getString(0))
-          val idFrames = Derivations.touchedIdFrames(b).toMap
           val km = idCols.map { case (f, _) =>
             val vals: Array[Any] = byF.getOrElse(f, Array.empty[org.apache.spark.sql.Row])
               .map(_.get(1))
             f -> (if (vals.length <= cap)
                 KeySet.local(vals, org.apache.spark.sql.types.StringType)
-              else KeySet.fromDf(idFrames(f), cap))
+              else KeySet.fromDf(idFrameMap(f), cap))
           }.toMap
           (byF.getOrElse("__types", Array.empty[org.apache.spark.sql.Row])
             .map(_.getString(1)).toSet, km)
         }
       // fused set when the one-job collect produced it; a bounded collect
       // of the same canonical id frame otherwise (overflow fallback)
-      lazy val idFrameMap = Derivations.touchedIdFrames(b).toMap
       def fusedOr(f: String): KeySet =
         fusedKeys.getOrElse(f, KeySet.fromDf(idFrameMap(f), cap))
       // an events-free batch (e.g. a seeded prefix file pruned by the
@@ -734,7 +738,9 @@ object Incremental {
         store.setLastAppliedBatch(batchId)
         store.clearSnapshots(batchId, including = true)
       }
-      typesPresent.nonEmpty
+      // always true here: the events-free case returned false at the
+      // fused-collect guard above — this literal states that invariant
+      true
     } finally {
       // a section that crashed must not leave siblings racing the caller's
       // redelivery: quiesce every section (and spawned sub-section) before
