@@ -372,7 +372,16 @@ object Incremental {
         val interestOf =
           if (hasAffixDetach) spanPreMerge match {
             case Some(snap) =>
-              Folds.mergePartials(Seq(snap, bSpan), "id", Seq("pl" -> "placed_seq"))
+              // ADVICE r8: restrict the batch side to ad_children BEFORE the
+              // fold so both branches of interestOf produce the same frame —
+              // the snapshot is already ad_children-keyed, and an
+              // unrestricted bSpan would add a row for EVERY batch-touched
+              // span id (harmless for today's inner-joining consumer, but a
+              // latent trap for any new one).
+              val adChildren = fusedOr("ad_children")
+              Folds.mergePartials(
+                Seq(snap, restrictToKeys(bSpan, adChildren, "id", bSpan.columns.toSeq)),
+                "id", Seq("pl" -> "placed_seq"))
                 .select(col("id").as("cable_id"),
                   col("pl").getField("walk_of_interest_id").as("interest_id"))
             case None =>
@@ -495,7 +504,20 @@ object Incremental {
         // merge launched and the plain read is already safe)
         val rootMap = rootSnapOpt match {
           case Some(snap) =>
-            snap.unionByName(Derivations.placedRootRows(b)).distinct()
+            // ADVICE r8: fold the union with max_by per root_segment_id
+            // (batch rows — the freshest placement — winning over stored
+            // ones) instead of distinct(), which relied on the event-model
+            // assumption that stored and batch rows for a re-placed root
+            // are byte-identical. A cross-batch re-owning of a root
+            // segment now resolves to ONE row per root instead of fanning
+            // batchAffixes out through the join. The store is keyed by
+            // root_segment_id and placedRootRows folds per span id, so
+            // each side contributes at most one row per root.
+            snap.withColumn("_src", lit(0))
+              .unionByName(Derivations.placedRootRows(b).withColumn("_src", lit(1)))
+              .groupBy(col("root_segment_id"))
+              .agg(max_by(col("id"), col("_src")).as("id"))
+              .select(col("root_segment_id"), col("id"))
           case None =>
             fRootMerge.foreach(Await.result(_, Duration.Inf))
             store.readKeyed("st_root_segment", rootSchema, "root_segment_id", affixRootIds)

@@ -678,36 +678,50 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     // The manifest leads with `n=<count>`, the layout the ids belong to
     // (see `requiredBuckets`); a count-less manifest from an older store
     // falls back to the live count (the pre-fix behavior).
-    val manifest = new Path(p, "_buckets")
-    def readCopied(): (Option[Int], Set[Int]) =
-      if (!fs.exists(manifest)) (None, Set.empty)
+    // ADVICE r8: manifest publish is CREATE-ONLY — versioned files
+    // `_buckets.<seq>`, readers pick the highest seq. Renaming to a FRESH
+    // name is atomic on every store (POSIX, HDFS, object-store commit
+    // protocols alike); the previous delete-then-rename fallback for
+    // rename-refuses-existing-target filesystems had a window where a
+    // crash between the delete and the rename lost the manifest entirely,
+    // and a replay would recompute requiredness under the LIVE bucket
+    // count — copying wrong-layout post-merge live dirs after a
+    // rebucketing merge. Stale lower-seq files are pruned best-effort
+    // AFTER the new seq is visible (losing the prune is harmless: readers
+    // always pick the highest). A legacy un-versioned `_buckets` file
+    // from an older store sorts lowest and is superseded by any top-up.
+    def manifestFiles(): Array[(Long, Path)] =
+      fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.startsWith("_buckets"))
+        .map { mp =>
+          val suffix = mp.getName.stripPrefix("_buckets").stripPrefix(".")
+          (if (suffix.isEmpty) -1L else suffix.toLong, mp)
+        }
+    def readCopied(): (Option[Int], Set[Int]) = {
+      val files = manifestFiles()
+      if (files.isEmpty) (None, Set.empty)
       else {
-        val in = fs.open(manifest)
+        val mp = files.maxBy(_._1)._2
+        val in = fs.open(mp)
         try {
-          val bytes = new Array[Byte](fs.getFileStatus(manifest).getLen.toInt)
+          val bytes = new Array[Byte](fs.getFileStatus(mp).getLen.toInt)
           in.readFully(bytes)
           val toks = new String(bytes, "UTF-8").split(",").filter(_.nonEmpty)
           val (nTok, idToks) = toks.partition(_.startsWith("n="))
           (nTok.headOption.map(_.stripPrefix("n=").toInt), idToks.map(_.toInt).toSet)
         } finally in.close()
       }
+    }
     def writeCopied(under: Int, bks: Set[Int]): Unit = {
-      val tmpM = new Path(p, "._tmp_buckets")
+      val files = manifestFiles()
+      val next = files.foldLeft(-1L)(_ max _._1) + 1
+      val tmpM = new Path(p, s"._tmp_buckets.$next")
       val out = fs.create(tmpM, true)
       try out.write((s"n=$under" +: bks.toSeq.sorted.map(_.toString))
         .mkString(",").getBytes("UTF-8")) finally out.close()
-      // rename FIRST (atomic overwrite on POSIX — no lost-manifest
-      // window); only delete-then-rename on filesystems whose rename
-      // refuses an existing target. A crash inside that fallback loses
-      // the manifest, and a replay would recompute requiredness under the
-      // LIVE count — copyBucket's exists-skip pins the already-copied
-      // buckets, bounding the damage to the genuinely-missing ones.
-      if (!fs.rename(tmpM, manifest)) {
-        fs.delete(manifest, false)
-        if (!fs.rename(tmpM, manifest))
-          sys.error(s"StateStore: failed to publish snapshot manifest for $table")
-      }
-      ()
+      if (!fs.rename(tmpM, new Path(p, s"_buckets.$next")))
+        sys.error(s"StateStore: failed to publish snapshot manifest for $table")
+      files.foreach { case (_, old) => fs.delete(old, false) }
     }
     if (!fs.exists(done)) { // absent or torn (no _SUCCESS) → (re)copy
       fs.delete(p, true)

@@ -44,30 +44,53 @@ class PartialFoldSpec extends SparkTestBase {
     val prefix = EventLog.decode(toDf(all.take(cut))).cache()
     val tail = EventLog.decode(toDf(all.drop(cut))).cache()
     try {
+      // ADVICE r8: the terminal family — the only one with extra plain
+      // seq markers (placement_seq/removed_seq) and a two-source
+      // placement∪update row union — gets its own case. The placement
+      // resolution (container as-of + spec eligibility) is deliberately
+      // held split-INVARIANT (whole-log rel timeline + whole-log specs on
+      // both sides: the as-of window only looks backward, so later rel
+      // rows cannot change a placement's resolution) so the case isolates
+      // exactly the fold/marker property: a drifted marker expression in
+      // terminalPartialRows fails HERE with attribution instead of as a
+      // distant golden-table diff.
+      val relWhole = Derivations.containerRelEvents(whole)
+      val specsWhole = Derivations.terminalSpecs(whole)
+      def termP(ev: DataFrame) = (
+        Derivations.terminalPlacementRows(relWhole,
+          Derivations.terminalPlacements(ev), specsWhole),
+        Derivations.terminalUpdateRows(ev))
+      val (wPla, wUpd) = termP(whole)
+      val (pPla, pUpd) = termP(prefix)
+      val (tPla, tUpd) = termP(tail)
       val cases: Seq[(String, DataFrame, DataFrame, DataFrame, String,
-          Seq[(String, String)])] = Seq(
+          Seq[(String, String)], Seq[String])] = Seq(
         ("installation", Derivations.installationPartial(whole),
           Derivations.installationPartial(prefix),
           Derivations.installationPartialRows(tail), "id",
-          Derivations.installationPartialPairs),
+          Derivations.installationPartialPairs, Nil),
         ("work_task", Derivations.workTaskPartial(whole),
           Derivations.workTaskPartial(prefix),
           Derivations.workTaskPartialRows(tail), "id",
-          Derivations.workTaskPartialPairs),
+          Derivations.workTaskPartialPairs, Nil),
         ("node_container", Derivations.nodeContainerPartial(whole),
           Derivations.nodeContainerPartial(prefix),
           Derivations.nodeContainerPartialRows(tail), "id",
-          Derivations.nodeContainerPartialPairs),
+          Derivations.nodeContainerPartialPairs, Nil),
         ("interest", Derivations.interestPartial(whole),
           Derivations.interestPartial(prefix),
           Derivations.interestPartialRows(tail), "interest_id",
-          Derivations.interestPartialPairs),
+          Derivations.interestPartialPairs, Nil),
         ("span", Derivations.spanEquipmentPartial(whole),
           Derivations.spanEquipmentPartial(prefix),
           Derivations.spanEquipmentPartialRows(tail), "id",
-          Derivations.spanPartialPairs))
-      cases.foreach { case (fam, wholeP, prefixP, tailRows, idCol, pairs) =>
-        val merged = Folds.mergePartials(Seq(prefixP, tailRows), idCol, pairs)
+          Derivations.spanPartialPairs, Nil),
+        ("terminal", Derivations.terminalPartial(wPla, wUpd),
+          Derivations.terminalPartial(pPla, pUpd),
+          Derivations.terminalPartialRows(tPla, tUpd), "id",
+          Derivations.terminalPartialPairs, Derivations.terminalPartialSeqs))
+      cases.foreach { case (fam, wholeP, prefixP, tailRows, idCol, pairs, seqs) =>
+        val merged = Folds.mergePartials(Seq(prefixP, tailRows), idCol, pairs, seqs)
         val got = rowSet(merged)
         val want = rowSet(wholeP)
         assert(got === want, s"family $fam: prefix∪tail fold diverged from whole-log fold")

@@ -165,7 +165,12 @@ class StateStoreMergeSpec extends SparkTestBase {
     // faithfully (pre-merge rows for its buckets are gone) — the store
     // must fail loudly instead of copying wrong-layout post-merge rows
     val manifestBytes = {
-      val mp = new org.apache.hadoop.fs.Path(s"$dir/_snap/batch=9/t/_buckets")
+      // versioned create-only manifests (ADVICE r8): read the highest seq
+      val snapDir = new org.apache.hadoop.fs.Path(s"$dir/_snap/batch=9/t")
+      val mp = fs.listStatus(snapDir).map(_.getPath)
+        .filter(_.getName.startsWith("_buckets"))
+        .maxBy(p => p.getName.stripPrefix("_buckets").stripPrefix(".") match {
+          case "" => -1L; case s => s.toLong })
       val in = fs.open(mp)
       try { val b = new Array[Byte](fs.getFileStatus(mp).getLen.toInt); in.readFully(b); new String(b, "UTF-8") }
       finally in.close()
