@@ -84,7 +84,14 @@ object StepProbe {
     probe("dense(2117ev)", evts.takeRight(2117).map { case (_, t, p) =>
       (denseStart + 1, t, p) }.zipWithIndex.map { case ((_, t, p), i) =>
       (denseStart + i, t, p) })
-    probe("sparse(500ev)", graft.projector.LogSynth.updates(sites, 500, denseStart + 5000L))
+    // bench-shaped chunk: EngineBench streams the dense tail in 8 files of
+    // ~265 events — the steady-state catchup_batch_median is THIS batch
+    // size, where driver planning dominates task time; the 2117-event
+    // probe above shows the first-fold shape instead
+    val chunkStart = denseStart + 3000L
+    probe("dense-chunk(265ev)", evts.takeRight(265).zipWithIndex.map {
+      case ((_, t, p), i) => (chunkStart + i, t, p) })
+    probe("sparse(500ev)", graft.projector.LogSynth.updates(sites, 500, chunkStart + 5000L))
     spark.stop()
   }
 }

@@ -317,16 +317,45 @@ object Incremental {
       if (has(ncTermTypes)) section {
         val termPlac = Derivations.terminalPlacements(b) // (seq, container_id, t)
         val contRefs = fusedOr("cont_refs")
-        val (ncKeys, ncStored, ncMerged) = mergeFamily(store, "st_node_container", "id",
-          Derivations.nodeContainerPartialRows(b), Derivations.nodeContainerPartialPairs, Nil,
-          extraReadKeys = Some(contRefs), batchId = batchId,
-          batchKeys = fusedKeys.get("st_node_container"))
-        // sub-section: depends only on the merge's written files — overlaps
-        // the terminal chain below
-        section { writeOutput(store, syncSink, sinkActive, "node_container", ncKeys,
-          Derivations.nodeContainerFromPartial(ncMerged)
-            .join(broadcast(ncSpecs), Seq("spec_id"), "inner")
-            .select(col("id"), col("route_node_id"), col("spec_name"), col("spec_category"))) }
+        val ncPartial = Derivations.nodeContainerPartialRows(b)
+        val ncBatchKeys = fusedKeys.get("st_node_container")
+        def runNcMerge(): (KeySet, DataFrame, DataFrame) =
+          mergeFamily(store, "st_node_container", "id",
+            ncPartial, Derivations.nodeContainerPartialPairs, Nil,
+            extraReadKeys = Some(contRefs), batchId = batchId,
+            batchKeys = ncBatchKeys)
+        def launchNcOutput(ncKeys: KeySet, ncMerged: DataFrame): Unit =
+          section { writeOutput(store, syncSink, sinkActive, "node_container", ncKeys,
+            Derivations.nodeContainerFromPartial(ncMerged)
+              .join(broadcast(ncSpecs), Seq("spec_id"), "inner")
+              .select(col("id"), col("route_node_id"), col("spec_name"), col("spec_category"))) }
+        // r9: the terminal chain consumes ONLY the PRE-merge
+        // st_node_container snapshot (pseudoRel) — with a real batch id,
+        // pin that snapshot FIRST (a driver-side bucket copy, milliseconds)
+        // and run the nc merge + node_container output on a sub-section
+        // CONCURRENT with the terminal fold, instead of queueing the
+        // terminal chain behind the nc merge's write (measured ~0.9 s of
+        // dead time on the dense critical path). The sub-section's
+        // mergeFamily re-reads the SAME snapshot dirs (same key set — the
+        // manifest marks every bucket copied, so the second readKeyedSnap
+        // is a listing, not a copy). batchId < 0 has no pinned snapshot
+        // (a live pre-merge read would race the concurrent merge's bucket
+        // swap) — keep the sequential shape there.
+        val ncStored: DataFrame =
+          if (batchId >= 0) {
+            val keys0 = ncBatchKeys.getOrElse(
+              KeySet.fromDf(ncPartial.select(col("id")), cap))
+            val keysAll = KeySet.union(keys0, contRefs, cap, spark)
+            val snap = store.readKeyedSnap(batchId, "st_node_container",
+              ncPartial.schema, "id", keysAll)
+            section { val (ncKeys, _, ncMerged) = runNcMerge()
+              launchNcOutput(ncKeys, ncMerged) }
+            snap
+          } else {
+            val (ncKeys, stored, ncMerged) = runNcMerge()
+            launchNcOutput(ncKeys, ncMerged)
+            stored
+          }
 
         val pseudoRel = ncStored.select(col("lc_seq").as("seq"),
           col("id").as("container_id"),
@@ -965,7 +994,10 @@ object Incremental {
     // the caller guarantees no live read of `table` happens before it
     // awaits the submitted write (the step's table-disjointness contract).
     // The write reads the checkpointed blocks, not live state, so it
-    // cannot race its own swap.
+    // cannot race its own swap. r9 note: tried for st_interest/st_terminal
+    // too — the extra fold-checkpoint job per family cost MORE than the
+    // write overlap saved at micro-batch sizes (sentinel-normalized dense
+    // min regressed ~10%); st_span stays the only asyncWrite family.
     asyncWrite match {
       case Some(submit) if batchId >= 0 && snapshot =>
         val merged = mergedPlan.localCheckpoint(true)
