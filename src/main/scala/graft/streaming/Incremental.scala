@@ -715,13 +715,6 @@ object Incremental {
         .join(hcFor.select(col("parent_id").as("id"), col("has_child")), Seq("id"), "left")
         .na.fill(false, Seq("has_child"))
       val endRows = Derivations.eligibleEnds(enrichedElig)
-      // endRows materializes on a section thread (r8): the big
-      // enrichedElig subtree — Catalyst analysis AND execution, including
-      // the lazy hcFor checkpoint riding inside it — overlaps the
-      // touchedNodes collect and the storedEnds planning below, and the
-      // mergedEnds checkpoint then plans a small scan ∪ cached-blocks
-      // union instead of re-analyzing the whole tail in one go.
-      val fEndRows = tracked(endRows.localCheckpoint(true))
       val touchedNodes = Await.result(fTouchedNodes, Duration.Inf)
       // POST-merge eligible-end rows at the touched nodes, computed
       // IN-PLAN from pre-merge state ∪ endRows and checkpointed BEFORE the
@@ -739,8 +732,16 @@ object Incremental {
           else storedEnds.filter(col("id").isNull || !col("id").isin(vals.toSeq: _*))
         case ks => storedEnds.join(broadcast(ks.toDf(spark, "id")), Seq("id"), "left_anti")
       }
-      val endRowsCk = Await.result(fEndRows, Duration.Inf)
-      // the st_has_child merge launches only now — the endRows job
+      // ONE tail materialization (r9; fused from r8's two): the endRows
+      // subtree — including the lazy hcFor checkpoint riding inside it —
+      // and the kept stored ends materialize in the SAME job. The r8 shape
+      // checkpointed endRows separately on a section thread to overlap the
+      // touchedNodes collect, but the collect is ~80 ms while the extra
+      // job + its planning gap cost more on the dense tail; the fused job
+      // both consumers (st_eligible_ends merge, slack recount) read.
+      val mergedEnds = keptEnds.unionByName(endRows.select(keptEnds.columns.map(col).toSeq: _*))
+        .localCheckpoint(true)
+      // the st_has_child merge launches only now — the mergedEnds job
       // materialized the lazy hcFor checkpoint (its plan joins hcFor), so
       // the swap cannot race the pre-merge read inside it
       batchHcOpt.foreach { _ =>
@@ -748,8 +749,6 @@ object Incremental {
           restrictToKeys(hcFor, hcKeys, "parent_id", hcFor.columns.toSeq),
           coversKeys = true) }
       }
-      val mergedEnds = keptEnds.unionByName(endRowsCk.select(keptEnds.columns.map(col).toSeq: _*))
-        .localCheckpoint(true)
       // the merge's replacement is the checkpointed frame restricted to
       // the touched ids (= endRows exactly: kept excludes every eligKeys
       // id and all endRows ids are eligKeys ids) — endRows materializes
