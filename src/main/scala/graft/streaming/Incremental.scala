@@ -319,10 +319,10 @@ object Incremental {
         val contRefs = fusedOr("cont_refs")
         val ncPartial = Derivations.nodeContainerPartialRows(b)
         val ncBatchKeys = fusedKeys.get("st_node_container")
-        def runNcMerge(): (KeySet, DataFrame, DataFrame) =
+        def runNcMerge(extra: Option[KeySet]): (KeySet, DataFrame, DataFrame) =
           mergeFamily(store, "st_node_container", "id",
             ncPartial, Derivations.nodeContainerPartialPairs, Nil,
-            extraReadKeys = Some(contRefs), batchId = batchId,
+            extraReadKeys = extra, batchId = batchId,
             batchKeys = ncBatchKeys)
         def launchNcOutput(ncKeys: KeySet, ncMerged: DataFrame): Unit =
           section { writeOutput(store, syncSink, sinkActive, "node_container", ncKeys,
@@ -348,11 +348,16 @@ object Incremental {
             val keysAll = KeySet.union(keys0, contRefs, cap, spark)
             val snap = store.readKeyedSnap(batchId, "st_node_container",
               ncPartial.schema, "id", keysAll)
-            section { val (ncKeys, _, ncMerged) = runNcMerge()
+            // contRefs left OUT of the merge (r9): the extra keys existed
+            // only to widen the pre-merge snapshot for the terminal as-of,
+            // which the pinned `snap` above now covers — merging them too
+            // just rewrote their stored rows byte-unchanged, widening the
+            // merge's read/write bucket span for nothing
+            section { val (ncKeys, _, ncMerged) = runNcMerge(None)
               launchNcOutput(ncKeys, ncMerged) }
             snap
           } else {
-            val (ncKeys, stored, ncMerged) = runNcMerge()
+            val (ncKeys, stored, ncMerged) = runNcMerge(Some(contRefs))
             launchNcOutput(ncKeys, ncMerged)
             stored
           }
@@ -434,10 +439,27 @@ object Incremental {
             (KeySet.fromDf(lastApply.select(col("interest_id")), cap),
               KeySet.fromDf(lastApply.select(col("cable_id")), cap))
 
-        val (intKeys, intStored, intMerged) = mergeFamily(store, "st_interest", "interest_id",
-          Derivations.interestPartialRows(b), Derivations.interestPartialPairs, Nil,
-          extraReadKeys = Some(applyInterests), batchId = batchId,
+        // applyInterests left OUT of the batch-mode merge (r9, the nc
+        // pattern): the extra keys exist only so intStored covers the
+        // as-of pseudo-walk interests — in batch mode that pre-merge view
+        // is a pinned snapshot read with the UNION keys, while the merge
+        // itself shrinks to the batch-touched interests (merging the
+        // extras rewrote their stored rows byte-unchanged, widening the
+        // read/write bucket span on the walk chain's critical path).
+        val intPartial = Derivations.interestPartialRows(b)
+        val (intExtra, intStoredOverride) =
+          if (batchId >= 0) {
+            val keys0 = fusedKeys.getOrElse("st_interest",
+              KeySet.fromDf(intPartial.select(col("interest_id")), cap))
+            val keysAll = KeySet.union(keys0, applyInterests, cap, spark)
+            (None, Some(store.readKeyedSnap(batchId, "st_interest",
+              intPartial.schema, "interest_id", keysAll)))
+          } else (Some(applyInterests), None)
+        val (intKeys, intStored0, intMerged) = mergeFamily(store, "st_interest", "interest_id",
+          intPartial, Derivations.interestPartialPairs, Nil,
+          extraReadKeys = intExtra, batchId = batchId,
           batchKeys = fusedKeys.get("st_interest"))
+        val intStored = intStoredOverride.getOrElse(intStored0)
         // sub-section: depends only on the merge's written files — overlaps
         // the cable-walk resolve below
         section { writeOutput(store, syncSink, sinkActive, "rel_interest_to_route_element", intKeys,
