@@ -42,7 +42,9 @@ object StepProbe {
         val d = Option(js.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description"))
             .orElse(Option(p.getProperty("spark.jobGroup.id")))).getOrElse("") + " " +
-          js.stageInfos.map(_.name.takeWhile(_ != '(')).mkString("|").take(120)
+          js.stageInfos.map(si => si.name.takeWhile(_ != '(') +
+            ":" + si.details.linesIterator.drop(1).take(1).mkString.trim.take(80))
+            .mkString("|").take(400)
         starts.put(js.jobId, (System.nanoTime(), d)); ()
       }
       override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {

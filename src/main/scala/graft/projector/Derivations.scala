@@ -648,10 +648,21 @@ object Derivations {
     * the touched buckets. */
   private[graft] def eligibleEnds(enriched: DataFrame): DataFrame = {
     val st = enriched.filter(col("alive") && col("is_customer_conduit") && !col("has_child"))
-    st.filter(!col("root_has_from"))
-      .select(col("id"), col("from_node_id").as("route_node_id"), lit("from").as("end_kind"))
-      .unionByName(st.filter(!col("root_has_to"))
-        .select(col("id"), col("to_node_id").as("route_node_id"), lit("to").as("end_kind")))
+    // ONE pass over the enriched subtree (r9): the previous
+    // union-of-two-filters referenced `st` twice, and Catalyst executes a
+    // duplicated subtree per union branch — in the incremental tail that
+    // doubled the whole enriched computation INCLUDING the has-child
+    // broadcast build (observed as twin broadcast-exchange jobs). An
+    // exploded two-element array emits the same (from, to) end rows from
+    // a single scan.
+    st.select(col("id"), explode(array(
+        when(!col("root_has_from"),
+          struct(col("from_node_id").as("route_node_id"), lit("from").as("end_kind"))),
+        when(!col("root_has_to"),
+          struct(col("to_node_id").as("route_node_id"), lit("to").as("end_kind"))))).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("id"), col("e.route_node_id").as("route_node_id"),
+        col("e.end_kind").as("end_kind"))
   }
 
   private[graft] def slackFromEnds(ends: DataFrame): DataFrame =
