@@ -414,12 +414,16 @@ object Pipeline {
     val e = Tables.embeddings(spark, dir)
     val exact = Vectors.bruteForceTopK(e, q => q % 100 === 0, 10)
       .select(col("query_id"), col("neighbor_id"))
-    val hits = exact.join(approx.select(col("query_id"), col("neighbor_id")),
-      Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-    val per = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq("query_id"), "left").na.fill(0L, Seq("n_hit"))
-      .select(col("query_id"), (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+    // exact referenced ONCE (r9): the previous hits/totals split put the
+    // brute-force subtree in two branches of the plan, and Catalyst
+    // executes a duplicated subtree per branch — the full O(q·n) exact
+    // top-k ran twice per contract query. A left join with a hit marker
+    // plus one two-level aggregate yields the identical recall.
+    val marked = exact.join(
+      approx.select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1)),
+      Seq("query_id", "neighbor_id"), "left")
+    val per = marked.groupBy(col("query_id")).agg(
+      (coalesce(sum(col("hit")), lit(0)).cast("double") / count(lit(1))).as("recall"))
     per.agg(count(lit(1)).cast("long").as("n_queries"),
       (avg(col("recall")) >= floor).as("recall_ok"))
   }
@@ -668,13 +672,20 @@ object Pipeline {
     val docSh = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(Text.shingles(col("text"), 3)).as("s"))
       .distinct()
+    // corpus referenced ONCE (r9): the previous totals/shared split put
+    // the exploded-distinct shingle frame in three plan branches (probe +
+    // two corpus aggregates), and Catalyst executes a duplicated subtree
+    // per branch — the corpus re-exploded and re-deduped per aggregate.
+    // A left join against the hit-marked probe plus one aggregate yields
+    // identical counts (the probe side is distinct on s, so the join
+    // preserves corpus cardinality).
     val probe = docSh.filter(col("doc_id") % 97 === 0).select(col("s")).distinct()
+      .withColumn("hit", lit(1))
     val corpus = docSh.filter(col("doc_id") % 97 =!= 0)
-    val totals = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val shared = corpus.join(probe, Seq("s"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    totals.join(shared, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_shared"))
+    corpus.join(probe, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("hit")), lit(0)).as("n_shared"))
       .withColumn("overlap_q",
         floor(col("n_shared") * lit(10000.0) / col("n_shingles")).cast("long"))
       .withColumn("contaminated", when(col("overlap_q") >= 5000, 1).otherwise(0))
@@ -752,16 +763,17 @@ object Pipeline {
       base.select(col("doc_id").as("v")))
   }
 
-  /** [[contaminationNgram]]'s per-doc flag over the shared base. */
+  /** [[contaminationNgram]]'s per-doc flag over the shared base (same
+    * single-reference join shape — see the r9 note there). */
   private def contaminationFrom(base: DataFrame): DataFrame = {
     val docSh = base.select(col("doc_id"), explode(col("sh3")).as("s")).distinct()
     val probe = docSh.filter(col("doc_id") % 97 === 0).select(col("s")).distinct()
+      .withColumn("hit", lit(1))
     val corpus = docSh.filter(col("doc_id") % 97 =!= 0)
-    val totals = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val shared = corpus.join(probe, Seq("s"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    totals.join(shared, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_shared"))
+    corpus.join(probe, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("hit")), lit(0)).as("n_shared"))
       .withColumn("contaminated",
         when(floor(col("n_shared") * lit(10000.0) / col("n_shingles")).cast("long") >= 5000, 1)
           .otherwise(0))
