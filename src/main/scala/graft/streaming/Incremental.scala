@@ -319,11 +319,12 @@ object Incremental {
         val contRefs = fusedOr("cont_refs")
         val ncPartial = Derivations.nodeContainerPartialRows(b)
         val ncBatchKeys = fusedKeys.get("st_node_container")
-        def runNcMerge(extra: Option[KeySet]): (KeySet, DataFrame, DataFrame) =
+        def runNcMergeWith(bk: Option[KeySet], extra: Option[KeySet] = None):
+            (KeySet, DataFrame, DataFrame) =
           mergeFamily(store, "st_node_container", "id",
             ncPartial, Derivations.nodeContainerPartialPairs, Nil,
             extraReadKeys = extra, batchId = batchId,
-            batchKeys = ncBatchKeys)
+            batchKeys = bk)
         def launchNcOutput(ncKeys: KeySet, ncMerged: DataFrame): Unit =
           section { writeOutput(store, syncSink, sinkActive, "node_container", ncKeys,
             Derivations.nodeContainerFromPartial(ncMerged)
@@ -343,6 +344,9 @@ object Incremental {
         // swap) — keep the sequential shape there.
         val ncStored: DataFrame =
           if (batchId >= 0) {
+            // keys0 threaded into the merge below so the fused-collect
+            // OVERFLOW fallback (ncBatchKeys = None) does not pay the
+            // distinct+collect job twice (code-review r9)
             val keys0 = ncBatchKeys.getOrElse(
               KeySet.fromDf(ncPartial.select(col("id")), cap))
             val keysAll = KeySet.union(keys0, contRefs, cap, spark)
@@ -353,11 +357,11 @@ object Incremental {
             // which the pinned `snap` above now covers — merging them too
             // just rewrote their stored rows byte-unchanged, widening the
             // merge's read/write bucket span for nothing
-            section { val (ncKeys, _, ncMerged) = runNcMerge(None)
+            section { val (ncKeys, _, ncMerged) = runNcMergeWith(Some(keys0))
               launchNcOutput(ncKeys, ncMerged) }
             snap
           } else {
-            val (ncKeys, stored, ncMerged) = runNcMerge(Some(contRefs))
+            val (ncKeys, stored, ncMerged) = runNcMergeWith(ncBatchKeys, Some(contRefs))
             launchNcOutput(ncKeys, ncMerged)
             stored
           }
@@ -447,18 +451,21 @@ object Incremental {
         // extras rewrote their stored rows byte-unchanged, widening the
         // read/write bucket span on the walk chain's critical path).
         val intPartial = Derivations.interestPartialRows(b)
-        val (intExtra, intStoredOverride) =
+        // keys0 threaded into the merge below so the fused-collect OVERFLOW
+        // fallback does not pay the distinct+collect job twice
+        // (code-review r9)
+        val (intBatchKeys, intExtra, intStoredOverride) =
           if (batchId >= 0) {
             val keys0 = fusedKeys.getOrElse("st_interest",
               KeySet.fromDf(intPartial.select(col("interest_id")), cap))
             val keysAll = KeySet.union(keys0, applyInterests, cap, spark)
-            (None, Some(store.readKeyedSnap(batchId, "st_interest",
+            (Some(keys0), None, Some(store.readKeyedSnap(batchId, "st_interest",
               intPartial.schema, "interest_id", keysAll)))
-          } else (Some(applyInterests), None)
+          } else (fusedKeys.get("st_interest"), Some(applyInterests), None)
         val (intKeys, intStored0, intMerged) = mergeFamily(store, "st_interest", "interest_id",
           intPartial, Derivations.interestPartialPairs, Nil,
           extraReadKeys = intExtra, batchId = batchId,
-          batchKeys = fusedKeys.get("st_interest"))
+          batchKeys = intBatchKeys)
         val intStored = intStoredOverride.getOrElse(intStored0)
         // sub-section: depends only on the merge's written files — overlaps
         // the cable-walk resolve below
