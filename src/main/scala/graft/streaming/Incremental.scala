@@ -431,17 +431,28 @@ object Incremental {
         val applies = Derivations
           .cablePlacementApplies(b, eqSpecs.select(col("spec_id"), col("spec_is_cable")))
           .unionByName(Derivations.cableAffixDetachApplies(b, interestOf))
-        val lastApply = Derivations.lastApplyOf(applies).localCheckpoint(true)
-        // ONE bounded collect feeds both the interest read-set and the
-        // cable output keys (they are two columns of the same tiny frame)
-        val la = lastApply.select(col("interest_id"), col("cable_id")).limit(cap + 1).collect()
-        val (applyInterests, cableKeys) =
-          if (la.length <= cap)
-            (KeySet.local(la.map(_.get(0)).filter(_ != null)),
-              KeySet.local(la.map(_.get(1)).filter(_ != null)))
-          else
-            (KeySet.fromDf(lastApply.select(col("interest_id")), cap),
-              KeySet.fromDf(lastApply.select(col("cable_id")), cap))
+        // ONE bounded collect replaces the r8 eager-checkpoint +
+        // two-column-collect pair (r9): within the cap the full
+        // (cable_id, seq, interest_id, hops) rows come back to the driver
+        // — the same O(touched cables) bound the old two-column collect
+        // already put on the driver heap, plus their batch-bounded hop
+        // lists — and re-enter the plan as a LOCAL relation, so the walk
+        // resolve unions a LocalRelation instead of scanning checkpoint
+        // blocks and the applies subtree evaluates exactly once. Above
+        // the cap the checkpoint + distributed-keys shape returns.
+        val lastApplyPlan = Derivations.lastApplyOf(applies)
+        val laFull = lastApplyPlan.limit(cap + 1).collect()
+        val (lastApply, applyInterests, cableKeys) =
+          if (laFull.length <= cap) {
+            import scala.jdk.CollectionConverters._
+            (spark.createDataFrame(laFull.toSeq.asJava, lastApplyPlan.schema),
+              KeySet.local(laFull.map(_.getAs[Any]("interest_id")).filter(_ != null)),
+              KeySet.local(laFull.map(_.getAs[Any]("cable_id")).filter(_ != null)))
+          } else {
+            val ck = lastApplyPlan.localCheckpoint(true)
+            (ck, KeySet.fromDf(ck.select(col("interest_id")), cap),
+              KeySet.fromDf(ck.select(col("cable_id")), cap))
+          }
 
         // applyInterests left OUT of the batch-mode merge (r9, the nc
         // pattern): the extra keys exist only so intStored covers the
