@@ -276,8 +276,14 @@ object Dedup {
     * [[connectedComponents]]). */
   private def loopComponents(edges: DataFrame, vertices: DataFrame,
       maxIter: Int): DataFrame = {
-    val sym = edges.select(col("a").as("v"), col("b").as("w"))
-      .unionByName(edges.select(col("b").as("v"), col("a").as("w")))
+    // ONE pass over the edge subtree (r9): the union-of-two-selects form
+    // executed the (potentially expensive — blocked-Jaccard) edge
+    // computation once per branch; an exploded two-struct array emits
+    // both directions from a single scan before the checkpoint pins it.
+    val sym = edges.select(explode(array(
+        struct(col("a").as("v"), col("b").as("w")),
+        struct(col("b").as("v"), col("a").as("w")))).as("e"))
+      .select(col("e.v").as("v"), col("e.w").as("w"))
       .localCheckpoint(true)
     var comp = vertices.select(col("v"), col("v").as("c")).localCheckpoint(true)
     var iter = 0
