@@ -438,9 +438,14 @@ object Incremental {
         // already put on the driver heap, plus their batch-bounded hop
         // lists — and re-enter the plan as a LOCAL relation, so the walk
         // resolve unions a LocalRelation instead of scanning checkpoint
-        // blocks and the applies subtree evaluates exactly once. Above
-        // the cap the checkpoint + distributed-keys shape returns.
-        val lastApplyPlan = Derivations.lastApplyOf(applies)
+        // blocks and the applies subtree evaluates exactly once. The LAZY
+        // checkpoint mark (the affix-timeline pattern) makes the >cap
+        // fallback free of recompute too: the collect's job finalizes the
+        // marked RDD, so the distributed-keys path below reads pinned
+        // blocks instead of re-running the applies subtree (code-review
+        // r9); in the common ≤cap case the pinned blocks are a few
+        // hundred tiny rows released by the step-end unpersist sweep.
+        val lastApplyPlan = Derivations.lastApplyOf(applies).localCheckpoint(false)
         val laFull = lastApplyPlan.limit(cap + 1).collect()
         val (lastApply, applyInterests, cableKeys) =
           if (laFull.length <= cap) {
@@ -448,11 +453,9 @@ object Incremental {
             (spark.createDataFrame(laFull.toSeq.asJava, lastApplyPlan.schema),
               KeySet.local(laFull.map(_.getAs[Any]("interest_id")).filter(_ != null)),
               KeySet.local(laFull.map(_.getAs[Any]("cable_id")).filter(_ != null)))
-          } else {
-            val ck = lastApplyPlan.localCheckpoint(true)
-            (ck, KeySet.fromDf(ck.select(col("interest_id")), cap),
-              KeySet.fromDf(ck.select(col("cable_id")), cap))
-          }
+          } else
+            (lastApplyPlan, KeySet.fromDf(lastApplyPlan.select(col("interest_id")), cap),
+              KeySet.fromDf(lastApplyPlan.select(col("cable_id")), cap))
 
         // applyInterests left OUT of the batch-mode merge (r9, the nc
         // pattern): the extra keys exist only so intStored covers the
@@ -650,7 +653,7 @@ object Incremental {
 
       // pin the pre-merge span rows the interest section needs (driver-side
       // snapshot copy, milliseconds) and launch it BEFORE the st_span merge
-      // — the section's longest chain (lastApply checkpoint → interest
+      // — the section's longest chain (lastApply collect → interest
       // merge → walk resolves) then overlaps the merge instead of queueing
       // behind it. Only with a real batchId: batchId < 0 has no pinned
       // snapshot dir, so the pre-merge read would race the merge's bucket
