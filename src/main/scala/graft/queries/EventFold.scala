@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Folds, Walks}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -152,15 +152,44 @@ object EventFold {
     * keep from walk[4]) so the DuckDB oracle checks the native expression
     * exactly; general hop lists need the stack scan (simulator-tested).
     */
-  def hopWalk(spark: SparkSession, dir: String): DataFrame = {
+  def hopWalk(spark: SparkSession, dir: String): DataFrame =
+    hopWalkWith(spark, dir, walk =>
+      when(size(walk) >= 4,
+        array(struct(element_at(walk, 2).as("fromNodeId"),
+          element_at(walk, 4).as("toNodeId")))))
+
+  /** evt_hop_walk2 (VERDICT r9 #5): a GENERAL hop list under oracle check —
+    * two hops, the second with an absent `toNodeId`, exercising the
+    * skip-to-end branch of the stack scan (`ProjektorState.cs:205-215`:
+    * a hop whose to-node never appears drops everything from its from-node
+    * to the end of the walk). Closed form for this shape: walks of length
+    * ≥ 6 reduce to [walk[1], walk[4], walk[5]] (hop 1 drops 2..3, keeps 4;
+    * hop 2 fires at 6 and swallows the rest); 4..5 behave as
+    * [[hopWalk]]; shorter walks pass verbatim — SQL-expressible, so the
+    * multi-hop + skip-to-end path gets a per-round hash check instead of
+    * simulator-only coverage. */
+  def hopWalk2(spark: SparkSession, dir: String): DataFrame =
+    hopWalkWith(spark, dir, walk =>
+      when(size(walk) >= 6,
+        array(
+          struct(element_at(walk, 2).as("fromNodeId"),
+            element_at(walk, 4).as("toNodeId")),
+          struct(element_at(walk, 6).as("fromNodeId"),
+            lit(null).cast("string").as("toNodeId"))))
+      .when(size(walk) >= 4,
+        array(struct(element_at(walk, 2).as("fromNodeId"),
+          element_at(walk, 4).as("toNodeId")))))
+
+  /** Shared walk-build → hop-subtract → ordered-explode shape; the hop
+    * constructor is the only variation point between the oracle-checked
+    * fixed-shape scans. */
+  private def hopWalkWith(spark: SparkSession, dir: String,
+      hopsOf: Column => Column): DataFrame = {
     val ev = Tables.events(spark, dir)
     val walks = ev.groupBy(col("user_id"))
       .agg(array_sort(collect_list(col("event_id"))).as("ids"))
       .select(col("user_id"), expr("transform(ids, x -> cast(x as string))").as("walk"))
-    val withHops = walks.withColumn("hops",
-      when(size(col("walk")) >= 4,
-        array(struct(element_at(col("walk"), 2).as("fromNodeId"),
-          element_at(col("walk"), 4).as("toNodeId")))))
+    val withHops = walks.withColumn("hops", hopsOf(col("walk")))
     val subtracted = withHops.select(col("user_id"),
       graft.functions.HopSubtractExpr.hopSubtract(col("walk"), col("hops")).as("walk"))
     graft.ops.Walks.explodeOrdered(subtracted, "walk", "element_id", "seq_no")
@@ -203,7 +232,8 @@ object EventFold {
     "evt_asof_value" -> asofValue,
     "evt_cdc_classify" -> cdcClassify,
     "evt_session_agg" -> sessionAgg,
-    "evt_hop_walk" -> hopWalk)
+    "evt_hop_walk" -> hopWalk,
+    "evt_hop_walk2" -> hopWalk2)
 
   val oracleSql: Map[String, String] = Map(
     "evt_window_counts" ->
@@ -280,6 +310,21 @@ object EventFold {
         |  SELECT user_id,
         |    list_transform(CASE WHEN len(ids) >= 4 THEN list_concat([ids[1]], ids[4:]) ELSE ids END,
         |                   x -> CAST(x AS VARCHAR)) AS walk
+        |  FROM w
+        |)
+        |SELECT user_id, unnest(walk) AS element_id,
+        |  CAST(generate_subscripts(walk, 1) AS INT) AS seq_no
+        |FROM r2""".stripMargin,
+    "evt_hop_walk2" ->
+      """WITH w AS (
+        |  SELECT user_id, list_sort(list(event_id)) AS ids FROM events GROUP BY user_id
+        |), r2 AS (
+        |  SELECT user_id,
+        |    list_transform(
+        |      CASE WHEN len(ids) >= 6 THEN [ids[1], ids[4], ids[5]]
+        |           WHEN len(ids) >= 4 THEN list_concat([ids[1]], ids[4:])
+        |           ELSE ids END,
+        |      x -> CAST(x AS VARCHAR)) AS walk
         |  FROM w
         |)
         |SELECT user_id, unnest(walk) AS element_id,

@@ -419,8 +419,14 @@ object Pipeline {
     // executes a duplicated subtree per branch — the full O(q·n) exact
     // top-k ran twice per contract query. A left join with a hit marker
     // plus one two-level aggregate yields the identical recall.
+    // ADVICE r9: the left-join rewrite requires the approx side distinct
+    // on (query_id, neighbor_id) — true of today's lshTopK/ivfTopK, but a
+    // future approx operator emitting duplicate pairs would inflate both
+    // sum(hit) and count(1); a dropDuplicates on a top-k-sized frame is
+    // cheap and makes the contract duplicate-proof like the old left_semi
     val marked = exact.join(
-      approx.select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1)),
+      approx.select(col("query_id"), col("neighbor_id"))
+        .dropDuplicates("query_id", "neighbor_id").withColumn("hit", lit(1)),
       Seq("query_id", "neighbor_id"), "left")
     val per = marked.groupBy(col("query_id")).agg(
       (coalesce(sum(col("hit")), lit(0)).cast("double") / count(lit(1))).as("recall"))

@@ -582,13 +582,17 @@ object Incremental {
             // assumption that stored and batch rows for a re-placed root
             // are byte-identical. A cross-batch re-owning of a root
             // segment now resolves to ONE row per root instead of fanning
-            // batchAffixes out through the join. The store is keyed by
-            // root_segment_id and placedRootRows folds per span id, so
-            // each side contributes at most one row per root.
+            // batchAffixes out through the join. ADVICE r9: placedRootRows
+            // folds per SPAN id, so a malformed log where two same-batch
+            // placements share a root_segment_id yields two batch rows —
+            // break the tie on (src, id) so the fold is deterministic
+            // instead of picking an arbitrary parent (the readKeyed
+            // fallback path would retain both rows; on well-formed logs,
+            // where roots are span-unique, the paths stay identical).
             snap.withColumn("_src", lit(0))
               .unionByName(Derivations.placedRootRows(b).withColumn("_src", lit(1)))
               .groupBy(col("root_segment_id"))
-              .agg(max_by(col("id"), col("_src")).as("id"))
+              .agg(max_by(col("id"), struct(col("_src"), col("id"))).as("id"))
               .select(col("root_segment_id"), col("id"))
           case None =>
             fRootMerge.foreach(Await.result(_, Duration.Inf))

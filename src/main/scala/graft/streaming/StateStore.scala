@@ -693,9 +693,14 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     def manifestFiles(): Array[(Long, Path)] =
       fs.listStatus(p).map(_.getPath)
         .filter(_.getName.startsWith("_buckets"))
-        .map { mp =>
+        .flatMap { mp =>
+          // ADVICE r9: a stray non-numeric `_buckets*` entry (editor
+          // droppings, a foreign tool's marker) must not throw and wedge
+          // every snapshot read of this table — skip what doesn't parse;
+          // the legacy un-versioned `_buckets` maps to seq -1 as before
           val suffix = mp.getName.stripPrefix("_buckets").stripPrefix(".")
-          (if (suffix.isEmpty) -1L else suffix.toLong, mp)
+          if (suffix.isEmpty) Some((-1L, mp))
+          else scala.util.Try(suffix.toLong).toOption.map((_, mp))
         }
     def readCopied(): (Option[Int], Set[Int]) = {
       val files = manifestFiles()
@@ -715,6 +720,12 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     def writeCopied(under: Int, bks: Set[Int]): Unit = {
       val files = manifestFiles()
       val next = files.foldLeft(-1L)(_ max _._1) + 1
+      // ADVICE r9: versioned temp names mean a crashed writer's
+      // `._tmp_buckets.<seq>` is never overwritten by a later attempt
+      // (which picks a fresh seq) — reclaim leftovers before creating ours
+      fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.startsWith("._tmp_buckets"))
+        .foreach(fs.delete(_, false))
       val tmpM = new Path(p, s"._tmp_buckets.$next")
       val out = fs.create(tmpM, true)
       try out.write((s"n=$under" +: bks.toSeq.sorted.map(_.toString))
