@@ -260,6 +260,51 @@ object Incremental {
       // isEmpty contract (replaying an empty batch is a no-op)
       if (typesPresent.isEmpty) return false
 
+      // ---------- shared per-family "pin snapshot → merge → output" shape
+      // (VERDICT r9 #3) for families whose PRE-batch state feeds a
+      // downstream as-of resolve over MORE keys than the batch touches
+      // (st_node_container → terminal chain, st_interest → pseudo-walks).
+      // Returns the pre-merge stored view over (batch ∪ extra) keys and
+      // schedules the family merge plus its output off the caller's
+      // critical path:
+      //   - batch mode: the widened snapshot is PINNED first (driver-side
+      //     bucket copy, milliseconds) and the merge — over the batch keys
+      //     ONLY; merging the extras would rewrite their stored rows
+      //     byte-unchanged, widening the write bucket span for nothing —
+      //     runs with its output on a concurrent sub-section. The
+      //     sub-section's mergeFamily re-reads the SAME pinned snapshot
+      //     dirs (keys0 ⊆ keysAll and the manifest marks every bucket
+      //     copied, so its readKeyedSnap is a listing, not a copy);
+      //   - ad-hoc mode (batchId < 0): no pinned snapshot dir exists, so a
+      //     live pre-merge read would race a concurrent merge's bucket
+      //     swap — the merge runs INLINE with extraReadKeys widening its
+      //     checkpointed snapshot, which doubles as the returned view; the
+      //     output alone goes to a sub-section.
+      // The batchId < 0 fork lives here and ONLY here; keys0 is threaded
+      // into the merge so the fused-collect OVERFLOW fallback does not pay
+      // the distinct+collect job twice.
+      def preViewMerge(table: String, idCol: String, partial: DataFrame,
+          pairs: Seq[(String, String)], extraKeys: KeySet,
+          output: (KeySet, DataFrame) => Unit): DataFrame =
+        if (batchId >= 0) {
+          val keys0 = fusedKeys.getOrElse(table,
+            KeySet.fromDf(partial.select(col(idCol)), cap))
+          val keysAll = KeySet.union(keys0, extraKeys, cap, spark)
+          val snap = store.readKeyedSnap(batchId, table, partial.schema, idCol, keysAll)
+          section {
+            val (keys, _, merged) = mergeFamily(store, table, idCol, partial, pairs, Nil,
+              batchId = batchId, batchKeys = Some(keys0))
+            output(keys, merged)
+          }
+          snap
+        } else {
+          val (keys, stored, merged) = mergeFamily(store, table, idCol, partial, pairs, Nil,
+            extraReadKeys = Some(extraKeys), batchId = batchId,
+            batchKeys = fusedKeys.get(table))
+          section { output(keys, merged) }
+          stored
+        }
+
       // ---------- dimension tables (tiny; merged first — every family
       // finalizer joins them) ----------
       def dimHas(table: String): Boolean = typesPresent(dimEventType(table))
@@ -318,53 +363,18 @@ object Incremental {
         val termPlac = Derivations.terminalPlacements(b) // (seq, container_id, t)
         val contRefs = fusedOr("cont_refs")
         val ncPartial = Derivations.nodeContainerPartialRows(b)
-        val ncBatchKeys = fusedKeys.get("st_node_container")
-        def runNcMergeWith(bk: Option[KeySet], extra: Option[KeySet] = None):
-            (KeySet, DataFrame, DataFrame) =
-          mergeFamily(store, "st_node_container", "id",
-            ncPartial, Derivations.nodeContainerPartialPairs, Nil,
-            extraReadKeys = extra, batchId = batchId,
-            batchKeys = bk)
-        def launchNcOutput(ncKeys: KeySet, ncMerged: DataFrame): Unit =
-          section { writeOutput(store, syncSink, sinkActive, "node_container", ncKeys,
-            Derivations.nodeContainerFromPartial(ncMerged)
-              .join(broadcast(ncSpecs), Seq("spec_id"), "inner")
-              .select(col("id"), col("route_node_id"), col("spec_name"), col("spec_category"))) }
         // r9: the terminal chain consumes ONLY the PRE-merge
-        // st_node_container snapshot (pseudoRel) — with a real batch id,
-        // pin that snapshot FIRST (a driver-side bucket copy, milliseconds)
-        // and run the nc merge + node_container output on a sub-section
-        // CONCURRENT with the terminal fold, instead of queueing the
-        // terminal chain behind the nc merge's write (measured ~0.9 s of
-        // dead time on the dense critical path). The sub-section's
-        // mergeFamily re-reads the SAME snapshot dirs (same key set — the
-        // manifest marks every bucket copied, so the second readKeyedSnap
-        // is a listing, not a copy). batchId < 0 has no pinned snapshot
-        // (a live pre-merge read would race the concurrent merge's bucket
-        // swap) — keep the sequential shape there.
-        val ncStored: DataFrame =
-          if (batchId >= 0) {
-            // keys0 threaded into the merge below so the fused-collect
-            // OVERFLOW fallback (ncBatchKeys = None) does not pay the
-            // distinct+collect job twice (code-review r9)
-            val keys0 = ncBatchKeys.getOrElse(
-              KeySet.fromDf(ncPartial.select(col("id")), cap))
-            val keysAll = KeySet.union(keys0, contRefs, cap, spark)
-            val snap = store.readKeyedSnap(batchId, "st_node_container",
-              ncPartial.schema, "id", keysAll)
-            // contRefs left OUT of the merge (r9): the extra keys existed
-            // only to widen the pre-merge snapshot for the terminal as-of,
-            // which the pinned `snap` above now covers — merging them too
-            // just rewrote their stored rows byte-unchanged, widening the
-            // merge's read/write bucket span for nothing
-            section { val (ncKeys, _, ncMerged) = runNcMergeWith(Some(keys0))
-              launchNcOutput(ncKeys, ncMerged) }
-            snap
-          } else {
-            val (ncKeys, stored, ncMerged) = runNcMergeWith(ncBatchKeys, Some(contRefs))
-            launchNcOutput(ncKeys, ncMerged)
-            stored
-          }
+        // st_node_container view — preViewMerge pins it and runs the nc
+        // merge + node_container output concurrent with the terminal fold
+        // instead of queueing the terminal chain behind the nc merge's
+        // write (measured ~0.9 s of dead time on the dense critical path)
+        val ncStored = preViewMerge("st_node_container", "id", ncPartial,
+          Derivations.nodeContainerPartialPairs, contRefs,
+          (ncKeys, ncMerged) =>
+            writeOutput(store, syncSink, sinkActive, "node_container", ncKeys,
+              Derivations.nodeContainerFromPartial(ncMerged)
+                .join(broadcast(ncSpecs), Seq("spec_id"), "inner")
+                .select(col("id"), col("route_node_id"), col("spec_name"), col("spec_category"))))
 
         val pseudoRel = ncStored.select(col("lc_seq").as("seq"),
           col("id").as("container_id"),
@@ -457,38 +467,22 @@ object Incremental {
             (lastApplyPlan, KeySet.fromDf(lastApplyPlan.select(col("interest_id")), cap),
               KeySet.fromDf(lastApplyPlan.select(col("cable_id")), cap))
 
-        // applyInterests left OUT of the batch-mode merge (r9, the nc
-        // pattern): the extra keys exist only so intStored covers the
-        // as-of pseudo-walk interests — in batch mode that pre-merge view
-        // is a pinned snapshot read with the UNION keys, while the merge
-        // itself shrinks to the batch-touched interests (merging the
-        // extras rewrote their stored rows byte-unchanged, widening the
-        // read/write bucket span on the walk chain's critical path).
+        // applyInterests widen only the pre-merge view (the as-of
+        // pseudo-walk interests), never the merge — preViewMerge's shared
+        // contract. r10: in batch mode the interest merge + rel_interest
+        // output now run on a concurrent sub-section (the nc pattern),
+        // taking the merge off the walk-resolve critical path — the
+        // pseudo-walk union below reads the pinned snapshot, not the merge.
         val intPartial = Derivations.interestPartialRows(b)
-        // keys0 threaded into the merge below so the fused-collect OVERFLOW
-        // fallback does not pay the distinct+collect job twice
-        // (code-review r9)
-        val (intBatchKeys, intExtra, intStoredOverride) =
-          if (batchId >= 0) {
-            val keys0 = fusedKeys.getOrElse("st_interest",
-              KeySet.fromDf(intPartial.select(col("interest_id")), cap))
-            val keysAll = KeySet.union(keys0, applyInterests, cap, spark)
-            (Some(keys0), None, Some(store.readKeyedSnap(batchId, "st_interest",
-              intPartial.schema, "interest_id", keysAll)))
-          } else (fusedKeys.get("st_interest"), Some(applyInterests), None)
-        val (intKeys, intStored0, intMerged) = mergeFamily(store, "st_interest", "interest_id",
-          intPartial, Derivations.interestPartialPairs, Nil,
-          extraReadKeys = intExtra, batchId = batchId,
-          batchKeys = intBatchKeys)
-        val intStored = intStoredOverride.getOrElse(intStored0)
-        // sub-section: depends only on the merge's written files — overlaps
-        // the cable-walk resolve below
-        section { writeOutput(store, syncSink, sinkActive, "rel_interest_to_route_element", intKeys,
-          Walks.explodeOrdered(
-            Derivations.interestFromPartial(intMerged).filter(col("alive"))
-              .select(col("interest_id"), col("walk")),
-            "walk", "route_network_element_id", "seq_no")
-            .select(col("interest_id"), col("route_network_element_id"), col("seq_no"))) }
+        val intStored = preViewMerge("st_interest", "interest_id", intPartial,
+          Derivations.interestPartialPairs, applyInterests,
+          (intKeys, intMerged) =>
+            writeOutput(store, syncSink, sinkActive, "rel_interest_to_route_element", intKeys,
+              Walks.explodeOrdered(
+                Derivations.interestFromPartial(intMerged).filter(col("alive"))
+                  .select(col("interest_id"), col("walk")),
+                "walk", "route_network_element_id", "seq_no")
+                .select(col("interest_id"), col("route_network_element_id"), col("seq_no"))))
 
         // pre-batch interest state as pseudo walk events at the stored seq
         // (strictly below every batch seq); an unregistered interest yields
