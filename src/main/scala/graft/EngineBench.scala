@@ -78,6 +78,38 @@ object EngineBench {
     (denseSecs, streamSegment(spark, eventsDir, store))
   }
 
+  /** Seed a FRESH store at a 16×-sites scale and stream TWO dense chunk
+    * files of the base per-batch event size through the real catch-up
+    * query (VERDICT r9 #4): batch 1 absorbs the stream's one-off startup,
+    * batch 2 is the state-size spot sample. Together with the 4× soak this
+    * turns the "per-batch cost is state-size-independent" claim into a
+    * two-point measurement (4× and 16× the base state) for the price of
+    * one extra seed + two batches. */
+  private def denseSpot(spark: SparkSession, sites: Int, denseTail: Int): Vector[Double] = {
+    val root = graft.util.Scratch.dir("graft-engine-spot16")
+    try {
+      val evts = graft.projector.LogSynth.events(sites)
+      require(evts.size > denseTail,
+        s"16x spot log ($sites sites, ${evts.size} events) is not larger than its " +
+          s"dense tail ($denseTail events) — raise SPARK_GRAFT_ENGINE_SOAK16_SITES " +
+          "or set it to 0 to skip the spot sample")
+      val eventsDir = s"$root/events"
+      val (prefix, tail) = evts.splitAt(evts.size - denseTail)
+      graft.projector.LogSynth.write(spark, eventsDir, prefix, 8)
+      val store = new graft.streaming.StateStore(spark, s"$root/state")
+      graft.streaming.Incremental.seed(store,
+        graft.projector.EventLog.decode(
+          spark.read.schema(graft.projector.LogSynth.envelopeSchema).parquet(eventsDir)))
+      graft.projector.LogSynth.write(spark, s"$root/spot_stage", tail, 2)
+      new java.io.File(s"$root/spot_stage").listFiles().foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(eventsDir, s"tail-${f.getName}").toPath)
+        ()
+      }
+      streamSegment(spark, eventsDir, store)
+    } finally graft.util.Scratch.deleteRecursively(root)
+  }
+
   /** Drain everything currently unprocessed in `eventsDir` through the
     * real catch-up query, one micro-batch per file; per-batch seconds. */
   private def streamSegment(spark: SparkSession, eventsDir: String,
@@ -236,6 +268,18 @@ object EngineBench {
       else soakSegments(spark, soakSites, tail.size, 2000)
     sentinels += Sentinel.measureCpu(spark, 3, Sentinel.EngineRows)
 
+    // 16×-state dense spot sample (VERDICT r9 #4): one seed, two batches
+    // of the base per-batch size (tail.size/8 events each — the same
+    // chunking the base dense tail streams). Skipped with the soak (the
+    // ratio's denominator is the base dense steady state) or via
+    // SPARK_GRAFT_ENGINE_SOAK16_SITES=0.
+    val soak16Sites = sys.env.getOrElse("SPARK_GRAFT_ENGINE_SOAK16_SITES",
+      (sites * 16).toString).toInt
+    val spot16Secs: Vector[Double] =
+      if (soak16Sites <= 0 || soakSites <= 0) Vector.empty
+      else denseSpot(spark, soak16Sites, (tail.size / 8) * 2)
+    if (spot16Secs.nonEmpty) sentinels += Sentinel.measureCpu(spark, 3, Sentinel.EngineRows)
+
     import scala.jdk.CollectionConverters._
     // Locale.ROOT: the default locale may render decimals with commas,
     // which would make the emitted JSON unparseable (ADVICE r5)
@@ -271,6 +315,11 @@ object EngineBench {
     val denseSoakRatioMin =
       if (denseSoakSteady.isEmpty || mn(steady) == 0.0) 0.0
       else mn(denseSoakSteady) / mn(steady)
+    // 16× spot ratio: the post-startup batch vs the base dense steady min
+    val spot16Steady = if (spot16Secs.size > 1) spot16Secs.drop(1) else spot16Secs
+    val ratio16 =
+      if (spot16Steady.isEmpty || mn(steady) == 0.0) 0.0
+      else mn(spot16Steady) / mn(steady)
     s"""{"backfill_sec":$backfillSec,"backfill_events":${evts.size},""" +
       s""""catchup_events_per_sec":${f1(eps)},""" +
       s""""catchup_tail_events":${tail.size},"catchup_sec":$catchupSec,""" +
@@ -290,6 +339,9 @@ object EngineBench {
       s""""catchup_batch_secs_soak":${arr(denseSoakSecs)},""" +
       s""""catchup_batch_median_soak":${f2(median(denseSoakSteady))},""" +
       s""""catchup_batch_min_soak":${f2(mn(denseSoakSteady))},""" +
+      s""""catchup_batch_secs_16x":${arr(spot16Secs)},""" +
+      s""""catchup_batch_16x_ratio":${f2(ratio16)},""" +
+      s""""soak16_sites":${if (spot16Secs.isEmpty) 0 else soak16Sites},""" +
       s""""soak_sites":$soakSites,"sparse_soak_ratio":${f2(soakRatio)},""" +
       s""""sparse_soak_ratio_min":${f2(soakRatioMin)},""" +
       s""""dense_soak_ratio":${f2(denseSoakRatio)},""" +

@@ -60,6 +60,14 @@ object StepProbe {
     // batchId >= 0 changes the step's shape (snapshot copies + the early
     // interest launch) — a -1 probe would measure the wrong plan
     var nextBatchId = 0L
+    // committed job table (VERDICT r9 #1/#2): round-over-round job-count
+    // claims need an artifact, not README prose — one JSON object per
+    // probe, written to SPARK_GRAFT_STEPPROBE_OUT next to bench_full.json
+    val probeJson = scala.collection.mutable.ArrayBuffer.empty[String]
+    def f2(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => " "
+      case c if c < ' ' => " "; case c => c.toString } + "\""
     def probe(name: String, batch: Vector[(Long, String, String)]): Unit = {
       done.clear(); starts.clear()
       nextBatchId += 1
@@ -78,6 +86,12 @@ object StepProbe {
       js.sortBy(_._2).take(90).foreach { case (id, st, s, d) =>
         println(f"  [$st%6.2f → ${st + s}%6.2f] ($s%5.2fs) job=$id $d")
       }
+      probeJson += s"""{"name":${jq(name)},"events":${batch.size},""" +
+        s""""jobs":${js.size},"step_sec":${f2(secs)},""" +
+        s""""sum_jobs_sec":${f2(js.map(_._3).sum)},"timeline":[""" +
+        js.sortBy(_._2).map { case (id, st, s, d) =>
+          s"""{"job":$id,"start":${f2(st)},"dur":${f2(s)},"desc":${jq(d.take(220))}}"""
+        }.mkString(",") + "]}"
     }
 
     // warm one step (JIT, codegen) with a tiny update batch
@@ -94,6 +108,10 @@ object StepProbe {
     probe("dense-chunk(265ev)", evts.takeRight(265).zipWithIndex.map {
       case ((_, t, p), i) => (chunkStart + i, t, p) })
     probe("sparse(500ev)", graft.projector.LogSynth.updates(sites, 500, chunkStart + 5000L))
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_STEPPROBE_OUT", "stepprobe.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (probeJson.mkString("[", ",\n", "]") + "\n").getBytes("UTF-8"))
+    println(s"stepprobe written: $outPath")
     spark.stop()
   }
 }
