@@ -20,6 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.EventFold.queries ++
+      graft.queries.Sketches.queries ++
       graft.queries.Pipeline.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -29,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
       graft.queries.EventFold.oracleSql ++
+      graft.queries.Sketches.oracleSql ++
       graft.queries.Pipeline.oracleSql
 }

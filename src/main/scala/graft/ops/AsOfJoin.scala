@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General backward as-of join: for each left row, attach the single
+  * right row with the greatest `rightOrd <= leftOrd` within the same
+  * key group (inclusive match; no right row yet → null payloads).
+  *
+  * The reference resolves relations "as of the event's position in the
+  * log" throughout its projection (interest walks as-of cable events,
+  * container relations as-of terminal placements — `ProjektorState.cs`);
+  * [[graft.streaming.Incremental]] uses the same union + forward-fill
+  * shape inline. This operator is that shape extracted for arbitrary
+  * frame pairs.
+  *
+  * Spark-first scale design: Spark has no native as-of join, and the
+  * naive encoding — a non-equi join on `key AND r.ord <= l.ord` followed
+  * by `max_by` — plans as a broadcast-nested-loop or a per-key cartesian
+  * band, quadratic in per-key row count. Instead the two sides UNION on
+  * (key, ord) and a window forward-fills the latest right payload onto
+  * every row: ONE hash shuffle on the key columns, a linear per-partition
+  * sort-scan, zero row replication. At 100 TB the cost is the same
+  * shuffle any per-key aggregation already pays, and skew exposure is
+  * per-key row count — identical to the window functions the suite
+  * already runs (q4), not the pair count a range join would explode to.
+  */
+object AsOfJoin {
+
+  /** @param keyCols   equality keys present on both sides
+    * @param leftOrd   left ordinate column name
+    * @param rightOrd  right ordinate column name
+    * @param prefix    prefix for the attached right columns in the output
+    *                  (every right column except the keys, including the
+    *                  matched ordinate, comes back `prefix`-named)
+    *
+    * Determinism: several right rows sharing (key, ord) are resolved to
+    * the row with the greatest payload struct (lexicographic by the right
+    * frame's column order) — callers with a unique per-key ordinate (the
+    * common case: an event log's seq) never hit the tie-break.
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftOrd: String, rightOrd: String, prefix: String = "asof_"): DataFrame = {
+    val payloadCols = right.columns.filterNot(keyCols.contains).toSeq
+    require(payloadCols.contains(rightOrd), s"rightOrd $rightOrd must be a non-key right column")
+    val rStruct = struct(payloadCols.map(col): _*).as("__r")
+    val rTagged = right.select(keyCols.map(col) ++
+      Seq(col(rightOrd).cast("long").as("__ord"), lit(1).as("__r_side"), rStruct): _*)
+    val lCols = left.columns.toSeq
+    val lTagged = left.select(lCols.map(col) ++
+      Seq(col(leftOrd).cast("long").as("__ord"), lit(0).as("__r_side")): _*)
+    // unionByName(allowMissingColumns): left rows carry a null __r struct
+    // (skipped by ignoreNulls), right rows carry nulls for the left-only
+    // columns (dropped after the fill)
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    // right-before-left at equal ord (__r_side desc) makes the match
+    // INCLUSIVE; __r as the final sort key is the tie-break documented
+    // above
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ord").asc, col("__r_side").desc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned.withColumn("__fill", last(col("__r"), ignoreNulls = true).over(w))
+    filled.filter(col("__r_side") === 0)
+      .select(lCols.map(col) ++
+        payloadCols.map(c => col("__fill").getField(c).as(prefix + c)): _*)
+  }
+}

@@ -222,7 +222,56 @@ object EventFold {
         col("event_type"), col("n"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** evt_asof_join: the general two-frame as-of join
+    * ([[graft.ops.AsOfJoin]]) driven by driver data — each purchase
+    * attaches the latest view row (id AND value) of the same user at or
+    * before it. Differs from [[asofValue]] by being a real frame-pair
+    * operator returning the matched right ROW, and the DuckDB oracle is
+    * its native ASOF JOIN — an independent merge-scan algorithm, not the
+    * window rewrite mirrored back.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("value"))
+    graft.ops.AsOfJoin.asofBackward(purchases, views, Seq("user_id"),
+        "event_id", "event_id", prefix = "view_")
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("view_event_id"), col("view_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** evt_range_agg: banded backward range join ([[graft.ops.RangeJoin]])
+    * — per purchase, the count and value sum of same-user views within
+    * the preceding 5000 event ids. The operator emits exact pairs via a
+    * 2×-replicated equi-join (no nested loop); the zero-match purchases
+    * are kept by left-joining the pair aggregate back. The DuckDB oracle
+    * runs the raw inequality join (its IEJoin) — an independent
+    * algorithm over the same predicate.
+    */
+  def rangeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val pairs = graft.ops.RangeJoin.bandedBackward(purchases, views, Seq("user_id"),
+      "event_id", "event_id", before = 5000L, prefix = "view_")
+    val agg = pairs.groupBy(col("event_id"))
+      .agg(count(col("view_event_id")).as("n_views"),
+        sum(col("view_value").cast("decimal(18,2)")).as("__sum"))
+    purchases.join(agg, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("__sum"), lit(0).cast("decimal(18,2)")).cast("double").as("sum_view_value"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_asof_join" -> asofJoin,
+    "evt_range_agg" -> rangeAgg,
     "evt_window_counts" -> windowCounts,
     "evt_type_pivot" -> typePivot,
     "evt_lww_state" -> lwwState,
@@ -278,6 +327,25 @@ object EventFold {
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY first_seq) AS INT) AS seq_no
         |FROM (SELECT user_id, event_type, min(event_id) AS first_seq
         |      FROM events GROUP BY user_id, event_type) t""".stripMargin,
+    "evt_asof_join" ->
+      // DuckDB's NATIVE ASOF JOIN (merge-scan) — an independent algorithm
+      // from the union + window forward-fill on the Spark side
+      """SELECT l.event_id, l.user_id, l.value,
+        |  r.event_id AS view_event_id, r.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.event_id >= r.event_id""".stripMargin,
+    "evt_range_agg" ->
+      // raw inequality join (DuckDB plans an IEJoin) vs the banded
+      // equi-join expansion on the Spark side
+      """SELECT l.event_id, l.user_id,
+        |  count(r.event_id) AS n_views,
+        |  CAST(COALESCE(sum(CAST(r.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id
+        |  AND r.event_id > l.event_id - 5000 AND r.event_id <= l.event_id
+        |GROUP BY 1, 2""".stripMargin,
     "evt_asof_value" ->
       """SELECT event_id, user_id, value, last_view_value FROM (
         |  SELECT event_id, user_id, event_type, value,

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Sketch-operator contracts: HyperLogLog distinct counts and quantile
+  * sketches under oracle check.
+  *
+  * At 100 TB, exact `count(DISTINCT ...)` and exact percentiles are the
+  * queries that stop scaling first (a full shuffle of every distinct
+  * value / a full sort), and the sketch forms — HLL++
+  * (`approx_count_distinct`) and KLL-style quantiles
+  * (`approx_percentile`) — are the production path: mergeable partial
+  * sketches, map-side combined, constant memory per group. A sketch has
+  * no portable SQL value, so each query pins the sketch to its exact
+  * counterpart IN the result: the exact value hash-matches DuckDB, and
+  * the sketch's error CONTRACT (documented ±rel-error / rank-error
+  * bounds) is evaluated Spark-side to a boolean the oracle expects TRUE.
+  * The same companion-contract pattern as `dedup_minhash_recall` /
+  * `ann_lsh_recall`.
+  */
+object Sketches {
+
+  /** sketch_distinct: per event type — exact distinct users (the oracle
+    * row) plus the HLL++ estimate's relative-error contract. rsd 0.02 →
+    * the standard error; ±5 σ-equivalents is far beyond any plausible
+    * draw yet tight enough that a broken sketch (off by 2×) fails.
+    */
+  def distinctContract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("__approx"))
+      .select(col("event_type"), col("n_users_exact"),
+        (abs(col("__approx") - col("n_users_exact")) <=
+          greatest(col("n_users_exact") * lit(0.10), lit(8.0))).as("approx_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  /** sketch_quantiles: exact interpolated percentiles of `value` (match
+    * DuckDB's quantile_cont; DECIMAL(18,2)-rounded per the float-output
+    * rule) plus the approx_percentile rank contract: the sketch returns
+    * an element of the data whose RANK must sit within accuracy⁻¹ (+
+    * slack) of the target quantile — the bound Spark documents for its
+    * Greenwald-Khanna variant. The rank is computed with one broadcast
+    * of the 3 approx values back over the column, not a sort.
+    */
+  def quantilesContract(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.5, 0.9, 0.99)
+    val ev = Tables.events(spark, dir).select(col("value")).filter(col("value").isNotNull)
+    val stats = ev.agg(
+      percentile(col("value"), typedLit(qs)).as("exact"),
+      percentile_approx(col("value"), typedLit(qs), lit(1000)).as("approx"),
+      count(lit(1)).as("n"))
+    val perQ = stats.select(posexplode(arrays_zip(typedLit(qs).as("q"),
+        col("exact").as("ex"), col("approx").as("ap"))).as(Seq("__i", "z")), col("n"))
+      .select(col("z.q").as("q"), col("z.ex").as("ex"), col("z.ap").as("ap"), col("n"))
+    // rank of each approx value: one pass over the column against the
+    // broadcast 3-row frame (count of values <= approx)
+    val ranks = ev.join(broadcast(perQ.select(col("q"), col("ap"))),
+        col("value") <= col("ap"), "inner")
+      .groupBy(col("q")).agg(count(lit(1)).as("rank"))
+    perQ.join(ranks, Seq("q"), "left")
+      .select(col("q"),
+        col("ex").cast("decimal(18,2)").cast("double").as("exact_value"),
+        (abs(coalesce(col("rank"), lit(0L)) / col("n") - col("q")) <= lit(0.011)).as("rank_ok"))
+      .orderBy(col("q"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_distinct" -> distinctContract,
+    "sketch_quantiles" -> quantilesContract)
+
+  val oracleSql: Map[String, String] = Map(
+    "sketch_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+    "sketch_quantiles" ->
+      // DuckDB's QUANTILE takes only constant fractions — compute the
+      // list form once and unnest it alongside the fraction list
+      """WITH qq AS (
+        |  SELECT unnest([0.5, 0.9, 0.99]) AS q,
+        |    unnest(quantile_cont(value, [0.5, 0.9, 0.99])) AS v
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT CAST(q AS DOUBLE) AS q,
+        |  CAST(CAST(v AS DECIMAL(18,2)) AS DOUBLE) AS exact_value,
+        |  TRUE AS rank_ok
+        |FROM qq""".stripMargin)
+}
