@@ -169,7 +169,28 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
+  /** q12: fact⋉dim semi join under an explicit bloom runtime filter
+    * ([[graft.ops.BloomPrune]]): lineitems of high-value orders,
+    * aggregated by return flag. The bloom prefilter cuts the fact side's
+    * shuffle to candidates before the exact semi join; the result is
+    * exactly the plain semi join (false positives removed), so the
+    * oracle is ordinary SQL — the hash check pins that the pruning
+    * machinery never alters the answer.
+    */
+  def q12BloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val hi = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0).select(col("o_orderkey"))
+    graft.ops.BloomPrune.semiJoin(li, hi, "l_orderkey", "o_orderkey",
+        expectedItems = 1L << 20)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_bloom_semi" -> q12BloomSemi,
     "q11_rollup" -> q11Rollup,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_project" -> q2FilterProject,
@@ -183,6 +204,12 @@ object Relational {
     "q10_having" -> q10Having)
 
   val oracleSql: Map[String, String] = Map(
+    "q12_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY l_returnflag""".stripMargin,
     "q11_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -68,8 +68,34 @@ object Sketches {
       .orderBy(col("q"))
   }
 
+  /** sketch_topk: heavy hitters — exact groups above a 10% frequency
+    * threshold (the oracle rows) plus the `freqItems` single-pass sketch
+    * containment contract: the Karp/Misra-Gries-style sketch GUARANTEES
+    * every item above the support threshold is returned (with possible
+    * false positives below it), so each exact heavy hitter must appear
+    * in the sketch — `in_sketch` TRUE. One sketch pass + one exact
+    * aggregate pass; at 100 TB the sketch is the scale path (constant
+    * memory, mergeable partials) and the exact pass is the audit.
+    */
+  def topkContract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sketched = ev.select(col("event_type")).stat
+      .freqItems(Seq("event_type"), 0.1)
+      .head().getSeq[String](0)
+    val counts = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    counts
+      .withColumn("__frac",
+        col("n_events") / sum(col("n_events")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter(col("__frac") > 0.1)
+      .select(col("event_type"), col("n_events"),
+        col("event_type").isin(sketched: _*).as("in_sketch"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_distinct" -> distinctContract,
+    "sketch_topk" -> topkContract,
     "sketch_quantiles" -> quantilesContract)
 
   val oracleSql: Map[String, String] = Map(
@@ -77,6 +103,10 @@ object Sketches {
       """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
         |  TRUE AS approx_ok
         |FROM events GROUP BY event_type""".stripMargin,
+    "sketch_topk" ->
+      """SELECT event_type, count(*) AS n_events, TRUE AS in_sketch
+        |FROM events GROUP BY event_type
+        |HAVING count(*) > 0.1 * (SELECT count(*) FROM events)""".stripMargin,
     "sketch_quantiles" ->
       // DuckDB's QUANTILE takes only constant fractions — compute the
       // list form once and unnest it alongside the fraction list
