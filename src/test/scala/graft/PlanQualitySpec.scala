@@ -92,4 +92,28 @@ class PlanQualitySpec extends SparkTestBase {
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
     }
   }
+
+  test("as-of join plans as one keyed window pass, never a nested loop") {
+    val p = plan("evt_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not fall back to a nested-loop range join:\n$p")
+    assert(p.contains("Window"), s"expected the forward-fill window:\n$p")
+  }
+
+  test("range join plans as an equi hash join on the band bucket, never a nested loop") {
+    val p = plan("evt_range_agg")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"banded range join must be an equi join:\n$p")
+    assert(p.contains("__bucket"), s"band bucket must be a join key:\n$p")
+  }
+
+  test("bloom semi join prefilters the fact side below the exact join") {
+    val p = plan("q12_bloom_semi")
+    // the UDF prefilter must sit on the lineitem branch (below the semi
+    // join), so the fact shuffle carries candidates only
+    val semiIdx = p.indexOf("LeftSemi")
+    val udfIdx = p.indexOf("UDF(l_orderkey")
+    assert(semiIdx >= 0 && udfIdx > semiIdx,
+      s"expected bloom UDF filter below the semi join:\n$p")
+  }
 }
