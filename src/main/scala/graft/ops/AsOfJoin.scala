@@ -42,6 +42,9 @@ object AsOfJoin {
     */
   def asofBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftOrd: String, rightOrd: String, prefix: String = "asof_"): DataFrame = {
+    val reserved = Seq("__ord", "__r_side", "__r", "__fill")
+    require(!left.columns.exists(reserved.contains),
+      s"left frame must not use the reserved columns ${reserved.mkString(", ")}")
     val payloadCols = right.columns.filterNot(keyCols.contains).toSeq
     require(payloadCols.contains(rightOrd), s"rightOrd $rightOrd must be a non-key right column")
     val rStruct = struct(payloadCols.map(col): _*).as("__r")

@@ -32,13 +32,22 @@ object RangeJoin {
       leftOrd: String, rightOrd: String, before: Long,
       prefix: String = "r_"): DataFrame = {
     require(before > 0, s"band width must be positive, got $before")
+    val reserved = Seq("__bucket", "__lord", "__rord", "__r")
+    require(!left.columns.exists(reserved.contains),
+      s"left frame must not use the reserved columns ${reserved.mkString(", ")}")
+    // exact integer bucketing: (x - pmod(x, w)) is an exact multiple of w,
+    // so integer DIV (truncating) equals floor division for negatives too
+    // — a double-division floor() would mis-bucket ordinates above 2^53
+    def bucketOf(c: String): org.apache.spark.sql.Column =
+      expr(s"($c - pmod($c, ${before}L)) DIV ${before}L")
     val payloadCols = right.columns.filterNot(keyCols.contains).toSeq
-    val lB = left.withColumn("__bucket", floor(col(leftOrd).cast("long") / before))
+    val lB = left.withColumn("__lord", col(leftOrd).cast("long"))
+      .withColumn("__bucket", bucketOf("__lord")).drop("__lord")
     val rRep = right.select(keyCols.map(col) ++
         Seq(col(rightOrd).cast("long").as("__rord"),
           struct(payloadCols.map(col): _*).as("__r")): _*)
       .withColumn("__bucket",
-        explode(array(floor(col("__rord") / before), floor(col("__rord") / before) + 1)))
+        explode(array(bucketOf("__rord"), bucketOf("__rord") + 1)))
     lB.join(rRep, keyCols :+ "__bucket")
       .filter(col("__rord") > col(leftOrd).cast("long") - before &&
         col("__rord") <= col(leftOrd).cast("long"))

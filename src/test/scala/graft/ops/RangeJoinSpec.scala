@@ -37,6 +37,17 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got === Seq((9L, 1.0), (10L, 2.0)))
   }
 
+  test("ordinates above 2^53 bucket exactly (no double-division drift)") {
+    val base = (1L << 60) + 12345L
+    val l = leftDf(Seq(("a", base, "x")))
+    val r = rightDf(Seq(
+      ("a", base - 2L, 1.0),  // inside (base-5, base]
+      ("a", base - 7L, 2.0))) // outside
+    val got = RangeJoin.bandedBackward(l, r, Seq("k"), "ord", "rord", before = 5L)
+      .collect().map(x => (x.getLong(3), x.getDouble(4))).toSet
+    assert(got === Set((base - 2L, 1.0)))
+  }
+
   test("scalacheck parity with the naive inequality join (4 band widths x 15 cases)") {
     val keyGen = Gen.oneOf("a", "b")
     val caseGen = Gen.zip(
