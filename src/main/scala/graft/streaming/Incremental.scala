@@ -736,9 +736,28 @@ object Incremental {
       // read inside this plan.
       val hcFor = batchHcOpt match {
         case None => hcStoredAll
-        case Some(batchHc) => Folds
-          .mergePartials(Seq(hcStoredAll, batchHc), "parent_id", Seq("has_child" -> "hc_seq"))
-          .localCheckpoint(false)
+        case Some(batchHc) =>
+          val f = Folds
+            .mergePartials(Seq(hcStoredAll, batchHc), "parent_id", Seq("has_child" -> "hc_seq"))
+            .localCheckpoint(false)
+          // materialize the marked frame NOW on a section thread (r10):
+          // the probe showed the lazy mark did NOT ride inside the
+          // mergedEnds job as the r8 comment assumed — it materialized
+          // inside the enrichedElig JOIN's broadcast-exchange job, which
+          // only launches after the touchedNodes await, serializing ~0.2 s
+          // onto the dense tail. Computing it here overlaps the
+          // touchedNodes collect instead; concurrent first-compute of a
+          // locally-checkpointed RDD is safe (block-store caching races
+          // resolve to one winner). InternalRow-level drain — a Dataset
+          // foreach would pay per-row deserialization for rows nobody
+          // reads.
+          section {
+            spark.sparkContext.runJob(f.queryExecution.toRdd,
+              (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+                while (it.hasNext) { it.next(); () }
+              })
+          }
+          f
       }
       def nodesOf(df: DataFrame): DataFrame = df.select(explode(array(
           element_at(col("nodes"), 1), element_at(col("nodes"), -1))).as("b"))
