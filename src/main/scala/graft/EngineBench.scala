@@ -38,10 +38,38 @@ object EngineBench {
     finally graft.util.Scratch.deleteRecursively(root)
   }
 
+  /** Write `prefix` into `$root/events` as `files` chunk files and seed a
+    * fresh store from it; the shared head of every seeded-store segment
+    * (base run, 4× soak, 16× spot — self-review r10: three hand-rolled
+    * copies of this choreography drifted one filename at a time). */
+  private def seedStore(spark: SparkSession, root: String,
+      prefix: Seq[(Long, String, String)], files: Int): (String, graft.streaming.StateStore) = {
+    val eventsDir = s"$root/events"
+    graft.projector.LogSynth.write(spark, eventsDir, prefix, files)
+    val store = new graft.streaming.StateStore(spark, s"$root/state")
+    graft.streaming.Incremental.seed(store,
+      graft.projector.EventLog.decode(
+        spark.read.schema(graft.projector.LogSynth.envelopeSchema).parquet(eventsDir)))
+    (eventsDir, store)
+  }
+
+  /** Stage `evts` as `files` chunks and land them in `eventsDir` under
+    * `namePrefix` (rename-into-place; seqs must sit above the store's
+    * high water so the stream picks them up). */
+  private def stageTail(spark: SparkSession, root: String, stage: String,
+      evts: Seq[(Long, String, String)], files: Int, eventsDir: String,
+      namePrefix: String): Unit = {
+    graft.projector.LogSynth.write(spark, s"$root/$stage", evts, files)
+    new java.io.File(s"$root/$stage").listFiles().foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(eventsDir, s"$namePrefix${f.getName}").toPath)
+      ()
+    }
+  }
+
   private def soakSegmentsIn(spark: SparkSession, sites: Int,
       denseTail: Int, updates: Int, root: String): (Vector[Double], Vector[Double]) = {
     val evts = graft.projector.LogSynth.events(sites)
-    val eventsDir = s"$root/events"
     // seed from everything but the dense tail, then stream the tail: the
     // batches carry the same event mix/count as the base dense segment
     // (site logs are emitted in site order, so a fixed-size tail covers
@@ -56,25 +84,11 @@ object EngineBench {
         s"base dense tail ($denseTail events) — raise SPARK_GRAFT_ENGINE_SOAK_SITES " +
         "or set it to 0 to skip the soak")
     val (prefix, tail) = evts.splitAt(evts.size - denseTail)
-    graft.projector.LogSynth.write(spark, eventsDir, prefix, 4)
-    val store = new graft.streaming.StateStore(spark, s"$root/state")
-    graft.streaming.Incremental.seed(store,
-      graft.projector.EventLog.decode(
-        spark.read.schema(graft.projector.LogSynth.envelopeSchema).parquet(eventsDir)))
-    graft.projector.LogSynth.write(spark, s"$root/dense_stage", tail, 8)
-    new java.io.File(s"$root/dense_stage").listFiles().foreach { f =>
-      java.nio.file.Files.move(f.toPath,
-        new java.io.File(eventsDir, s"tail-${f.getName}").toPath)
-      ()
-    }
+    val (eventsDir, store) = seedStore(spark, root, prefix, 4)
+    stageTail(spark, root, "dense_stage", tail, 8, eventsDir, "tail-")
     val denseSecs = streamSegment(spark, eventsDir, store)
     val sparse = graft.projector.LogSynth.updates(sites, updates, evts.size + 1L)
-    graft.projector.LogSynth.write(spark, s"$root/sparse_stage", sparse, 4)
-    new java.io.File(s"$root/sparse_stage").listFiles().foreach { f =>
-      java.nio.file.Files.move(f.toPath,
-        new java.io.File(eventsDir, s"sparse-${f.getName}").toPath)
-      ()
-    }
+    stageTail(spark, root, "sparse_stage", sparse, 4, eventsDir, "sparse-")
     (denseSecs, streamSegment(spark, eventsDir, store))
   }
 
@@ -93,19 +107,9 @@ object EngineBench {
         s"16x spot log ($sites sites, ${evts.size} events) is not larger than its " +
           s"dense tail ($denseTail events) — raise SPARK_GRAFT_ENGINE_SOAK16_SITES " +
           "or set it to 0 to skip the spot sample")
-      val eventsDir = s"$root/events"
       val (prefix, tail) = evts.splitAt(evts.size - denseTail)
-      graft.projector.LogSynth.write(spark, eventsDir, prefix, 8)
-      val store = new graft.streaming.StateStore(spark, s"$root/state")
-      graft.streaming.Incremental.seed(store,
-        graft.projector.EventLog.decode(
-          spark.read.schema(graft.projector.LogSynth.envelopeSchema).parquet(eventsDir)))
-      graft.projector.LogSynth.write(spark, s"$root/spot_stage", tail, 2)
-      new java.io.File(s"$root/spot_stage").listFiles().foreach { f =>
-        java.nio.file.Files.move(f.toPath,
-          new java.io.File(eventsDir, s"tail-${f.getName}").toPath)
-        ()
-      }
+      val (eventsDir, store) = seedStore(spark, root, prefix, 8)
+      stageTail(spark, root, "spot_stage", tail, 2, eventsDir, "tail-")
       streamSegment(spark, eventsDir, store)
     } finally graft.util.Scratch.deleteRecursively(root)
   }
@@ -148,25 +152,14 @@ object EngineBench {
     Sentinel.measureCpu(spark, 1, Sentinel.EngineRows) // untimed warm (JIT of the probe)
     sentinels += Sentinel.measureCpu(spark, 3, Sentinel.EngineRows)
     val evts = graft.projector.LogSynth.events(sites)
-    val eventsDir = s"$root/events"
     // prefix (60%) as 4 files + tail (40%) as 8 files, one dir: the
-    // stream lists everything, the high-water filter prunes the prefix
+    // stream lists everything, the high-water filter prunes the prefix;
+    // seed the catch-up store from the prefix (highWater = cut), then
+    // land the tail chunks (tail-*, seqs strictly above high water)
     val cut = evts((evts.size * 6 / 10) - 1)._1
     val (prefix, tail) = evts.partition(_._1 <= cut)
-    graft.projector.LogSynth.write(spark, eventsDir, prefix, 4)
-
-    // seed the catch-up store from the prefix (highWater = cut) ...
-    val store = new graft.streaming.StateStore(spark, s"$root/state")
-    graft.streaming.Incremental.seed(store,
-      graft.projector.EventLog.decode(
-        spark.read.schema(graft.projector.LogSynth.envelopeSchema).parquet(eventsDir)))
-    // ... then land the tail chunks (tail-*, seqs strictly above high water)
-    graft.projector.LogSynth.write(spark, s"$root/tail_stage", tail, 8)
-    new java.io.File(s"$root/tail_stage").listFiles().foreach { f =>
-      java.nio.file.Files.move(f.toPath,
-        new java.io.File(eventsDir, s"tail-${f.getName}").toPath)
-      ()
-    }
+    val (eventsDir, store) = seedStore(spark, root, prefix, 4)
+    stageTail(spark, root, "tail_stage", tail, 8, eventsDir, "tail-")
 
     // backfill wall-clock over the FULL log (all 8 tables)
     val tB0 = System.nanoTime()

@@ -59,9 +59,22 @@ object AsOfJoin {
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     // right-before-left at equal ord (__r_side desc) makes the match
     // INCLUSIVE; __r as the final sort key is the tie-break documented
-    // above
+    // above. A payload containing a non-orderable type (a map) cannot be
+    // a sort key — such frames fall back to the ordinate-only ordering
+    // (ties then resolve arbitrarily; the documented unique-ordinate
+    // common case is unaffected) instead of failing analysis.
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+      case _ => true
+    }
+    val tieBreak =
+      if (payloadCols.forall(c => orderable(right.schema(c).dataType)))
+        Seq(col("__r").asc)
+      else Nil
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ord").asc, col("__r_side").desc, col("__r").asc)
+      .orderBy(Seq(col("__ord").asc, col("__r_side").desc) ++ tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("__fill", last(col("__r"), ignoreNulls = true).over(w))
     filled.filter(col("__r_side") === 0)

@@ -28,10 +28,26 @@ object BloomPrune {
     dim.stat.bloomFilter(dimKey, expectedItems, fpp)
 
   /** The candidate fact rows a bloom admits (matching ∪ false positives).
-    * Exposed separately so specs can measure the admitted set. */
+    * Exposed separately so specs can measure the admitted set.
+    *
+    * The probe must hash EXACTLY like `stat.bloomFilter`'s build (longs
+    * via putLong, strings via putString) — probing a string key as a long
+    * would silently prune true matches, so unsupported key types are
+    * rejected at plan time instead.
+    */
   def prefilter(fact: DataFrame, factKey: String, bloom: BloomFilter): DataFrame = {
-    val mightContain = udf((k: java.lang.Long) => k != null && bloom.mightContainLong(k))
-    fact.filter(mightContain(col(factKey)))
+    import org.apache.spark.sql.types._
+    val mightContain = fact.schema(factKey).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        udf((k: java.lang.Long) => k != null && bloom.mightContainLong(k))
+          .apply(col(factKey).cast("long"))
+      case StringType =>
+        udf((k: String) => k != null && bloom.mightContainString(k)).apply(col(factKey))
+      case dt => throw new IllegalArgumentException(
+        s"bloom prefilter supports integral and string keys, not $dt " +
+          s"(column $factKey) — the sketch build and probe hash paths must match")
+    }
+    fact.filter(mightContain)
   }
 
   /** Left-semi join `fact ⋉ dim` with the bloom prefilter on the fact

@@ -56,15 +56,24 @@ object Sketches {
     val perQ = stats.select(posexplode(arrays_zip(typedLit(qs).as("q"),
         col("exact").as("ex"), col("approx").as("ap"))).as(Seq("__i", "z")), col("n"))
       .select(col("z.q").as("q"), col("z.ex").as("ex"), col("z.ap").as("ap"), col("n"))
-    // rank of each approx value: one pass over the column against the
-    // broadcast 3-row frame (count of values <= approx)
+    // rank INTERVAL of each approx value: one pass over the column against
+    // the broadcast 3-row frame. Under ties the returned element occupies
+    // ranks [count(< ap) + 1, count(<= ap)]; the sketch meets its bound if
+    // that interval intersects [(q - eps)·n, (q + eps)·n] — testing only
+    // the max rank (count <=) would flip FALSE on heavily tied data even
+    // when approx_percentile is within its documented guarantee
+    // (self-review r10).
     val ranks = ev.join(broadcast(perQ.select(col("q"), col("ap"))),
         col("value") <= col("ap"), "inner")
-      .groupBy(col("q")).agg(count(lit(1)).as("rank"))
+      .groupBy(col("q"))
+      .agg(count(lit(1)).as("rank_le"),
+        sum(when(col("value") < col("ap"), 1L).otherwise(0L)).as("rank_lt"))
+    val eps = lit(0.011)
     perQ.join(ranks, Seq("q"), "left")
       .select(col("q"),
         col("ex").cast("decimal(18,2)").cast("double").as("exact_value"),
-        (abs(coalesce(col("rank"), lit(0L)) / col("n") - col("q")) <= lit(0.011)).as("rank_ok"))
+        ((coalesce(col("rank_lt"), lit(0L)) + 1 <= (col("q") + eps) * col("n")) &&
+          (coalesce(col("rank_le"), lit(0L)) >= (col("q") - eps) * col("n"))).as("rank_ok"))
       .orderBy(col("q"))
   }
 

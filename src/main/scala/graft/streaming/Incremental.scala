@@ -734,13 +734,13 @@ object Incremental {
       // of two. The st_has_child merge section launches only after that
       // job returns, so its bucket swap still cannot race the pre-merge
       // read inside this plan.
-      val hcFor = batchHcOpt match {
-        case None => hcStoredAll
+      val (hcFor, fHcForMat): (DataFrame, Option[Future[Any]]) = batchHcOpt match {
+        case None => (hcStoredAll, None)
         case Some(batchHc) =>
           val f = Folds
             .mergePartials(Seq(hcStoredAll, batchHc), "parent_id", Seq("has_child" -> "hc_seq"))
             .localCheckpoint(false)
-          // materialize the marked frame NOW on a section thread (r10):
+          // materialize the marked frame NOW on a tracked future (r10):
           // the probe showed the lazy mark did NOT ride inside the
           // mergedEnds job as the r8 comment assumed — it materialized
           // inside the enrichedElig JOIN's broadcast-exchange job, which
@@ -750,14 +750,17 @@ object Incremental {
           // locally-checkpointed RDD is safe (block-store caching races
           // resolve to one winner). InternalRow-level drain — a Dataset
           // foreach would pay per-row deserialization for rows nobody
-          // reads.
-          section {
+          // reads. The st_has_child merge section AWAITS this future
+          // before its bucket swap (self-review r10): this plan reads
+          // st_has_child LIVE, and a straggling drain task scanning a
+          // bucket file during the swap's move-aside would crash the step.
+          val fMat = tracked {
             spark.sparkContext.runJob(f.queryExecution.toRdd,
               (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
                 while (it.hasNext) { it.next(); () }
               })
           }
-          f
+          (f, Some(fMat))
       }
       def nodesOf(df: DataFrame): DataFrame = df.select(explode(array(
           element_at(col("nodes"), 1), element_at(col("nodes"), -1))).as("b"))
@@ -801,13 +804,19 @@ object Incremental {
       // both consumers (st_eligible_ends merge, slack recount) read.
       val mergedEnds = keptEnds.unionByName(endRows.select(keptEnds.columns.map(col).toSeq: _*))
         .localCheckpoint(true)
-      // the st_has_child merge launches only now — the mergedEnds job
-      // materialized the lazy hcFor checkpoint (its plan joins hcFor), so
-      // the swap cannot race the pre-merge read inside it
+      // the st_has_child merge launches only now, and its section awaits
+      // the hcFor materialization future first — by this point the drain
+      // has long finished in the common case (it overlapped the
+      // touchedNodes collect), but a straggler must not still be reading
+      // live st_has_child buckets when the swap moves them aside.
+      // Await-inside-a-pool-task is safe by submission order (stepEc is
+      // FIFO; fHcForMat was submitted before this section).
       batchHcOpt.foreach { _ =>
-        section { store.mergeReplace("st_has_child", "parent_id", hcKeys,
-          restrictToKeys(hcFor, hcKeys, "parent_id", hcFor.columns.toSeq),
-          coversKeys = true) }
+        section {
+          fHcForMat.foreach(Await.result(_, Duration.Inf))
+          store.mergeReplace("st_has_child", "parent_id", hcKeys,
+            restrictToKeys(hcFor, hcKeys, "parent_id", hcFor.columns.toSeq),
+            coversKeys = true) }
       }
       // the merge's replacement is the checkpointed frame restricted to
       // the touched ids (= endRows exactly: kept excludes every eligKeys

@@ -45,6 +45,16 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out.head.getDouble(4) === 9.0)
   }
 
+  test("map-typed payloads skip the struct tie-break instead of failing analysis") {
+    import spark.implicits._
+    val l = leftDf(Seq(("a", 5L, "x")))
+    val r = Seq(("a", 3L, Map("m" -> "v")))
+      .toDF("k", "rord", "attrs")
+    val out = AsOfJoin.asofBackward(l, r, Seq("k"), "ord", "rord").collect()
+    assert(out.head.getLong(3) === 3L)
+    assert(out.head.getMap[String, String](4).get("m").contains("v"))
+  }
+
   test("scalacheck parity with the naive per-row max lookup (40 random cases)") {
     // cases are folded into the key space ("<case>:<key>") so ONE operator
     // run covers all of them; the naive model runs per case

@@ -23,6 +23,28 @@ class BloomPruneSpec extends SparkTestBase {
     assert(pruned.nonEmpty && (pruned.toSeq === plain.toSeq))
   }
 
+  test("string keys probe via the string hash path (no silent long-cast pruning)") {
+    import spark.implicits._
+    val f = (1 to 500).map(i => s"key-$i").toDF("fk")
+    val d = (1 to 10).map(i => s"key-${i * 31}").toDF("dk")
+    val pruned = BloomPrune.semiJoin(f, d, "fk", "dk", expectedItems = 1000)
+      .collect().map(_.getString(0)).sorted
+    assert(pruned.toSeq === (1 to 10).map(i => s"key-${i * 31}").sorted)
+  }
+
+  test("unsupported probe key types are rejected at plan time") {
+    import spark.implicits._
+    // the build side rejects doubles itself (bloom_filter_agg type check);
+    // the probe side must too — a double fact key silently cast to long
+    // would hash differently than any build path
+    val f = Seq(1.5, 2.5).toDF("fk")
+    val bloom = BloomPrune.buildFilter(dims, "dk", 100)
+    val e = intercept[IllegalArgumentException] {
+      BloomPrune.prefilter(f, "fk", bloom)
+    }
+    assert(e.getMessage.contains("bloom prefilter supports"))
+  }
+
   test("prefilter admits every true match and prunes most non-matches") {
     val bloom = BloomPrune.buildFilter(dims, "dk", expectedItems = 1000, fpp = 0.01)
     val admitted = BloomPrune.prefilter(facts, "fk", bloom)
