@@ -46,9 +46,14 @@ object Sketches {
     * Greenwald-Khanna variant. The rank is computed with one broadcast
     * of the 3 approx values back over the column, not a sort.
     */
-  def quantilesContract(spark: SparkSession, dir: String): DataFrame = {
+  def quantilesContract(spark: SparkSession, dir: String): DataFrame =
+    quantilesContractOf(
+      Tables.events(spark, dir).select(col("value")).filter(col("value").isNotNull))
+
+  /** Core over any non-null `value` frame — split out so the tie-mass
+    * behavior is unit-testable on synthetic columns. */
+  private[graft] def quantilesContractOf(ev: DataFrame): DataFrame = {
     val qs = Seq(0.5, 0.9, 0.99)
-    val ev = Tables.events(spark, dir).select(col("value")).filter(col("value").isNotNull)
     val stats = ev.agg(
       percentile(col("value"), typedLit(qs)).as("exact"),
       percentile_approx(col("value"), typedLit(qs), lit(1000)).as("approx"),

@@ -1,0 +1,30 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Pins the tie-robust rank contract of the quantile sketch query
+  * (self-review r10): `approx_percentile` returns an ELEMENT of the data;
+  * under heavy ties its max-rank can overshoot the target by the full tie
+  * mass, so the contract must test the rank INTERVAL, not the max rank.
+  */
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("rank contract holds on a column with 20% tie mass at the median") {
+    // 4000 distinct low values, 1000 copies of one mid value (20% tie
+    // mass spanning the 0.5 quantile), 0 high — a max-rank contract
+    // (count <= approx) would read rank 5000/5000 = 1.0 for q=0.5
+    val vals = (1 to 4000).map(_.toDouble / 10000.0) ++ Seq.fill(1000)(0.9)
+    val out = Sketches.quantilesContractOf(vals.toDF("value"))
+      .collect().map(r => (r.getDouble(0), r.getBoolean(2))).toMap
+    assert(out(0.5) === true, s"median rank contract under ties: $out")
+    assert(out.forall(_._2), s"all rank contracts: $out")
+  }
+
+  test("rank contract holds on an all-distinct column") {
+    val vals = (1 to 5000).map(_.toDouble)
+    val out = Sketches.quantilesContractOf(vals.toDF("value"))
+      .collect().map(r => (r.getDouble(0), r.getBoolean(2))).toMap
+    assert(out.forall(_._2), s"all rank contracts: $out")
+  }
+}
