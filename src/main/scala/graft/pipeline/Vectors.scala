@@ -40,23 +40,16 @@ object Vectors {
   /** Order-insensitive exact similarity: quantize each component to
     * floor(x*1000) and sum component products as BIGINT.
     *
-    * Implemented as a Scala UDF rather than transform/zip_with/aggregate:
-    * higher-order-function lambdas evaluate interpreted per element (~µs
-    * each with boxing), while one JIT'd loop per row is ~100× faster on
-    * 64-dim vectors — measured 36 s → ~1 s on the sf0.1 ANN benchmark.
+    * r10: native codegen'd Catalyst expression
+    * ([[graft.functions.QuantizedDotExpr]]) — the loop runs over Tungsten
+    * `ArrayData` inside whole-stage codegen, replacing the Scala UDF
+    * (which itself replaced interpreted zip_with/aggregate lambdas,
+    * measured 36 s → ~1 s on the sf0.1 ANN benchmark; the UDF still paid
+    * an ArrayData→Seq conversion + a codegen fence per call site).
     * Semantics are exactly floor(x·1000) per component, Σ products —
     * identical to the SQL-expressible form used by the DuckDB oracle. */
-  private val quantizedDotFn = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var s = 0L
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      s += math.floor(a(i).toDouble * 1000).toLong * math.floor(b(i).toDouble * 1000).toLong
-      i += 1
-    }
-    s
-  }
-  def quantizedDot(a: Column, b: Column): Column = quantizedDotFn(a, b)
+  def quantizedDot(a: Column, b: Column): Column =
+    graft.functions.QuantizedDotExpr.quantizedDot(a, b)
 
   /** Overflow guard for quantized-cosine compares (ADVICE r7): the dedup
     * queries compare `dot_q·dot_q·100 ≥ na_q·nb_q·16` in LongType, while
