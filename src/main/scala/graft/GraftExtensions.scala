@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.HopSubtractExpr
+import graft.functions.{HopSubtractExpr, QuantizedDotExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -13,9 +13,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * is impossible. Analyzer-level registration: `hop_subtract` resolves in
   * plain `spark.sql` text on any session built with the extension.
   *
-  * Scala-UDF-backed helpers (token counts, quantized dots) stay in
+  * Scala-UDF-backed helpers (token counts) stay in
   * [[graft.functions.Functions.registerAll]]: they need a live session's
-  * UDF registry, and unlike the native expression they bring no
+  * UDF registry, and unlike the native expressions they bring no
   * analyzer/codegen benefit that would justify expression wrappers.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -27,6 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 3,
           s"hop_subtract(walk, from_nodes, to_nodes) takes 3 arguments, got ${exprs.length}")
         HopSubtractExpr(exprs(0), exprs(1), exprs(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_quantized_dot"),
+      new ExpressionInfo(classOf[QuantizedDotExpr].getName, "graft_quantized_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_quantized_dot(a, b) takes 2 arguments, got ${exprs.length}")
+        QuantizedDotExpr(exprs(0), exprs(1))
       }))
     ()
   }

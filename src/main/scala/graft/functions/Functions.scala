@@ -18,17 +18,15 @@ object Functions {
       exprs => HopSubtractExpr(exprs(0), exprs(1), exprs(2)),
       "built-in")
 
+    // r10: native expression (was a Seq-boxing UDF) — same SQL name, now
+    // codegen'd like its Column-API form (Vectors.quantizedDot)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_quantized_dot",
+      exprs => QuantizedDotExpr(exprs(0), exprs(1)),
+      "built-in")
+
     spark.udf.register("graft_token_count",
       (s: String) => if (s == null || s.trim.isEmpty) 0 else s.trim.split("\\s+").length)
-    spark.udf.register("graft_quantized_dot", (a: Seq[Float], b: Seq[Float]) => {
-      var s = 0L; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) {
-        s += math.floor(a(i).toDouble * 1000).toLong * math.floor(b(i).toDouble * 1000).toLong
-        i += 1
-      }
-      s
-    })
   }
 
   /** Column aliases re-exported for library users. */

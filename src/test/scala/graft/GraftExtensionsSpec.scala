@@ -36,4 +36,22 @@ class GraftExtensionsSpec extends SparkTestBase {
       spark.sql("SELECT hop_subtract(array('a'))").collect())
     assert(arity.getMessage.contains("3 arguments"), s"got: ${arity.getMessage}")
   }
+
+  test("extension-injected graft_quantized_dot resolves in SQL") {
+    val registry = spark.sessionState.functionRegistry
+    registry.dropFunction(FunctionIdentifier("graft_quantized_dot"))
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyFunctions(ext, registry)
+
+    val d = spark.sql(
+      """SELECT graft_quantized_dot(array(CAST(0.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                           array(CAST(0.5 AS FLOAT), CAST(0.25 AS FLOAT))) AS d""".stripMargin)
+      .head().getLong(0)
+    assert(d === 500L * 500L + 2000L * 250L)
+
+    val arity = intercept[Exception](
+      spark.sql("SELECT graft_quantized_dot(array(CAST(1.0 AS FLOAT)))").collect())
+    assert(arity.getMessage.contains("2 arguments"), s"got: ${arity.getMessage}")
+  }
 }
