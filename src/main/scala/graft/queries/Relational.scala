@@ -189,7 +189,23 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q13: cube — all 2^k grouping-set combinations in one pass (the OLAP
+    * cross-tab twin of [[q11Rollup]]'s hierarchy), with the standard
+    * `grouping_id` bit vector disambiguating a NULL data value from a
+    * subtotal row. Plans as a single expand + hash aggregate — map-side
+    * partial combine, no extra scan per grouping set.
+    */
+  def q13Cube(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_lines"), grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_cube" -> q13Cube,
     "q12_bloom_semi" -> q12BloomSemi,
     "q11_rollup" -> q11Rollup,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -204,6 +220,12 @@ object Relational {
     "q10_having" -> q10Having)
 
   val oracleSql: Map[String, String] = Map(
+    "q13_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_lines,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q12_bloom_semi" ->
       """SELECT l_returnflag, count(*) AS n_lines,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -107,9 +107,39 @@ object Sketches {
       .orderBy(col("event_type"))
   }
 
+  /** sketch_cms: count-min frequency sketch — exact per-type counts (the
+    * oracle rows) plus the CMS guarantee contract: a count-min estimate
+    * NEVER undercounts (`est ≥ exact`, a hard property of min-of-counters)
+    * and overcounts by at most ε·N with confidence 1−δ (seeded → the draw
+    * is deterministic per dataset). The sketch is built by
+    * `DataFrameStatFunctions.countMinSketch` — a mergeable treeAggregate of
+    * fixed-size counter arrays, the 100 TB path for frequency queries over
+    * unbounded key domains where an exact groupBy's shuffle width is the
+    * bottleneck; the estimate lookup runs as a closure-captured call on
+    * the already-aggregated ~|types| rows, not on the event stream.
+    */
+  def cmsContract(spark: SparkSession, dir: String): DataFrame =
+    cmsContractOf(Tables.events(spark, dir).select(col("event_type")))
+
+  /** Core over any single-string-column frame — split out so the
+    * never-undercounts guarantee is unit-testable on synthetic skew. */
+  private[graft] def cmsContractOf(ev: DataFrame): DataFrame = {
+    val keyCol = ev.columns.head
+    val sketch = ev.stat.countMinSketch(keyCol, eps = 0.001, confidence = 0.99, seed = 42)
+    val est = udf((s: String) => sketch.estimateCount(s))
+    val total = sketch.totalCount()
+    ev.groupBy(col(keyCol)).agg(count(lit(1)).as("n_events"))
+      .withColumn("__est", est(col(keyCol)))
+      .select(col(keyCol), col("n_events"),
+        (col("__est") >= col("n_events") &&
+          col("__est") <= col("n_events") + ceil(lit(0.001 * total))).as("cms_ok"))
+      .orderBy(col(keyCol))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_distinct" -> distinctContract,
     "sketch_topk" -> topkContract,
+    "sketch_cms" -> cmsContract,
     "sketch_quantiles" -> quantilesContract)
 
   val oracleSql: Map[String, String] = Map(
@@ -121,6 +151,9 @@ object Sketches {
       """SELECT event_type, count(*) AS n_events, TRUE AS in_sketch
         |FROM events GROUP BY event_type
         |HAVING count(*) > 0.1 * (SELECT count(*) FROM events)""".stripMargin,
+    "sketch_cms" ->
+      """SELECT event_type, count(*) AS n_events, TRUE AS cms_ok
+        |FROM events GROUP BY event_type""".stripMargin,
     "sketch_quantiles" ->
       // DuckDB's QUANTILE takes only constant fractions — compute the
       // list form once and unnest it alongside the fraction list

@@ -107,6 +107,32 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("__bucket"), s"band bucket must be a join key:\n$p")
   }
 
+  test("sliding agg plans one keyed RANGE window, no global sort") {
+    val p = plan("evt_sliding_agg")
+    assert(p.contains("Window"), s"expected a window frame:\n$p")
+    // the frame must be keyed by user (hash exchange), never a single
+    // unpartitioned window over the whole stream
+    assert(p.contains("hashpartitioning(user_id"),
+      s"window must partition by user_id:\n$p")
+    assert(p.contains("RangeFrame"), s"expected a RANGE frame:\n$p")
+  }
+
+  test("cube plans one Expand + partial hash aggregate, not a scan per grouping set") {
+    val p = plan("q13_cube")
+    assert(p.contains("Expand"), s"expected Expand:\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial aggregation:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"cube must read lineitem exactly once:\n$p")
+  }
+
+  test("edit-distance dedup blocks on (lang, n_chars-bucket) equi-join keys") {
+    val p = plan("dedup_editdist")
+    val joinLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("lang")).getOrElse("")
+    assert(joinLine.contains("bucket"),
+      s"bucket must be an equi-join key next to lang:\n$p")
+  }
+
   test("bloom semi join prefilters the fact side below the exact join") {
     val p = plan("q12_bloom_semi")
     // the UDF prefilter must sit on the lineitem branch (below the semi

@@ -27,4 +27,16 @@ class SketchesSpec extends SparkTestBase {
       .collect().map(r => (r.getDouble(0), r.getBoolean(2))).toMap
     assert(out.forall(_._2), s"all rank contracts: $out")
   }
+
+  test("count-min contract holds on a skewed key column (incl. singletons)") {
+    // 5000 copies of one hot key + 500 singletons: min-of-counters must
+    // never undercount any of them, and the ε·N overcount bound must hold
+    // for the hot key despite the singleton collision mass
+    val keys = Seq.fill(5000)("hot") ++ (1 to 500).map(i => s"k$i")
+    val out = Sketches.cmsContractOf(keys.toDF("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length === 501)
+    assert(out.forall(_._3), s"cms contract rows: ${out.filterNot(_._3).take(5).toSeq}")
+    assert(out.find(_._1 == "hot").exists(_._2 == 5000L))
+  }
 }
