@@ -313,8 +313,15 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("n_chars"),
         substring(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), 1, 120).as("pk"))
     val bk = floor(col("n_chars") / 50)
+    // the banded-DP kernel is CPU-bound over the full blocked universe
+    // (~620k pairs at sf0.1): pin the probe side's parallelism so the
+    // broadcast join's per-pair work spreads over the cluster instead of
+    // inheriting the scan's single small-file partition (README scale
+    // note: REPARTITION_BY_NUM, AQE never coalesces it)
+    val par = spark.sparkContext.defaultParallelism
     val a = d.select(col("doc_id").as("id_a"), col("lang"), col("n_chars").as("nc_a"),
         col("pk").as("pk_a"), explode(array(bk - 1, bk, bk + 1)).as("bucket"))
+      .repartition(par, col("id_a"))
     val rest = d.select(col("doc_id").as("id_b"), col("lang"), col("n_chars").as("nc_b"),
       col("pk").as("pk_b"), bk.as("bucket"))
     a.join(rest, Seq("lang", "bucket"))

@@ -52,7 +52,7 @@ class PlanQualitySpec extends SparkTestBase {
   test("CPU-bound pipeline kernels pin explicit partition counts (AQE must not serialize them)") {
     // byte-based AQE coalescing would collapse these compute-heavy stages
     // onto one task at small SF; REPARTITION_BY_NUM exchanges are exempt
-    Seq("dedup_embedding_cosine", "dedup_simhash").foreach { name =>
+    Seq("dedup_embedding_cosine", "dedup_simhash", "dedup_editdist").foreach { name =>
       val p = plan(name)
       assert(p.contains("REPARTITION_BY_NUM"), s"$name must pin kernel parallelism:\n$p")
     }
