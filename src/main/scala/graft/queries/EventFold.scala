@@ -151,15 +151,19 @@ object EventFold {
     * per-partition ordered scan — per-user state is bounded by the window
     * span, never by history, and there is no global sort.
     */
-  def slidingAgg(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame =
+    slidingAggOf(Tables.events(spark, dir)).orderBy(col("event_id"))
+
+  /** Core over any `(event_id, user_id, ts_us, value)` frame — split out
+    * so the RANGE-peer semantics (same-µs events include each other) are
+    * property-testable against a naive per-event scan. */
+  private[graft] def slidingAggOf(ev: DataFrame): DataFrame = {
     val hourUs = 3600L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
       .rangeBetween(-(hourUs - 1), Window.currentRow)
     ev.select(col("event_id"), col("user_id"),
-        count(lit(1)).over(w).as("n_1h"),
-        sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("sum_1h"))
-      .orderBy(col("event_id"))
+      count(lit(1)).over(w).as("n_1h"),
+      sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("sum_1h"))
   }
 
   /** evt_session_windows: per-user gap-based session windows via the

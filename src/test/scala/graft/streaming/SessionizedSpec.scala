@@ -37,6 +37,29 @@ class SessionizedSpec extends SparkTestBase {
       (3L, us(1800) + 1L, us(3600) + 1L, 1L, 2.0)), s"sessions: $out")
   }
 
+  test("scalacheck parity with the naive gap-split sessionizer (strict-> split rule)") {
+    // random per-user µs timelines on a coarse grid so exact-gap touches
+    // occur; model: sort, split when gap > gapUs (STRICT — touch merges)
+    val gapUs = 60L * 1000000L
+    val evGen = org.scalacheck.Gen.zip(
+      org.scalacheck.Gen.choose(1L, 5L), org.scalacheck.Gen.choose(0L, 20L))
+    val evs = org.scalacheck.Gen.listOfN(400, evGen).sample.get
+      .map { case (u, slot) => (slot * gapUs / 2, u, 1.0) }.distinct
+    val got = Sessionized.userSessions(
+        evs.toDF("ts_us", "user_id", "value"), gap = "60 seconds")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val expected = evs.groupBy(_._2).flatMap { case (u, rows) =>
+      val ts = rows.map(_._1).sorted
+      val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+        if (t - acc.head.head > gapUs) List(t) :: acc
+        else (t :: acc.head) :: acc.tail
+      }
+      sessions.map(s => (u, s.min, s.max + gapUs, s.size.toLong, s.size.toDouble))
+    }.toSet
+    assert(got === expected)
+  }
+
   test("streaming: a session is emitted once the watermark passes its close") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, Long, Double)]
