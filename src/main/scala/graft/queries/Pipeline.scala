@@ -684,6 +684,55 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** samp_weighted: deterministic weighted sampling — keep probability
+    * proportional to document length (min(n_chars, 5000)/5000), decided
+    * by the same arithmetic id-hash as [[stratifiedSample]]. All-integer
+    * predicate: row-local, scan-pushed, zero shuffle, reproducible
+    * across engines and runs — the importance-weighting primitive of
+    * domain mixing (longer docs carry more tokens, so token-budget
+    * sampling weights by length, not by row count).
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .filter(pmod(col("doc_id") * lit(2654435761L), lit(10000)) <
+        least(col("n_chars"), lit(5000)) * 2)
+      .orderBy(col("doc_id"))
+
+  /** text_top_terms: per-language top-5 tokens by corpus frequency (tie →
+    * token asc) — the vocabulary/stopword-discovery primitive. Scale
+    * shape: the explode shuffles once on (lang, token) with map-side
+    * combine, and the rank window runs over the AGGREGATED vocab frame
+    * (|vocab| rows, corpus-size-independent), never over the corpus.
+    */
+  def topTerms(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  /** text_quality_buckets: per-language quality deciles (ntile over
+    * quality desc, doc_id tiebreak) — curriculum/quality-tier assignment.
+    * The exact ntile needs a per-lang total order, fine to the ~10⁸-docs-
+    * per-lang range; past that the production swap is sketch-derived
+    * decile boundaries (`percentile_approx(quality, …)`) broadcast back
+    * as a row-local bucket lookup — same output contract, no sort.
+    */
+  def qualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), Text.qualityScore(col("text")).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+    q.withColumn("bucket", ntile(10).over(w))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shard count for [[packSequences]], derived from corpus size (VERDICT
     * r3 #4; pattern of [[Vectors.autoPlanes]]): ⌈n / 100k⌉ with a floor of
     * 4, so every (lang, shard) window partition stays ≤ ~100k documents no
@@ -906,6 +955,9 @@ object Pipeline {
     "dedup_best_rep" -> dedupBestRep,
     "text_repetition" -> textRepetition,
     "samp_stratified" -> stratifiedSample,
+    "samp_weighted" -> weightedSample,
+    "text_top_terms" -> topTerms,
+    "text_quality_buckets" -> qualityBuckets,
     "pack_sequences" -> packSequences,
     "contamination_ngram" -> contaminationNgram,
     "dedup_exact" -> dedupExact,
@@ -1117,6 +1169,32 @@ object Pipeline {
         |WHERE (doc_id * 2654435761) % 100 <
         |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 WHEN 'fr' THEN 25
         |            WHEN 'es' THEN 10 WHEN 'zh' THEN 10 ELSE 5 END""".stripMargin,
+    "samp_weighted" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE (doc_id * 2654435761) % 10000 < least(n_chars, 5000) * 2""".stripMargin,
+    "text_top_terms" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    unnest(CASE WHEN length(trim(text)) = 0 THEN []
+        |                ELSE string_split_regex(trim(text), '\s+') END) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, token, count(*) AS n FROM toks GROUP BY 1, 2
+        |), r AS (
+        |  SELECT lang, token, n,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS INT) AS rank
+        |  FROM c
+        |)
+        |SELECT lang, token, n, rank FROM r WHERE rank <= 5""".stripMargin,
+    "text_quality_buckets" -> {
+      s"""WITH qual AS (
+         |$qualityOracle
+         |)
+         |SELECT d.doc_id, d.lang,
+         |  CAST(ntile(10) OVER (PARTITION BY d.lang
+         |    ORDER BY q.quality DESC, d.doc_id) AS INT) AS bucket
+         |FROM documents d JOIN qual q USING (doc_id)""".stripMargin
+    },
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
