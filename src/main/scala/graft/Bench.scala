@@ -346,7 +346,11 @@ object Bench {
     // line AFTER the full line — small enough that any plausible tail
     // window keeps it whole, and self-contained enough (sums, sentinel
     // triples, engine medians) for round-over-round comparison alone.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // A targeted probe (SPARK_GRAFT_BENCH_ONLY) must never overwrite the
+    // committed full-suite snapshot — that clobbered bench_full.json twice
+    // in round 10 — so probe mode defaults to its own scratch file.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "bench_probe.json" else "bench_full.json")
     val persisted =
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
