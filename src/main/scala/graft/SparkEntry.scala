@@ -21,6 +21,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.EventFold.queries ++
       graft.queries.Sketches.queries ++
+      graft.queries.Graphs.queries ++
       graft.queries.Pipeline.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -31,5 +32,6 @@ object SparkEntry {
     graft.queries.Relational.oracleSql ++
       graft.queries.EventFold.oracleSql ++
       graft.queries.Sketches.oracleSql ++
+      graft.queries.Graphs.oracleSql ++
       graft.queries.Pipeline.oracleSql
 }

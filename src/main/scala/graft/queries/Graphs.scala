@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Graph
+
+/** Graph-traversal contract queries (driver oracle: recursive CTE).
+  *
+  * The graph is the sparse part↔supplier bipartite relation induced by
+  * low-quantity lineitems (`l_quantity <= 3`, ~6% of lines): node ids are
+  * `p<partkey>` / `s<suppkey>`, edges run both directions. Sources are
+  * every 50th part. The contract pins level-synchronous BFS
+  * ([[graft.ops.Graph.kHopLevels]]) against DuckDB's `WITH RECURSIVE` +
+  * `min(hop)` — two independent traversal algorithms that must agree on
+  * every (source, level) population count.
+  */
+object Graphs {
+
+  private def graph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") <= 3)
+      .select(concat(lit("p"), col("l_partkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+    // undirected: both directions, deduped once (one shuffle on the pair)
+    val edges = li.unionByName(li.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val sources = Tables.part(spark, dir)
+      .filter(col("p_partkey") % 50 === 0)
+      .select(concat(lit("p"), col("p_partkey")).as("src"))
+    (edges, sources)
+  }
+
+  /** graph_khop: nodes first reached at each BFS level ≤ 3, per source. */
+  def kHop(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, sources) = graph(spark, dir)
+    Graph.kHopLevels(edges, sources, 3)
+      .groupBy(col("src"), col("hop"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("src"), col("hop"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_khop" -> kHop)
+
+  def oracleSql: Map[String, String] = Map(
+    "graph_khop" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT 'p' || l_partkey AS a, 's' || l_suppkey AS b
+        |  FROM lineitem WHERE l_quantity <= 3
+        |), edges AS (
+        |  SELECT a, b FROM base UNION SELECT b, a FROM base
+        |), reach(src, node, hop) AS (
+        |  SELECT 'p' || p_partkey, 'p' || p_partkey, 0
+        |  FROM part WHERE p_partkey % 50 = 0
+        |  UNION
+        |  SELECT r.src, e.b, r.hop + 1
+        |  FROM reach r JOIN edges e ON r.node = e.a
+        |  WHERE r.hop < 3
+        |), levels AS (
+        |  SELECT src, node, min(hop) AS hop FROM reach GROUP BY 1, 2
+        |)
+        |SELECT src, CAST(hop AS INT) AS hop,
+        |  CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM levels GROUP BY 1, 2""".stripMargin)
+}

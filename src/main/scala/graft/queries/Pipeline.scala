@@ -716,6 +716,34 @@ object Pipeline {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** text_tfidf: top-3 terms per document by quantized tf-idf — the
+    * keyword/vectorization primitive. The idf here is the exact-integer
+    * variant `score_q = (tf * 10^6) div df` (idf = 1/df, monotone in the
+    * usual log form for fixed tf), so Spark and the oracle agree bit-for-
+    * bit with no transcendental rounding in the contract. Scale shape:
+    * one explode shuffles to the (doc, token) tf frame with map-side
+    * combine; df is a further aggregate OF that tf frame (one row per
+    * (doc, token) pair IS one doc-containment fact), so the corpus is
+    * tokenized once and the df join touches only |vocab| rows —
+    * broadcast; the rank window partitions by doc over ≤ distinct-tokens-
+    * per-doc rows, corpus-size-independent per partition.
+    */
+  def tfIdfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), Seq("token"))
+      .withColumn("score_q", expr("(tf * CAST(1000000 AS BIGINT)) DIV df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score_q").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score_q"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** text_quality_buckets: per-language quality deciles (ntile over
     * quality desc, doc_id tiebreak) — curriculum/quality-tier assignment.
     * The exact ntile needs a per-lang total order, fine to the ~10⁸-docs-
@@ -957,6 +985,7 @@ object Pipeline {
     "samp_stratified" -> stratifiedSample,
     "samp_weighted" -> weightedSample,
     "text_top_terms" -> topTerms,
+    "text_tfidf" -> tfIdfTopTerms,
     "text_quality_buckets" -> qualityBuckets,
     "pack_sequences" -> packSequences,
     "contamination_ngram" -> contaminationNgram,
@@ -1186,6 +1215,27 @@ object Pipeline {
         |  FROM c
         |)
         |SELECT lang, token, n, rank FROM r WHERE rank <= 5""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN length(trim(text)) = 0 THEN []
+        |                ELSE string_split_regex(trim(text), '\s+') END) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2
+        |), df AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), s AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    (tf.tf * 1000000) // df.df AS score_q
+        |  FROM tf JOIN df USING (token)
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_q DESC, token) AS INT) AS rank
+        |  FROM s
+        |)
+        |SELECT doc_id, token, tf, df, score_q, rank FROM r WHERE rank <= 3""".stripMargin,
     "text_quality_buckets" -> {
       s"""WITH qual AS (
          |$qualityOracle
