@@ -6,9 +6,11 @@
 # compile) — this script does not compile.
 set -euo pipefail
 cd /root/repo
-SCALA_LIB=$(ls "$HOME"/.cache/coursier/v1/https/repo1.maven.org/maven2/org/scala-lang/scala-library/2.13.*/scala-library-2.13.*.jar 2>/dev/null | sort | tail -1)
+# scala-library ships in /opt/spark/jars; a coursier copy (if any) is a
+# harmless addition. pipefail + set -e: the lookup must never abort us.
+SCALA_LIB=$( (ls "$HOME"/.cache/coursier/v1/https/repo1.maven.org/maven2/org/scala-lang/scala-library/2.13.*/scala-library-2.13.*.jar 2>/dev/null || true) | sort | tail -1)
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
-[ -n "${SCALA_LIB:-}" ] && CP="$CP:$SCALA_LIB"
+if [ -n "${SCALA_LIB:-}" ]; then CP="$CP:$SCALA_LIB"; fi
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do

@@ -166,6 +166,38 @@ object EventFold {
       sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("sum_1h"))
   }
 
+  /** evt_gapfill: hourly resample + forward fill per user — the
+    * time-series alignment primitive (telemetry/metrics feeds are
+    * irregular; training features need a dense grid). Hours with no
+    * events get n_events = 0 and carry the last observed value forward
+    * ("last" = max event_id within the hour — the ingestion-order rule,
+    * deterministic on both engines). Scale shape: the hourly rollup is
+    * one hash shuffle with map-side combine (grid cells, not raw
+    * events); the dense grid is `sequence(min_hour, max_hour)` exploded
+    * per user — bounded by users × span-hours, independent of event
+    * volume; the forward fill is a per-user ordered window over grid
+    * rows only. Sampled to every 10th user to keep the contract output
+    * bounded.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val hourly = Tables.events(spark, dir)
+      .filter(col("user_id") % 10 === 0)
+      .groupBy(col("user_id"), expr(s"ts_us DIV $hourUs").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        max_by(col("value").cast("decimal(18,2)"), col("event_id")).as("last_v"))
+    val dense = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("last_v"), ignoreNulls = true).over(w).cast("double").as("v_fill"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
   /** evt_session_windows: per-user gap-based session windows via the
     * native `session_window` merging aggregate
     * ([[graft.streaming.Sessionized]] — the same operator runs unchanged
@@ -320,6 +352,7 @@ object EventFold {
     "evt_cdc_classify" -> cdcClassify,
     "evt_session_agg" -> sessionAgg,
     "evt_sliding_agg" -> slidingAgg,
+    "evt_gapfill" -> gapFill,
     "evt_session_windows" -> sessionWindows,
     "evt_hop_walk" -> hopWalk,
     "evt_hop_walk2" -> hopWalk2)
@@ -411,6 +444,23 @@ object EventFold {
         |      lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_us
         |    FROM events) a) b
         |GROUP BY user_id""".stripMargin,
+    "evt_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    arg_max(CAST(value AS DECIMAL(18,2)), event_id) AS last_v
+        |  FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1
+        |), dense AS (
+        |  SELECT user_id, unnest(range(h0, h1 + 1)) AS hour FROM bounds
+        |)
+        |SELECT d.user_id, d.hour,
+        |  COALESCE(h.n_events, 0) AS n_events,
+        |  CAST(last_value(h.last_v IGNORE NULLS) OVER (
+        |    PARTITION BY d.user_id ORDER BY d.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS v_fill
+        |FROM dense d LEFT JOIN hourly h USING (user_id, hour)""".stripMargin,
     "evt_sliding_agg" ->
       """SELECT event_id, user_id,
         |  count(*) OVER w AS n_1h,

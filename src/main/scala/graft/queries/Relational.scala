@@ -204,7 +204,29 @@ object Relational {
         col("l_linestatus").asc_nulls_first)
   }
 
+  /** q14: z-order clustering key ([[graft.functions.ZOrder]]) — per-row
+    * Morton interleave of (partkey, suppkey) low bytes, aggregated to
+    * per-z-range bucket populations and exact key bounding boxes. The
+    * hash check pins the bit-interleave arithmetic (pure shift/mask
+    * Columns, whole-stage codegen) against the same expression emitted
+    * as SQL text; the bounding boxes are what the clustered-write layout
+    * ([[graft.sinks.ClusteredWrite]], ClusteredWriteSpec) turns into
+    * parquet min/max file-pruning at scale.
+    */
+  def q14ZOrder(spark: SparkSession, dir: String): DataFrame = {
+    val z = graft.functions.ZOrder.zOrder(col("l_partkey"), col("l_suppkey"), 8)
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), z.as("zkey"))
+      .groupBy(expr("zkey DIV 4096").as("z_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("zkey")).as("z_min"), max(col("zkey")).as("z_max"),
+        min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+        min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+      .orderBy(col("z_bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_zorder" -> q14ZOrder,
     "q13_cube" -> q13Cube,
     "q12_bloom_semi" -> q12BloomSemi,
     "q11_rollup" -> q11Rollup,
@@ -220,6 +242,17 @@ object Relational {
     "q10_having" -> q10Having)
 
   val oracleSql: Map[String, String] = Map(
+    "q14_zorder" -> {
+      val z = graft.functions.ZOrder.zOrderSql("l_partkey", "l_suppkey", 8)
+      s"""WITH zt AS (
+         |  SELECT l_partkey, l_suppkey, ($z) AS zkey FROM lineitem
+         |)
+         |SELECT zkey // 4096 AS z_bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(zkey) AS z_min, max(zkey) AS z_max,
+         |  min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+         |  min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
+         |FROM zt GROUP BY 1""".stripMargin
+    },
     "q13_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -133,6 +133,30 @@ class PlanQualitySpec extends SparkTestBase {
       s"bucket must be an equi-join key next to lang:\n$p")
   }
 
+  test("z-order key stays pure codegen arithmetic: no UDF, one scan, one agg") {
+    val p = plan("q14_zorder")
+    assert(!p.contains("UDF"), s"morton interleave must not be a UDF:\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial aggregation:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"z-order key must read lineitem exactly once:\n$p")
+  }
+
+  test("tf-idf joins the vocab df frame broadcast, never shuffling the corpus on it") {
+    val p = plan("text_tfidf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"df (vocab) frame must broadcast:\n$p")
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"rank window must partition by doc_id:\n$p")
+  }
+
+  test("gap-fill windows over the dense grid partitioned by user, no global sort") {
+    val p = plan("evt_gapfill")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"forward-fill must partition by user_id:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dense-grid join must stay an equi join:\n$p")
+  }
+
   test("bloom semi join prefilters the fact side below the exact join") {
     val p = plan("q12_bloom_semi")
     // the UDF prefilter must sit on the lineitem branch (below the semi
