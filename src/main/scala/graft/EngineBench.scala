@@ -92,15 +92,18 @@ object EngineBench {
     (denseSecs, streamSegment(spark, eventsDir, store))
   }
 
-  /** Seed a FRESH store at a 16×-sites scale and stream TWO dense chunk
-    * files of the base per-batch event size through the real catch-up
+  /** Seed a FRESH store at a 16×-sites scale and stream `batches` dense
+    * chunk files of `batchSize` events each through the real catch-up
     * query (VERDICT r9 #4): batch 1 absorbs the stream's one-off startup,
-    * batch 2 is the state-size spot sample. Together with the 4× soak this
-    * turns the "per-batch cost is state-size-independent" claim into a
-    * two-point measurement (4× and 16× the base state) for the price of
-    * one extra seed + two batches. */
-  private def denseSpot(spark: SparkSession, sites: Int, denseTail: Int): Vector[Double] = {
+    * the rest are the state-size spot sample (the ratio takes their MIN
+    * — one sample proved too variance-exposed). Together with the 4×
+    * soak this turns the "per-batch cost is state-size-independent"
+    * claim into a two-point measurement (4× and 16× the base state) for
+    * the price of one extra seed + `batches` batches. */
+  private def denseSpot(spark: SparkSession, sites: Int, batchSize: Int,
+      batches: Int): Vector[Double] = {
     val root = graft.util.Scratch.dir("graft-engine-spot16")
+    val denseTail = batchSize * batches
     try {
       val evts = graft.projector.LogSynth.events(sites)
       require(evts.size > denseTail,
@@ -109,7 +112,8 @@ object EngineBench {
           "or set it to 0 to skip the spot sample")
       val (prefix, tail) = evts.splitAt(evts.size - denseTail)
       val (eventsDir, store) = seedStore(spark, root, prefix, 8)
-      stageTail(spark, root, "spot_stage", tail, 2, eventsDir, "tail-")
+      // one file per chunk (maxFilesPerTrigger=1 → one micro-batch each)
+      stageTail(spark, root, "spot_stage", tail, batches, eventsDir, "tail-")
       streamSegment(spark, eventsDir, store)
     } finally graft.util.Scratch.deleteRecursively(root)
   }
@@ -268,9 +272,13 @@ object EngineBench {
     // SPARK_GRAFT_ENGINE_SOAK16_SITES=0.
     val soak16Sites = sys.env.getOrElse("SPARK_GRAFT_ENGINE_SOAK16_SITES",
       (sites * 16).toString).toInt
+    // three batches: the first absorbs stream startup, the ratio takes
+    // the MIN of the remaining two — a single ambient-load hiccup on the
+    // one-and-only spot batch was able to push the committed ratio to
+    // the edge of its bound (1.47 of 1.5 in the r10 interim run)
     val spot16Secs: Vector[Double] =
       if (soak16Sites <= 0 || soakSites <= 0) Vector.empty
-      else denseSpot(spark, soak16Sites, (tail.size / 8) * 2)
+      else denseSpot(spark, soak16Sites, tail.size / 8, batches = 3)
     if (spot16Secs.nonEmpty) sentinels += Sentinel.measureCpu(spark, 3, Sentinel.EngineRows)
 
     import scala.jdk.CollectionConverters._

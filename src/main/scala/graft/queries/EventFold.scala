@@ -179,10 +179,17 @@ object EventFold {
     * rows only. Sampled to every 10th user to keep the contract output
     * bounded.
     */
-  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+  def gapFill(spark: SparkSession, dir: String): DataFrame =
+    gapFillOf(Tables.events(spark, dir).filter(col("user_id") % 10 === 0))
+      .orderBy(col("user_id"), col("hour"))
+
+  /** Core over any `(event_id, user_id, ts_us, value)` frame — split out
+    * so the fill semantics (0-filled counts, forward-filled last-by-
+    * event-id value, inclusive dense bounds) are property-testable
+    * against a naive per-user model. */
+  private[graft] def gapFillOf(ev: DataFrame): DataFrame = {
     val hourUs = 3600L * 1000000L
-    val hourly = Tables.events(spark, dir)
-      .filter(col("user_id") % 10 === 0)
+    val hourly = ev
       .groupBy(col("user_id"), expr(s"ts_us DIV $hourUs").as("hour"))
       .agg(count(lit(1)).as("n_events"),
         max_by(col("value").cast("decimal(18,2)"), col("event_id")).as("last_v"))
@@ -195,7 +202,6 @@ object EventFold {
       .select(col("user_id"), col("hour"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         last(col("last_v"), ignoreNulls = true).over(w).cast("double").as("v_fill"))
-      .orderBy(col("user_id"), col("hour"))
   }
 
   /** evt_session_windows: per-user gap-based session windows via the

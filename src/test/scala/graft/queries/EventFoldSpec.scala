@@ -30,4 +30,30 @@ class EventFoldSpec extends SparkTestBase {
     }.toSet
     assert(got === expected)
   }
+
+  test("gap-fill parity with a naive per-user dense-grid model") {
+    val hourUs = 3600L * 1000000L
+    // sparse timelines (hours 0..30, ~8 events per user) → real gaps;
+    // duplicate (user, hour) cells → the last-by-event-id rule matters
+    val evGen = Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 30L), Gen.choose(0, 99))
+    val evs = Gen.listOfN(32, evGen).sample.get.zipWithIndex.map {
+      case ((u, hr, v), i) => (i.toLong, u, hr * hourUs + (i % 7) * 1000L, v / 4.0)
+    }
+    val got = EventFold.gapFillOf(
+        evs.toDF("event_id", "user_id", "ts_us", "value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val expected = evs.groupBy(_._2).flatMap { case (u, rows) =>
+      val byHour = rows.groupBy(_._3 / hourUs)
+      val (h0, h1) = (byHour.keys.min, byHour.keys.max)
+      var lastV = 0.0
+      (h0 to h1).map { h =>
+        val cell = byHour.getOrElse(h, Nil)
+        if (cell.nonEmpty) lastV = cell.maxBy(_._1)._4
+        // the oracle/impl go through DECIMAL(18,2); v/4.0 has ≤2 decimals
+        (u, h, cell.size.toLong, lastV)
+      }
+    }.toSet
+    assert(got === expected)
+  }
 }
