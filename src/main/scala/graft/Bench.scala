@@ -361,6 +361,26 @@ object Bench {
     // sum of per-query minima (isolation-robust headline; -1 markers of
     // failed queries excluded so one failure cannot fake a speedup of 1+s)
     val minSum = results.collect { case (_, _, m) if m >= 0 => m }.sum
+    // the suite keeps growing (49 → 68 → …), which makes raw sum-of-minima
+    // comparisons across rounds apples-to-oranges; also sum the FROZEN
+    // round-9 query set so one field stays longitudinally comparable
+    val r9Set = Set(
+      "ann_brute_topk", "ann_ivf_recall", "ann_ivf_topk", "ann_lsh_recall",
+      "ann_lsh_topk", "contamination_ngram", "dedup_best_rep", "dedup_clusters",
+      "dedup_embedding_cosine", "dedup_embedding_recall", "dedup_exact",
+      "dedup_minhash_lsh", "dedup_minhash_recall", "dedup_ngram_jaccard",
+      "dedup_simhash", "dedup_simhash_margin", "evt_asof_value",
+      "evt_cdc_classify", "evt_dispatch_stats", "evt_hop_walk",
+      "evt_lifecycle_alive", "evt_lww_state", "evt_session_agg",
+      "evt_type_pivot", "evt_walk_dedup", "evt_window_counts",
+      "mm_decode_meta", "mm_media_plan", "mm_plan_contract", "mm_resize_plan",
+      "pack_sequences", "pipeline_keep", "q10_having", "q11_rollup",
+      "q1_pricing_summary", "q2_filter_project", "q3_join_agg",
+      "q4_window_rank", "q5_topk", "q6_setops", "q7_semi_anti",
+      "q8_distinct_agg", "q9_case_agg", "samp_stratified", "text_fingerprint",
+      "text_langid", "text_quality", "text_repetition", "text_token_stats")
+    val r9MinSum = results.collect { case (n, _, m) if m >= 0 && r9Set(n) => m }.sum
+    val r9N = results.count { case (n, _, m) => m >= 0 && r9Set(n) }
     val forkedMins = "(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(
       qsIso.replaceAll("\"[^\"]*\"", "")).map(_.group(1).toDouble).filter(_ >= 0).toSeq
     val forkedMinSum = forkedMins.sum
@@ -413,6 +433,9 @@ object Bench {
       s""""queries_n":${results.size},"errors_n":${errors.size},""" +
       s""""queries_min_sum":${fmt(minSum)},""" +
       s""""queries_min_norm":${norm(minSum, parentMidCpu)},""" +
+      s""""queries_min_sum_r9set":${fmt(r9MinSum)},""" +
+      s""""queries_min_norm_r9set":${norm(r9MinSum, parentMidCpu)},""" +
+      s""""queries_n_r9set":$r9N,""" +
       s""""forked_n":${forkedMins.size},"forked_min_sum":${fmt(forkedMinSum)},""" +
       s""""forked_min_norm":${norm(forkedMinSum, forkedMidCpu)},""" +
       s""""sentinel":${Sentinel.json(sentinels)},""" +

@@ -273,6 +273,89 @@ object EventFold {
       .orderBy(col("user_id"), col("seq_no"))
   }
 
+  /** evt_json_extract: schema-on-read over the JSON `props` payload — the
+    * semi-structured half of every event log. `from_json` with an explicit
+    * schema parses each payload exactly once into a typed struct (codegen'd
+    * Jackson scan — no UDF, no per-field re-parse the way repeated
+    * `get_json_object` calls would), then per event type: payload
+    * presence/count, exact integer sum, max, and a threshold count. Scale
+    * shape: parse is row-local and scan-fused; the aggregate is one hash
+    * shuffle with map-side combine over |event_type| groups.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val k = from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k")
+    ev.select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_high"))
+      .orderBy(col("event_type"))
+  }
+
+  /** evt_rate_limit: per-key admission control — keep only the first 2
+    * events per (user, day), ordered by the global sequence number (the
+    * deterministic ingestion order; ties impossible — event_id is unique).
+    * The throttling/quota primitive of feed processing and per-source
+    * training-data caps. Scale shape: ONE hash shuffle on the composite
+    * (user, day) key — partitions are day-bounded slivers, never whole
+    * user histories, so skew is bounded by a single key's daily volume.
+    */
+  def rateLimit(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .withColumn("day", expr(s"ts_us DIV $dayUs"))
+    val w = Window.partitionBy(col("user_id"), col("day")).orderBy(col("event_id"))
+    ev.withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 2)
+      .select(col("event_id"), col("user_id"), col("day"), col("rn"))
+      .orderBy(col("event_id"))
+  }
+
+  /** evt_funnel: ordered conversion funnel — per user, the first signup,
+    * the first view strictly AFTER that signup, and the first purchase
+    * strictly after that view (stage = how deep the user got). The
+    * cross-row ordering makes this inexpressible as one conditional
+    * aggregate; the shape here is three chained whole-partition window
+    * minima over ONE hash exchange + sort on user_id (each window may
+    * reference the previous one's output), then a per-user collapse whose
+    * hash aggregate reuses the window's partitioning — no second
+    * shuffle. The DuckDB oracle computes the same funnel as three
+    * dependent join+min CTEs: an independent algorithm.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables.events(spark, dir)).orderBy(col("user_id"))
+
+  /** Core over any `(event_id, user_id, event_type)` frame — split out so
+    * the strict-ordering rules (view must follow the FIRST signup,
+    * purchase the FIRST qualifying view) are property-testable against a
+    * naive per-user sorted scan. */
+  private[graft] def funnelOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val staged = ev.select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("signup_id",
+        min(when(col("event_type") === "signup", col("event_id"))).over(w))
+      .withColumn("view_id",
+        min(when(col("event_type") === "view" && col("event_id") > col("signup_id"),
+          col("event_id"))).over(w))
+      .withColumn("purchase_id",
+        min(when(col("event_type") === "purchase" && col("event_id") > col("view_id"),
+          col("event_id"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(max(col("signup_id")).as("signup_id"),
+        max(col("view_id")).as("view_id"),
+        max(col("purchase_id")).as("purchase_id"))
+      .withColumn("stage",
+        when(col("purchase_id").isNotNull, 3)
+          .when(col("view_id").isNotNull, 2)
+          .when(col("signup_id").isNotNull, 1)
+          .otherwise(0).cast("int"))
+  }
+
   /** evt_type_pivot: per-user wide counts by event type — the dispatch
     * table pivoted (one pass, conditional sums; the shape a 28-type
     * dispatcher compiles to). */
@@ -361,7 +444,10 @@ object EventFold {
     "evt_gapfill" -> gapFill,
     "evt_session_windows" -> sessionWindows,
     "evt_hop_walk" -> hopWalk,
-    "evt_hop_walk2" -> hopWalk2)
+    "evt_hop_walk2" -> hopWalk2,
+    "evt_json_extract" -> jsonExtract,
+    "evt_rate_limit" -> rateLimit,
+    "evt_funnel" -> funnel)
 
   val oracleSql: Map[String, String] = Map(
     "evt_window_counts" ->
@@ -519,5 +605,43 @@ object EventFold {
         |)
         |SELECT user_id, unnest(walk) AS element_id,
         |  CAST(generate_subscripts(walk, 1) AS INT) AS seq_no
-        |FROM r2""".stripMargin)
+        |FROM r2""".stripMargin,
+    "evt_json_extract" ->
+      """SELECT event_type,
+        |  count(*) AS n_events,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM events GROUP BY event_type""".stripMargin,
+    "evt_rate_limit" ->
+      """SELECT event_id, user_id, day, rn FROM (
+        |  SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY user_id, epoch_us(ts) // 86400000000
+        |      ORDER BY event_id) AS INT) AS rn
+        |  FROM events) t
+        |WHERE rn <= 2""".stripMargin,
+    "evt_funnel" ->
+      // three dependent join+min CTEs — an independent algorithm from the
+      // chained window minima on the Spark side
+      """WITH s AS (
+        |  SELECT user_id, min(event_id) AS signup_id FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), v AS (
+        |  SELECT e.user_id, min(e.event_id) AS view_id
+        |  FROM events e JOIN s USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.event_id > s.signup_id GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.event_id) AS purchase_id
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.event_id > v.view_id GROUP BY e.user_id
+        |), u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id, s.signup_id, v.view_id, p.purchase_id,
+        |  CAST(CASE WHEN p.purchase_id IS NOT NULL THEN 3
+        |            WHEN v.view_id IS NOT NULL THEN 2
+        |            WHEN s.signup_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage
+        |FROM u LEFT JOIN s USING (user_id) LEFT JOIN v USING (user_id)
+        |  LEFT JOIN p USING (user_id)""".stripMargin)
 }

@@ -699,6 +699,75 @@ object Pipeline {
         least(col("n_chars"), lit(5000)) * 2)
       .orderBy(col("doc_id"))
 
+  /** samp_reservoir: fixed-size-per-stratum sampling — exactly
+    * min(k, |stratum|) docs per language, chosen by a deterministic
+    * id-hash priority (the portable arithmetic hash of
+    * [[stratifiedSample]]; tie → doc_id, though ties are impossible with
+    * a prime modulus far above the id range). Complements the RATE-based
+    * stratified/weighted samplers with the fixed-BUDGET shape
+    * (eval/holdout sets want "exactly k per language", not "p% of
+    * whatever arrives"). Scale shape: a naive per-stratum rank would
+    * sort each whole language on one reducer, so phase 1 takes the
+    * top-k within 32 salt sub-partitions (bounded partitions, corpus-
+    * sized scan) and phase 2 re-ranks the surviving ≤ 32·k rows per
+    * language — the global sort touches k·|salts|·|langs| rows, never
+    * the corpus. */
+  def reservoirSample(spark: SparkSession, dir: String): DataFrame =
+    reservoirOf(Tables.documents(spark, dir), k = 10)
+      .orderBy(col("lang"), col("rk"))
+
+  /** Core over any `(doc_id, lang)` frame — split out so the two-phase
+    * salted top-k's equality with the single-sort rank is
+    * property-testable (top-k per group ⊆ union of per-salt-bucket
+    * top-k, so phase 2 never loses a winner). */
+  private[graft] def reservoirOf(d: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = d.select(col("doc_id"), col("lang"),
+      pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)).as("pri"),
+      pmod(col("doc_id"), lit(32)).as("salt"))
+    val w1 = Window.partitionBy(col("lang"), col("salt"))
+      .orderBy(col("pri"), col("doc_id"))
+    val survivors = keyed.withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+    val w2 = Window.partitionBy(col("lang")).orderBy(col("pri"), col("doc_id"))
+    survivors.withColumn("rk", row_number().over(w2).cast("int"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
+  /** text_chunking: split documents into fixed-width overlapping token
+    * windows (width 40, stride 32) — the context-window packing
+    * primitive of LM training (long docs become several training
+    * sequences; the 8-token overlap preserves cross-boundary context).
+    * Chunk COUNT is exact integer arithmetic
+    * (`1 + (n − width + stride − 1) DIV stride`, 1 for short docs) so
+    * both engines generate identical grids, and chunk CONTENT is pinned
+    * by md5 of the re-joined token slice — a content hash, not a length
+    * proxy. Scale shape: row-local (tokenize → explode a per-doc index
+    * range → slice); output rows ≈ n_tokens/stride per doc, no shuffle
+    * before the contract sort. Sampled to every 20th doc to bound the
+    * contract output.
+    */
+  def textChunking(spark: SparkSession, dir: String): DataFrame =
+    chunkingOf(Tables.documents(spark, dir).filter(col("doc_id") % 20 === 0),
+        width = 40, stride = 32)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Core over any `(doc_id, text)` frame — split out so the grid
+    * arithmetic (chunk count, clamped final slice, 8-token overlap) is
+    * property-testable against a naive sliding-window model. */
+  private[graft] def chunkingOf(d: DataFrame, width: Int, stride: Int): DataFrame = {
+    val toks = d.select(col("doc_id"), split(trim(col("text")), "\\s+").as("tokens"))
+    val withN = toks.withColumn("n_chunks",
+      when(size(col("tokens")) <= width, lit(1))
+        .otherwise(expr(s"1 + ((size(tokens) - $width + ${stride - 1}) DIV $stride)")))
+    val chunk = slice(col("tokens"), col("chunk_id") * stride + 1, lit(width))
+    withN.select(col("doc_id"), col("tokens"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        size(chunk).cast("bigint").as("n_tokens"),
+        md5(concat_ws(" ", chunk)).as("chunk_md5"))
+  }
+
   /** text_top_terms: per-language top-5 tokens by corpus frequency (tie →
     * token asc) — the vocabulary/stopword-discovery primitive. Scale
     * shape: the explode shuffles once on (lang, token) with map-side
@@ -984,6 +1053,8 @@ object Pipeline {
     "text_repetition" -> textRepetition,
     "samp_stratified" -> stratifiedSample,
     "samp_weighted" -> weightedSample,
+    "samp_reservoir" -> reservoirSample,
+    "text_chunking" -> textChunking,
     "text_top_terms" -> topTerms,
     "text_tfidf" -> tfIdfTopTerms,
     "text_quality_buckets" -> qualityBuckets,
@@ -1201,6 +1272,36 @@ object Pipeline {
     "samp_weighted" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE (doc_id * 2654435761) % 10000 < least(n_chars, 5000) * 2""".stripMargin,
+    "samp_reservoir" ->
+      // plain per-language rank — the single-sort algorithm the Spark side
+      // deliberately avoids; identical answer by top-k containment
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS INT) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10""".stripMargin,
+    "text_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+        |  FROM documents WHERE doc_id % 20 = 0
+        |), nc AS (
+        |  SELECT doc_id, tokens,
+        |    CASE WHEN len(tokens) <= 40 THEN 1
+        |         ELSE 1 + (len(tokens) - 40 + 31) // 32 END AS n_chunks
+        |  FROM toks
+        |), ch AS (
+        |  SELECT doc_id,
+        |    [{'cid': i,
+        |      'nt': len(tokens[i*32+1 : i*32+40]),
+        |      'h': md5(array_to_string(tokens[i*32+1 : i*32+40], ' '))}
+        |     FOR i IN range(0, n_chunks)] AS chunks
+        |  FROM nc
+        |)
+        |SELECT doc_id, CAST(unnest(chunks).cid AS INT) AS chunk_id,
+        |  CAST(unnest(chunks).nt AS BIGINT) AS n_tokens,
+        |  unnest(chunks).h AS chunk_md5
+        |FROM ch""".stripMargin,
     "text_top_terms" ->
       """WITH toks AS (
         |  SELECT lang,

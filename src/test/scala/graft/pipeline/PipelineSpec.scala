@@ -327,4 +327,48 @@ class PipelineSpec extends SparkTestBase {
     val metas = rows.map(r => (r.getLong(0), r.getStruct(1).toString())).toMap
     assert(metas(0L) === metas(3L))
   }
+
+  test("two-phase salted reservoir equals the single-sort per-group rank") {
+    // ids chosen so several share a salt bucket (doc_id % 32 collides) —
+    // the case where a naive phase-1 cut could starve the global top-k
+    val ids = (0L until 500L).map(_ * 3L)
+    val langs = Seq("en", "de", "fr")
+    val d = ids.map(id => (id, langs((id % 7 % 3).toInt))).toDF("doc_id", "lang")
+    val k = 10
+    val got = graft.queries.Pipeline.reservoirOf(d, k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val expected = ids.map(id => (id, langs((id % 7 % 3).toInt)))
+      .groupBy(_._2).flatMap { case (lang, rows) =>
+        rows.map { case (id, _) => (id, math.floorMod(id * 2654435761L, 1000000007L)) }
+          .sortBy { case (id, pri) => (pri, id) }
+          .take(k).zipWithIndex
+          .map { case ((id, _), i) => (id, lang, i + 1) }
+      }.toSet
+    assert(got === expected)
+  }
+
+  test("chunking parity with a naive sliding-window model") {
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps")
+    // lengths straddling every boundary case: < width, == width, width+1,
+    // exact multiple of stride past width, and a long tail
+    val docs = Seq(1, 7, 8, 9, 12, 16, 17, 25, 60).zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(j => words((i + j) % words.size)).mkString(" "))
+    }
+    val (width, stride) = (8, 5)
+    val got = graft.queries.Pipeline.chunkingOf(docs.toDF("doc_id", "text"), width, stride)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))).toSet
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.trim.split("\\s+").toVector
+      val nChunks = if (toks.size <= width) 1
+        else 1 + (toks.size - width + stride - 1) / stride
+      (0 until nChunks).map { i =>
+        val chunk = toks.slice(i * stride, i * stride + width)
+        (id, i, chunk.size.toLong,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(chunk.mkString(" ").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString)
+      }
+    }.toSet
+    assert(got === expected)
+  }
 }

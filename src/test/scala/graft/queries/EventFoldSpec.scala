@@ -56,4 +56,30 @@ class EventFoldSpec extends SparkTestBase {
     }.toSet
     assert(got === expected)
   }
+
+  test("funnel parity with a naive per-user sorted scan") {
+    // few users, few types → plenty of users stuck at every stage,
+    // including signups with no later view and views before the signup
+    val evGen = Gen.zip(Gen.choose(1L, 8L),
+      Gen.oneOf("signup", "view", "purchase", "click"))
+    val evs = Gen.listOfN(120, evGen).sample.get.zipWithIndex.map {
+      case ((u, t), i) => (i.toLong, u, t)
+    }
+    val got = EventFold.funnelOf(evs.toDF("event_id", "user_id", "event_type"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getInt(4)))
+      .toSet
+    val expected = evs.groupBy(_._2).map { case (u, rows) =>
+      val ordered = rows.sortBy(_._1)
+      val s = ordered.find(_._3 == "signup").map(_._1)
+      val v = s.flatMap(si => ordered.find(e => e._3 == "view" && e._1 > si).map(_._1))
+      val p = v.flatMap(vi => ordered.find(e => e._3 == "purchase" && e._1 > vi).map(_._1))
+      val stage = if (p.isDefined) 3 else if (v.isDefined) 2 else if (s.isDefined) 1 else 0
+      (u, s, v, p, stage)
+    }.toSet
+    assert(got === expected)
+  }
 }
