@@ -166,4 +166,42 @@ class PlanQualitySpec extends SparkTestBase {
     assert(semiIdx >= 0 && udfIdx > semiIdx,
       s"expected bloom UDF filter below the semi join:\n$p")
   }
+
+  test("funnel runs on ONE user-keyed hash exchange: windows chain and the collapse reuses it") {
+    val p = plan("evt_funnel")
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange (window + agg share user_id):\n$p")
+    assert(!p.contains("Join"), s"funnel must not join:\n$p")
+  }
+
+  test("json extract parses props exactly once per row, no UDF, map-side combine") {
+    val p = plan("evt_json_extract")
+    assert(!p.contains("UDF"), s"from_json must not plan as a UDF:\n$p")
+    assert(p.linesIterator.count(_.contains("from_json")) <= 1,
+      s"props must be parsed once, not per extracted field:\n$p")
+    assert(p.contains("partial_count"), s"expected map-side partial agg:\n$p")
+  }
+
+  test("reservoir top-k never sorts a whole stratum on one reducer") {
+    val p = plan("samp_reservoir")
+    // phase 1 must partition by (lang, salt); phase 2 by lang over the
+    // filtered survivors only (a Filter between the two Window operators)
+    assert(p.contains("hashpartitioning(lang"), s"expected keyed windows:\n$p")
+    val lines = p.linesIterator.toVector
+    val w1 = lines.indexWhere(l => l.contains("Window") && l.contains("salt"))
+    val w2 = lines.lastIndexWhere(l => l.contains("Window") && !l.contains("salt"))
+    assert(w1 >= 0 && w2 >= 0 && w2 < w1,
+      s"expected the global rank window ABOVE the salted window:\n$p")
+    val cut = lines.slice(w2, w1).exists(_.contains("r1"))
+    assert(cut, s"phase-2 window must consume only phase-1 survivors (r1 filter):\n$p")
+  }
+
+  test("chunking is row-local: no hash exchange below the contract sort") {
+    val p = plan("text_chunking")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunk explode must not shuffle:\n$p")
+    assert(p.contains("Generate explode"), s"expected the chunk-grid explode:\n$p")
+  }
 }
