@@ -272,13 +272,15 @@ object EngineBench {
     // SPARK_GRAFT_ENGINE_SOAK16_SITES=0.
     val soak16Sites = sys.env.getOrElse("SPARK_GRAFT_ENGINE_SOAK16_SITES",
       (sites * 16).toString).toInt
-    // three batches: the first absorbs stream startup, the ratio takes
-    // the MIN of the remaining two — a single ambient-load hiccup on the
-    // one-and-only spot batch was able to push the committed ratio to
-    // the edge of its bound (1.47 of 1.5 in the r10 interim run)
+    // four batches: the first absorbs stream startup, the ratio takes
+    // the MIN of the remaining three — a single ambient-load hiccup on
+    // the one-and-only spot batch pushed one committed ratio to 1.56,
+    // and with only two steady samples a loaded segment still reached
+    // 1.68 while the soak denominator gets seven chances at its true
+    // min; three steady spot batches narrow that sampling asymmetry
     val spot16Secs: Vector[Double] =
       if (soak16Sites <= 0 || soakSites <= 0) Vector.empty
-      else denseSpot(spark, soak16Sites, tail.size / 8, batches = 3)
+      else denseSpot(spark, soak16Sites, tail.size / 8, batches = 4)
     if (spot16Secs.nonEmpty) sentinels += Sentinel.measureCpu(spark, 3, Sentinel.EngineRows)
 
     import scala.jdk.CollectionConverters._
