@@ -404,7 +404,8 @@ object Bench {
       "sparse_batch_median", "sparse_batch_min", "sparse_soak_ratio",
       "sparse_soak_ratio_min", "dense_soak_ratio", "dense_soak_ratio_min",
       "catchup_batch_median_soak", "catchup_batch_min_norm",
-      "sparse_batch_min_norm", "catchup_batch_16x_ratio", "soak16_sites", "sites")
+      "sparse_batch_min_norm", "catchup_batch_16x_ratio",
+      "catchup_batch_16x_ratio_norm", "soak16_sites", "sites")
     def engField(json: String, k: String): Option[Double] =
       ("\"" + k + "\":(-?[0-9][0-9.eE+-]*)").r.findFirstMatchIn(json)
         .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)

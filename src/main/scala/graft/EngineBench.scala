@@ -323,6 +323,19 @@ object EngineBench {
     val ratio16 =
       if (spot16Steady.isEmpty || mn(steady) == 0.0) 0.0
       else mn(spot16Steady) / mn(steady)
+    // sentinel-normalized companion: the raw ratio divides two segments
+    // measured MINUTES apart (base steady early, spot last), so a host-
+    // load shift between them lands entirely in the ratio — a measured
+    // run printed raw 2.07 while the cpu sentinel moved 0.085 → 0.132
+    // (normalized: 1.33). Each side divides by its ADJACENT sentinel
+    // (index 1 sits right after the base segments, the last one right
+    // after the spot), the same correction every *_norm field applies.
+    val ratio16Norm = {
+      val sBase = sentinels.lift(1).getOrElse(0.0)
+      val sSpot = if (spot16Secs.nonEmpty) sentinels.lastOption.getOrElse(0.0) else 0.0
+      if (spot16Steady.isEmpty || mn(steady) == 0.0 || sBase <= 0 || sSpot <= 0) 0.0
+      else (mn(spot16Steady) / sSpot) / (mn(steady) / sBase)
+    }
     s"""{"backfill_sec":$backfillSec,"backfill_events":${evts.size},""" +
       s""""catchup_events_per_sec":${f1(eps)},""" +
       s""""catchup_tail_events":${tail.size},"catchup_sec":$catchupSec,""" +
@@ -344,6 +357,7 @@ object EngineBench {
       s""""catchup_batch_min_soak":${f2(mn(denseSoakSteady))},""" +
       s""""catchup_batch_secs_16x":${arr(spot16Secs)},""" +
       s""""catchup_batch_16x_ratio":${f2(ratio16)},""" +
+      s""""catchup_batch_16x_ratio_norm":${f2(ratio16Norm)},""" +
       s""""soak16_sites":${if (spot16Secs.isEmpty) 0 else soak16Sites},""" +
       s""""soak_sites":$soakSites,"sparse_soak_ratio":${f2(soakRatio)},""" +
       s""""sparse_soak_ratio_min":${f2(soakRatioMin)},""" +

@@ -356,6 +356,30 @@ object EventFold {
           .otherwise(0).cast("int"))
   }
 
+  /** evt_type_markov: event-type transition matrix — counts of each
+    * (previous type → type) bigram over per-user ordered streams, plus
+    * how many distinct users exhibit the transition. The first-order
+    * sequence model of behavioral analytics (and the n-gram LM shape
+    * over an event alphabet). Scale: one hash shuffle on user_id for
+    * the lag window, then a map-side-combined aggregate over ≤ |types|²
+    * groups.
+    */
+  def typeTransitions(spark: SparkSession, dir: String): DataFrame =
+    typeTransitionsOf(Tables.events(spark, dir))
+      .orderBy(col("prev_type"), col("event_type"))
+
+  /** Core over any `(event_id, user_id, event_type)` frame — split out
+    * so the bigram rules (per-user streams don't bleed into each other;
+    * each user's first event starts no transition) are property-testable
+    * against a naive sliding-pair model. */
+  private[graft] def typeTransitionsOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** evt_type_pivot: per-user wide counts by event type — the dispatch
     * table pivoted (one pass, conditional sums; the shape a 28-type
     * dispatcher compiles to). */
@@ -447,7 +471,8 @@ object EventFold {
     "evt_hop_walk2" -> hopWalk2,
     "evt_json_extract" -> jsonExtract,
     "evt_rate_limit" -> rateLimit,
-    "evt_funnel" -> funnel)
+    "evt_funnel" -> funnel,
+    "evt_type_markov" -> typeTransitions)
 
   val oracleSql: Map[String, String] = Map(
     "evt_window_counts" ->
@@ -643,5 +668,14 @@ object EventFold {
         |            WHEN v.view_id IS NOT NULL THEN 2
         |            WHEN s.signup_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage
         |FROM u LEFT JOIN s USING (user_id) LEFT JOIN v USING (user_id)
-        |  LEFT JOIN p USING (user_id)""".stripMargin)
+        |  LEFT JOIN p USING (user_id)""".stripMargin,
+    "evt_type_markov" ->
+      """SELECT prev_type, event_type,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+        |  FROM events) t
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type""".stripMargin)
 }

@@ -407,6 +407,35 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ann_knn_classify: k-NN label voting — each query vector takes the
+    * majority label of its exact top-10 cosine neighbors (tie → smaller
+    * label; the integer-quantized dot makes the neighbor set itself
+    * engine-portable). The classification/annotation primitive layered
+    * on similarity search — weak labeling, deduplicated-class
+    * propagation, eval-set sanity checks. Scale shape: reuses
+    * [[graft.pipeline.Vectors.bruteForceTopK]]'s broadcast-queries plan
+    * (swap in lshTopK/ivfTopK for the approximate scale path — the vote
+    * is agnostic to how neighbors were found); the vote itself operates
+    * on the top-k frame (|queries| × 10 rows), joined to labels on the
+    * neighbor id and collapsed by one rank window over ≤ |queries| ×
+    * |labels| aggregated rows.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    val topk = Vectors.bruteForceTopK(e, q => q % 100 === 0, 10)
+    val labels = e.select(col("vec_id").as("neighbor_id"), col("label"))
+    val votes = topk.join(labels, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    votes.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("n_votes"))
+      .orderBy(col("query_id"))
+  }
+
   /** ann_lsh_topk: LSH-bucketed approximate top-10 for the same query set
     * — 4 hyperplanes × 4 independent tables (recall managed by table
     * count — see [[Vectors.lshTopK]]); rows-only (seeded hyperplanes);
@@ -1073,6 +1102,7 @@ object Pipeline {
     "text_langid" -> langId,
     "text_fingerprint" -> fingerprints,
     "ann_brute_topk" -> annBrute,
+    "ann_knn_classify" -> knnClassify,
     "ann_lsh_topk" -> annLsh,
     "ann_ivf_topk" -> annIvf,
     "ann_lsh_recall" -> annLshRecall,
@@ -1492,6 +1522,32 @@ object Pipeline {
         |SELECT query_id, neighbor_id, CAST(sim_q AS BIGINT) AS sim_q, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim_q DESC, neighbor_id) AS INT) AS rank
         |  FROM scored) t WHERE rank <= 10""".stripMargin,
+    "ann_knn_classify" ->
+      // the ann_brute_topk CTE extended by a label join and a majority
+      // vote (tie -> smaller label)
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id % 100 = 0
+        |), c AS (
+        |  SELECT vec_id AS neighbor_id, label,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT query_id, neighbor_id, label,
+        |    list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2])) AS sim_q
+        |  FROM q, c WHERE query_id <> neighbor_id
+        |), topk AS (
+        |  SELECT query_id, label FROM (
+        |    SELECT query_id, label,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY sim_q DESC, neighbor_id) AS rank
+        |    FROM scored) t WHERE rank <= 10
+        |), votes AS (
+        |  SELECT query_id, label, count(*) AS n_votes FROM topk GROUP BY 1, 2
+        |)
+        |SELECT query_id, label AS pred_label, n_votes FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label) AS r
+        |  FROM votes) v WHERE r = 1""".stripMargin,
     // recall CONTRACTS for the seeded ANN variants (VERDICT r5 #4): the
     // oracle pins the query-set size and the expectation that mean
     // recall@10 vs exact brute force clears the floor — the recall itself

@@ -82,4 +82,22 @@ class EventFoldSpec extends SparkTestBase {
     }.toSet
     assert(got === expected)
   }
+
+  test("type-transition parity with a naive per-user sliding-pair model") {
+    val evGen = Gen.zip(Gen.choose(1L, 6L), Gen.oneOf("a", "b", "c"))
+    val evs = Gen.listOfN(150, evGen).sample.get.zipWithIndex.map {
+      case ((u, t), i) => (i.toLong, u, t)
+    }
+    val got = EventFold.typeTransitionsOf(evs.toDF("event_id", "user_id", "event_type"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val expected = evs.groupBy(_._2).toSeq.flatMap { case (u, rows) =>
+      rows.sortBy(_._1).map(_._3).sliding(2).collect {
+        case Seq(p, c) => (p, c, u)
+      }
+    }.groupBy { case (p, c, _) => (p, c) }.map { case ((p, c), hits) =>
+      (p, c, hits.size.toLong, hits.map(_._3).distinct.size.toLong)
+    }.toSet
+    assert(got === expected)
+  }
 }
