@@ -14,9 +14,13 @@ class CacheHygieneSpec extends SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
 
   // the operators that persist internally (minhash buckets, cluster edge
-  // frames, the shared keepBase scan) plus a plain one as control
+  // frames, the shared keepBase scan) plus a plain one as control;
+  // r10 additions: the iterative BFS (whose caching variants were
+  // measured and rejected — this pins that no persist crept back), the
+  // heaviest kernel join, and two of the new wave
   private val covered = Seq("dedup_minhash_lsh", "dedup_clusters",
-    "dedup_best_rep", "pipeline_keep", "contamination_ngram")
+    "dedup_best_rep", "pipeline_keep", "contamination_ngram",
+    "graph_khop", "dedup_editdist", "ann_knn_classify", "text_chunking")
 
   covered.foreach { name =>
     test(s"$name releases every cached block it created") {
