@@ -281,11 +281,19 @@ object EventFold {
     * presence/count, exact integer sum, max, and a threshold count. Scale
     * shape: parse is row-local and scan-fused; the aggregate is one hash
     * shuffle with map-side combine over |event_type| groups.
+    *
+    * `k` is extracted as STRING and `try_cast` to BIGINT so the coercion
+    * matches the oracle's `TRY_CAST(json_extract_string(...))` exactly on
+    * every payload shape (ADVICE r10): a string-encoded `"12"` coerces to
+    * 12 on both sides, a fractional `50.5` becomes NULL on both sides —
+    * parity no longer depends on the generator emitting pure JSON
+    * integers.
     */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val k = from_json(col("props"),
-      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k")
+      org.apache.spark.sql.types.StructType.fromDDL("k STRING")).getField("k")
+      .try_cast("BIGINT")
     ev.select(col("event_type"), k.as("k"))
       .groupBy(col("event_type"))
       .agg(
@@ -632,12 +640,14 @@ object EventFold {
         |  CAST(generate_subscripts(walk, 1) AS INT) AS seq_no
         |FROM r2""".stripMargin,
     "evt_json_extract" ->
+      // TRY_CAST on both sides (ADVICE r10): string-encoded integers
+      // coerce, non-integral payloads go NULL instead of hard-erroring
       """SELECT event_type,
         |  count(*) AS n_events,
-        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
-        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-        |  CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        |  count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+        |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_high
         |FROM events GROUP BY event_type""".stripMargin,
     "evt_rate_limit" ->

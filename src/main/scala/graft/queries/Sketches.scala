@@ -109,14 +109,19 @@ object Sketches {
 
   /** sketch_cms: count-min frequency sketch — exact per-type counts (the
     * oracle rows) plus the CMS guarantee contract: a count-min estimate
-    * NEVER undercounts (`est ≥ exact`, a hard property of min-of-counters)
-    * and overcounts by at most ε·N with confidence 1−δ (seeded → the draw
-    * is deterministic per dataset). The sketch is built by
-    * `DataFrameStatFunctions.countMinSketch` — a mergeable treeAggregate of
-    * fixed-size counter arrays, the 100 TB path for frequency queries over
-    * unbounded key domains where an exact groupBy's shuffle width is the
-    * bottleneck; the estimate lookup runs as a closure-captured call on
-    * the already-aggregated ~|types| rows, not on the event stream.
+    * NEVER undercounts (`est ≥ exact`, a hard property of min-of-counters).
+    * The ε·N overcount bound holds only with confidence 1−δ, so it is NOT
+    * gated here (ADVICE r10: a dataset/scale/seed change could flip a
+    * probabilistic event and fail the correctness gate with no code bug);
+    * [[graft.queries.SketchesSpec]]-level checks cover it on fixed data.
+    * The sketch is built by `DataFrameStatFunctions.countMinSketch` — a
+    * mergeable treeAggregate of fixed-size counter arrays, the 100 TB path
+    * for frequency queries over unbounded key domains where an exact
+    * groupBy's shuffle width is the bottleneck; the estimate lookup runs
+    * as a closure-captured call on the already-aggregated ~|types| rows,
+    * not on the event stream. Bench note: `stat.countMinSketch` is an
+    * EAGER full-scan action at DataFrame-construction time — this query's
+    * timed cost includes that build pass by design (it IS the operator).
     */
   def cmsContract(spark: SparkSession, dir: String): DataFrame =
     cmsContractOf(Tables.events(spark, dir).select(col("event_type")))
@@ -127,12 +132,12 @@ object Sketches {
     val keyCol = ev.columns.head
     val sketch = ev.stat.countMinSketch(keyCol, eps = 0.001, confidence = 0.99, seed = 42)
     val est = udf((s: String) => sketch.estimateCount(s))
-    val total = sketch.totalCount()
+    // cms_ok gates ONLY the deterministic never-undercounts theorem; the
+    // probabilistic ε·N bound is deliberately not part of the hashed output
     ev.groupBy(col(keyCol)).agg(count(lit(1)).as("n_events"))
       .withColumn("__est", est(col(keyCol)))
       .select(col(keyCol), col("n_events"),
-        (col("__est") >= col("n_events") &&
-          col("__est") <= col("n_events") + ceil(lit(0.001 * total))).as("cms_ok"))
+        (col("__est") >= col("n_events")).as("cms_ok"))
       .orderBy(col(keyCol))
   }
 

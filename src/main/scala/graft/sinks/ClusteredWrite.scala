@@ -19,13 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object ClusteredWrite {
 
-  /** Write `df` clustered by `key` into `outDir`. Returns the cluster
-    * key column name used, for callers that want to inspect the layout. */
+  /** Write `df` clustered by `key` into `outDir`. The computed key is
+    * PERSISTED alongside the data (layout audits — and parquet min/max
+    * pruning on the key itself — read it straight from the output); its
+    * column name is uniquified against the input schema so a pre-existing
+    * user column is never clobbered, and returned so callers can find it. */
   def writeClustered(df: DataFrame, key: Column, outDir: String,
-      numRanges: Int, maxRecordsPerFile: Long = 1000000L): Unit =
-    df.withColumn("_cluster_key", key)
-      .repartitionByRange(numRanges, col("_cluster_key"))
-      .sortWithinPartitions(col("_cluster_key"))
+      numRanges: Int, maxRecordsPerFile: Long = 1000000L): String = {
+    val keyName = Iterator.iterate("_cluster_key")("_" + _)
+      .dropWhile(df.columns.contains).next()
+    df.withColumn(keyName, key)
+      .repartitionByRange(numRanges, col(keyName))
+      .sortWithinPartitions(col(keyName))
       .write.option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite").parquet(outDir)
+    keyName
+  }
 }

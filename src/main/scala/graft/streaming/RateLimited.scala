@@ -36,14 +36,27 @@ object RateLimited {
     override def handleInputRows(key: String, rows: Iterator[AdmitEvent],
         timerValues: TimerValues): Iterator[Admitted] = {
       var n = if (nAdmitted.exists()) nAdmitted.get() else 0
-      // apply in seq order inside the batch — same in-order rule as the
-      // projector's LwwProcessor — so chunking never reorders admission
-      val out = Vector.newBuilder[Admitted]
-      rows.toSeq.sortBy(_.seq).foreach { e =>
-        if (n < max) { n += 1; out += Admitted(key, e.seq, n) }
+      // Admission applies in seq order inside the batch — same in-order
+      // rule as the projector's LwwProcessor — so chunking never reorders
+      // admission. Only the `max − n` SMALLEST seqs can be admitted, so a
+      // bounded max-heap of that size replaces the full per-key sort
+      // (ADVICE r10): O(batch) time, O(max) memory — a hot key's entire
+      // micro-batch is never materialized in executor memory.
+      val remaining = max - n
+      if (remaining <= 0) {
+        rows.foreach(_ => ()) // drain: the iterator contract is consume-all
+        Iterator.empty
+      } else {
+        val heap = scala.collection.mutable.PriorityQueue.empty[Long](Ordering.Long)
+        rows.foreach { e =>
+          if (heap.size < remaining) heap.enqueue(e.seq)
+          else if (e.seq < heap.head) { heap.dequeue(); heap.enqueue(e.seq); () }
+        }
+        // dequeueAll yields descending for a max-heap; reverse → seq order
+        val out = heap.dequeueAll.reverse.map { s: Long => n += 1; Admitted(key, s, n) }
+        nAdmitted.update(n)
+        out.iterator
       }
-      nAdmitted.update(n)
-      out.result().iterator
     }
   }
 

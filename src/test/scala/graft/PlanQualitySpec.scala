@@ -157,14 +157,16 @@ class PlanQualitySpec extends SparkTestBase {
       s"dense-grid join must stay an equi join:\n$p")
   }
 
-  test("bloom semi join prefilters the fact side below the exact join") {
+  test("bloom semi join prefilters the fact side below the exact join, no UDF") {
     val p = plan("q12_bloom_semi")
-    // the UDF prefilter must sit on the lineitem branch (below the semi
-    // join), so the fact shuffle carries candidates only
+    // the codegen'd probe must sit on the lineitem branch (below the semi
+    // join), so the fact shuffle carries candidates only — and it must be
+    // the native expression, not a codegen-fencing boxed UDF (VERDICT r10)
     val semiIdx = p.indexOf("LeftSemi")
-    val udfIdx = p.indexOf("UDF(l_orderkey")
-    assert(semiIdx >= 0 && udfIdx > semiIdx,
-      s"expected bloom UDF filter below the semi join:\n$p")
+    val probeIdx = p.indexOf("bloom_might_contain(l_orderkey")
+    assert(semiIdx >= 0 && probeIdx > semiIdx,
+      s"expected bloom probe filter below the semi join:\n$p")
+    assert(!p.contains("UDF"), s"bloom probe must not plan as a UDF:\n$p")
   }
 
   test("funnel runs on ONE user-keyed hash exchange: windows chain and the collapse reuses it") {

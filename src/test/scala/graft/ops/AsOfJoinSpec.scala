@@ -38,11 +38,20 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out.forall(row => row.isNullAt(3) && row.isNullAt(4)))
   }
 
-  test("right ties on (key, ord) resolve to the greatest payload struct") {
+  test("right ties on (key, ord) resolve deterministically (greatest payload hash)") {
+    import org.apache.spark.sql.functions._
     val l = leftDf(Seq(("a", 5L, "x")))
     val r = rightDf(Seq(("a", 5L, 1.0), ("a", 5L, 9.0), ("a", 5L, 3.0)))
+    // the documented rule: greatest xxhash64 of the payload struct wins
+    val expected = r.select(struct(col("rord"), col("rval")).as("p"))
+      .withColumn("h", xxhash64(col("p")))
+      .orderBy(col("h").desc).limit(1)
+      .select(col("p").getField("rval")).collect().head.getDouble(0)
     val out = AsOfJoin.asofBackward(l, r, Seq("k"), "ord", "rord").collect()
-    assert(out.head.getDouble(4) === 9.0)
+    assert(out.head.getDouble(4) === expected)
+    // stable under a different physical layout of the right side
+    val out2 = AsOfJoin.asofBackward(l, r.repartition(7), Seq("k"), "ord", "rord").collect()
+    assert(out2.head.getDouble(4) === expected)
   }
 
   test("map-typed payloads skip the struct tie-break instead of failing analysis") {

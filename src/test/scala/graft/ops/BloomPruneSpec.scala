@@ -45,6 +45,25 @@ class BloomPruneSpec extends SparkTestBase {
     assert(e.getMessage.contains("bloom prefilter supports"))
   }
 
+  test("string probe binary path ≡ mightContainString, incl. non-ASCII") {
+    import spark.implicits._
+    // the codegen probe calls mightContainBinary(utf8.getBytes); pin its
+    // equivalence to the build side's putString hashing on multi-byte data
+    val keys = Seq("héllo", "日本語", "emoji-🙂", "plain", "ßpecial")
+    val d = keys.toDF("dk")
+    val bloom = BloomPrune.buildFilter(d, "dk", 100)
+    keys.foreach(k => assert(bloom.mightContainString(k), s"build missing $k"))
+    val probeSet = (keys ++ Seq("absent-ascii", "absénte", "中文不在")).toDF("fk")
+    val admitted = BloomPrune.prefilter(probeSet, "fk", bloom)
+      .collect().map(_.getString(0)).toSet
+    assert(keys.toSet.subsetOf(admitted),
+      s"binary probe path dropped a true member: $admitted")
+    // expression semantics mirror mightContainString exactly, member or not
+    probeSet.collect().map(_.getString(0)).foreach { k =>
+      assert(admitted.contains(k) === bloom.mightContainString(k), k)
+    }
+  }
+
   test("prefilter admits every true match and prunes most non-matches") {
     val bloom = BloomPrune.buildFilter(dims, "dk", expectedItems = 1000, fpp = 0.01)
     val admitted = BloomPrune.prefilter(facts, "fk", bloom)

@@ -19,8 +19,22 @@ class ClusteredWriteSpec extends SparkTestBase {
     val df = rows.toDF("x", "y")
     val out = java.nio.file.Files.createTempDirectory("clustered_write").toString
     try {
-      ClusteredWrite.writeClustered(df,
+      val keyName = ClusteredWrite.writeClustered(df,
         ZOrder.zOrder(col("x"), col("y"), 8), out, numRanges = 8)
+      assert(keyName === "_cluster_key")
+      // a pre-existing user column of that name is preserved, not clobbered
+      val out2 = java.nio.file.Files.createTempDirectory("clustered_write2").toString
+      try {
+        val clash = df.withColumn("_cluster_key", lit(7L))
+        val k2 = ClusteredWrite.writeClustered(clash,
+          ZOrder.zOrder(col("x"), col("y"), 8), out2, numRanges = 2)
+        assert(k2 === "__cluster_key")
+        val back2 = spark.read.parquet(out2)
+        assert(back2.columns.toSet === Set("x", "y", "_cluster_key", "__cluster_key"))
+        assert(back2.select("_cluster_key").distinct().collect().map(_.getLong(0)).toSeq === Seq(7L))
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out2))
+      }
 
       val back = spark.read.parquet(out)
       // exact round trip of the data columns
