@@ -35,6 +35,88 @@ class GraphSpec extends SparkTestBase {
       Set(("a", "a", 0), ("a", "b", 1), ("a", "c", 2)))
   }
 
+  private def runConverged(edges: Seq[(String, String)], sources: Seq[String],
+      maxK: Int, every: Int = 4) =
+    Graph.kHopLevelsConverged(
+        edges.toDF("a", "b"),
+        sources.toDF("src"), maxK, checkpointEvery = every)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+
+  // chain n0->n1->...->n19 ⊕ disjoint 6-clique c0..c5 (VERDICT r10 #3)
+  private val chainCliqueEdges: Seq[(String, String)] = {
+    val chain = (0 until 19).map(i => (s"n$i", s"n${i + 1}"))
+    val clique = for {
+      i <- 0 until 6; j <- 0 until 6 if i != j
+    } yield (s"c$i", s"c$j")
+    chain ++ clique
+  }
+
+  /** Naive driver-side BFS — the independent model for large-k cases.
+    * (Comparing against the UNROLLED kHopLevels at k=16 is exactly what
+    * the converged variant exists to avoid: the 16-deep self-joined plan
+    * sends the analyzer's relation-dedup into minutes of rewrite work.) */
+  private def naiveBfs(edges: Seq[(String, String)], sources: Seq[String],
+      k: Int): Set[(String, String, Int)] = {
+    val adj = edges.groupBy(_._1).map { case (u, v) => (u, v.map(_._2)) }
+    sources.flatMap { s =>
+      var levels = Map(s -> 0)
+      var frontier = Set(s)
+      var h = 1
+      while (h <= k && frontier.nonEmpty) {
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .filterNot(levels.contains)
+        levels ++= frontier.map(_ -> h)
+        h += 1
+      }
+      levels.map { case (node, hop) => (s, node, hop) }
+    }.toSet
+  }
+
+  test("converged BFS at k=16 on chain ⊕ clique matches naive BFS levels") {
+    val sources = Seq("n0", "c0")
+    assert(runConverged(chainCliqueEdges, sources, 16) ===
+      naiveBfs(chainCliqueEdges, sources, 16))
+  }
+
+  test("converged BFS early-stops on frontier exhaustion at huge maxK") {
+    // chain depth 19, clique depth 1: with maxK=1000 the loop must stop
+    // at level 20 (empty frontier), not run 1000 joins — the test
+    // completing in seconds IS the early-stop evidence, and the result
+    // must be the full reachability closure
+    val expected =
+      (0 to 19).map(i => ("n0", s"n$i", i)).toSet ++
+        Set(("c0", "c0", 0)) ++ (1 to 5).map(i => ("c0", s"c$i", 1)).toSet
+    assert(runConverged(chainCliqueEdges, Seq("n0", "c0"), 1000) === expected)
+  }
+
+  test("converged BFS plan depth stays bounded by the checkpoint interval") {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    def depth(p: LogicalPlan): Int =
+      if (p.children.isEmpty) 1 else 1 + p.children.map(depth).max
+    def planDepthAt(maxK: Int): Int = {
+      val out = Graph.kHopLevelsConverged(
+        chainCliqueEdges.toDF("a", "b"),
+        Seq("n0").toDF("src"), maxK, checkpointEvery = 4)
+      depth(out.queryExecution.optimizedPlan)
+    }
+    val d8 = planDepthAt(8)
+    val d19 = planDepthAt(1000) // converges at depth 19
+    // 11 more BFS levels must not add ~11 joins of depth to the plan:
+    // every 4th level re-roots `visited` onto a flat LogicalRDD
+    assert(d19 <= d8 + 4,
+      s"plan depth grew with graph diameter: k=8 -> $d8, k=19 -> $d19")
+  }
+
+  test("randomized parity between converged and unrolled BFS at small k") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(150)((s"m${rnd.nextInt(35)}", s"m${rnd.nextInt(35)}"))
+      .filter(e => e._1 != e._2).distinct
+    val sources = Seq("m0", "m5", "m11")
+    val unrolled = run(edges, sources, 3) // graph_khop's k
+    assert(runConverged(edges, sources, 3, every = 2) === unrolled)
+    assert(naiveBfs(edges, sources, 3) === unrolled)
+  }
+
   test("randomized parity with naive driver-side BFS") {
     val rnd = new scala.util.Random(19)
     val n = 40
