@@ -230,6 +230,82 @@ object Vectors {
       .filter(col("rank") <= k)
   }
 
+  /** Distributed Lloyd's over QUANTIZED vectors — the embedding
+    * pipeline's clustering primitive beyond [[trainCentroids]]' bounded
+    * driver-side IVF training pass (VERDICT r10 #9): here ASSIGNMENT and
+    * the centroid UPDATE aggregation both run distributed; the driver
+    * only syncs the k×dim centroid table between iterations (the
+    * classical Lloyd driver-sync, k·dim rows — bounded regardless of
+    * corpus size).
+    *
+    * All arithmetic is exact-integer over floor(x·1000) quantized
+    * components, with centroid means floor-divided ((s − pmod(s, n)) / n,
+    * the nonnegative-mod floor division both engines can express
+    * identically), so a DuckDB oracle reproduces every assignment and SSE
+    * bit-for-bit — the verify-gate trick the quantized-dot kernels
+    * already use. Ties (two centroids at equal distance) resolve to the
+    * smaller cluster id via the combined `d·k + cid` key.
+    *
+    * Scale shape per iteration: one row-local assignment pass (JIT'd UDF
+    * loop over the closure-captured k×dim centroid table — same pattern
+    * as [[centroidProbes]]) + one (cid, idx)-keyed aggregation with
+    * map-side combine (k·dim groups). The point set is cached across
+    * iterations and released before return.
+    *
+    * @return per-point final assignment: (idCol, cluster_id, dist_q) —
+    *         `dist_q` the quantized squared L2 distance to the assigned
+    *         centroid after the LAST assignment pass.
+    */
+  def kmeansQuantized(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && k <= 1000000 && iters >= 1, s"bad kmeans params k=$k iters=$iters")
+    val q = emb.select(col(idCol),
+      transform(col(vecCol), x => floor(x.cast("double") * lit(1000.0)).cast("long")).as("__v"))
+    q.persist()
+    try {
+      // deterministic seed: the k smallest ids (bounded collect: k rows)
+      var centroids: Array[(Long, Array[Long])] =
+        q.orderBy(col(idCol)).limit(k).collect().zipWithIndex
+          .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toArray) }
+      val kL = k.toLong
+      def assigned(cents: Array[(Long, Array[Long])]): DataFrame = {
+        val cs = cents // task-closure capture broadcasts the k×dim table
+        val combFn = udf { (v: Array[Long]) =>
+          var best = Long.MaxValue
+          cs.foreach { case (cid, cv) =>
+            var d = 0L; var i = 0; val n = math.min(v.length, cv.length)
+            while (i < n) { val t = v(i) - cv(i); d += t * t; i += 1 }
+            val comb = d * kL + cid
+            if (comb < best) best = comb
+          }
+          best
+        }
+        q.withColumn("__comb", combFn(col("__v")))
+          .withColumn("cluster_id", pmod(col("__comb"), lit(kL)))
+          .withColumn("dist_q",
+            ((col("__comb") - pmod(col("__comb"), lit(kL))) / lit(kL)).cast("long"))
+      }
+      for (_ <- 1 until iters) {
+        // centroid update: floor-divided element-wise means, one keyed
+        // aggregation; k·dim-row driver sync builds the next closure table
+        val upd = assigned(centroids)
+          .select(col("cluster_id"), posexplode(col("__v")).as(Seq("idx", "val")))
+          .groupBy(col("cluster_id"), col("idx"))
+          .agg(sum(col("val")).as("s"), count(lit(1)).as("cnt"))
+          .select(col("cluster_id"), col("idx"),
+            ((col("s") - pmod(col("s"), col("cnt"))) / col("cnt")).cast("long").as("cq"))
+          .collect()
+        centroids = upd.groupBy(_.getLong(0)).toArray.sortBy(_._1).map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray)
+        }
+      }
+      assigned(centroids).select(col(idCol), col("cluster_id"), col("dist_q"))
+    } finally {
+      q.unpersist()
+      ()
+    }
+  }
+
   /** Plane count sized to the corpus: log2(n / targetPerBucket), so
     * expected bucket occupancy — and the quadratic within-bucket pair
     * count — stays bounded as the corpus grows. Capped at

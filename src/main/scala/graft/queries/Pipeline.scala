@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Text, Vectors}
+import graft.pipeline.{Dedup, Multimodal, Text, Urls, Vectors}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -923,6 +923,83 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** contamination_substring: exact-substring decontamination — the
+    * standard benchmark-leak check that [[contaminationNgram]]'s
+    * set-overlap only approximates: does a corpus doc contain one of the
+    * probe (benchmark) set's W-token windows VERBATIM, token-aligned?
+    * Probe set: doc_id % 97 == 0, as in [[contaminationNgram]].
+    *
+    * Shape at scale — a hashed rolling-n-gram inverted index, never a
+    * suffix-array all-pairs: every distinct (doc, window) pair carries an
+    * 8-byte xxhash64 of the window; the join keys on the HASH, with
+    * string equality alongside so a collision can never miscount. The
+    * probe side is benchmark-sized (thousands of docs) → AQE broadcasts
+    * it and the corpus is never shuffled on the window. W=4 here (the
+    * synthetic docs average ~54 tokens; production decontamination runs
+    * W≈50 over real corpora — the shape is W-independent).
+    */
+  def contaminationSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val docW = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.shingles(col("text"), 4)).as("w"))
+      .distinct()
+    val probe = docW.filter(col("doc_id") % 97 === 0)
+      .select(col("w").as("pw")).distinct()
+      .withColumn("ph", xxhash64(col("pw")))
+    val corpus = docW.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("h", xxhash64(col("w")))
+    // probe is distinct on pw (ph is functional on it), so the left join
+    // preserves corpus cardinality: count(*) = windows, count(pw) = hits
+    corpus.join(probe, col("h") === col("ph") && col("w") === col("pw"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"), count(col("pw")).as("n_hits"))
+      .withColumn("contaminated", when(col("n_hits") > 0, 1).otherwise(0))
+      .select(col("doc_id"), col("n_windows"), col("n_hits"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** pipeline_url_canon: URL/host canonicalization over a deterministic
+    * synthetic URL per document (see [[graft.pipeline.Urls.syntheticUrl]]
+    * — the driver tables carry no URL column; the oracle replicates the
+    * synthesis verbatim so the hashed contract tests the canonicalization
+    * itself). Row-local string arithmetic, zero shuffle. */
+  def urlCanon(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("lang"))
+    Urls.withCanonical(d.withColumn("url", Urls.syntheticUrl), col("url"))
+      .select(col("doc_id"), col("host"), col("domain"), col("url_canon"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** pipeline_host_caps: per-registrable-domain document cap — every
+    * web-corpus pipeline's anti-domination filter (one host must not
+    * dominate the training mix). ONE hash shuffle keyed on the domain;
+    * rank order is doc_id (crawl priority stand-in), cap = 3. */
+  def hostCaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("lang"))
+    val canon = Urls.withCanonical(d.withColumn("url", Urls.syntheticUrl), col("url"))
+    val w = Window.partitionBy(col("domain")).orderBy(col("doc_id"))
+    canon.withColumn("host_rank", row_number().over(w).cast("int"))
+      .filter(col("host_rank") <= 3)
+      .select(col("doc_id"), col("domain"), col("host_rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ann_kmeans: exact-integer Lloyd's clustering contract
+    * ([[Vectors.kmeansQuantized]], VERDICT r10 #9) — per-cluster size and
+    * quantized SSE after 2 iterations from a deterministic seed (the 8
+    * smallest vec_ids). Every assignment, floor-divided centroid update
+    * and SSE term is exact integer math the DuckDB oracle reproduces
+    * bit-for-bit; the SSE-decrease property is additionally pinned in
+    * VectorsSpec (it is a theorem only up to centroid quantization, so it
+    * is spec-checked on fixed data, not gated in the hashed output). */
+  def annKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Vectors.kmeansQuantized(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_points"), sum(col("dist_q")).as("sse_q"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** text_repetition: degenerate-text detection — the fraction of a
     * document's 3-gram shingles that are repeats (1 − distinct/total),
     * quantized. The standard quality filter for looping/boilerplate text.
@@ -1089,6 +1166,10 @@ object Pipeline {
     "text_quality_buckets" -> qualityBuckets,
     "pack_sequences" -> packSequences,
     "contamination_ngram" -> contaminationNgram,
+    "contamination_substring" -> contaminationSubstring,
+    "pipeline_url_canon" -> urlCanon,
+    "pipeline_host_caps" -> hostCaps,
+    "ann_kmeans" -> annKmeans,
     "dedup_exact" -> dedupExact,
     "dedup_clusters" -> dedupClusters,
     "dedup_minhash_lsh" -> dedupMinhash,
@@ -1171,6 +1252,55 @@ object Pipeline {
       |  CAST(CASE WHEN floor(coalesce(shr.n_shared, 0) * 10000.0 / t.n_shingles) >= 5000
       |       THEN 1 ELSE 0 END AS INT) AS contaminated
       |FROM tot t LEFT JOIN shr USING (doc_id)""".stripMargin
+
+  /** Shared WITH-prefix ending in a `canon` CTE (doc_id, host, domain,
+    * url_canon): replicates [[graft.pipeline.Urls.syntheticUrl]] verbatim,
+    * then canonicalizes independently with DuckDB's own string/list ops. */
+  private val urlCanonOracle: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END) || '://' ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END) ||
+      |    source || 'site.' ||
+      |    (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'co.uk' END) ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END) ||
+      |    '/docs/' || lang || '/' || doc_id ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=' || (doc_id % 10) || '&a=' || (doc_id % 7)
+      |          WHEN doc_id % 3 = 1 THEN '?a=' || (doc_id % 7) || '&utm_campaign=x&b=' || (doc_id % 10)
+      |          ELSE '' END) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END) AS url
+      |  FROM documents
+      |), c2 AS (
+      |  SELECT doc_id,
+      |    regexp_extract(rest, '^[^/?]+') AS hostport,
+      |    substr(rest, length(regexp_extract(rest, '^[^/?]+')) + 1) AS pq
+      |  FROM (SELECT doc_id,
+      |          regexp_replace(string_split(url, '#')[1], '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      |        FROM u) c1
+      |), c3 AS (
+      |  SELECT doc_id,
+      |    regexp_replace(lower(string_split(hostport, ':')[1]), '^www\.', '') AS host,
+      |    regexp_replace(string_split(pq, '?')[1], '/$', '') AS path,
+      |    CASE WHEN contains(pq, '?') THEN string_split(pq, '?')[2] ELSE '' END AS query
+      |  FROM c2
+      |), c4 AS (
+      |  SELECT doc_id, host, path,
+      |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+      |      x -> NOT starts_with(x, 'utm_') AND x <> '')), '&') AS params,
+      |    string_split(host, '.') AS labels
+      |  FROM c3
+      |), canon AS (
+      |  SELECT doc_id, host,
+      |    CASE WHEN len(labels) >= 3
+      |          AND list_contains(['co','com','org','net','ac','gov'], labels[len(labels)-1])
+      |          AND length(labels[len(labels)]) = 2
+      |         THEN array_to_string(labels[len(labels)-2:], '.')
+      |         ELSE array_to_string(labels[len(labels)-1:], '.') END AS domain,
+      |    host || path || (CASE WHEN params <> '' THEN '?' || params ELSE '' END) AS url_canon
+      |  FROM c4
+      |)""".stripMargin
 
   private val qualityOracle: String = {
     val toks = "string_split_regex(trim(text), '\\s+')"
@@ -1390,6 +1520,77 @@ object Pipeline {
         |    - n_tokens) / 512.0) AS BIGINT) AS bin_id
         |FROM t""".stripMargin,
     "contamination_ngram" -> contaminationOracle,
+    // W=4 token windows; the hash join is a Spark-side optimization — the
+    // oracle joins on the window STRING directly (independent algorithm)
+    "contamination_substring" ->
+      """WITH sh0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         WHEN len(string_split_regex(trim(text), '\s+')) < 4
+        |           THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+        |         ELSE [array_to_string(string_split_regex(trim(text), '\s+')[i:i+3], ' ')
+        |               FOR i IN range(1, len(string_split_regex(trim(text), '\s+')) - 2)]
+        |    END AS shl
+        |  FROM documents
+        |), ds AS (
+        |  SELECT DISTINCT doc_id, unnest(shl) AS w FROM sh0
+        |), tot AS (
+        |  SELECT doc_id, count(*) AS n_windows FROM ds WHERE doc_id % 97 <> 0 GROUP BY 1
+        |), hit AS (
+        |  SELECT doc_id, count(*) AS n_hits FROM ds
+        |  WHERE doc_id % 97 <> 0
+        |    AND w IN (SELECT DISTINCT w FROM ds WHERE doc_id % 97 = 0)
+        |  GROUP BY 1
+        |)
+        |SELECT t.doc_id,
+        |  CAST(t.n_windows AS BIGINT) AS n_windows,
+        |  CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(CASE WHEN coalesce(hit.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+        |FROM tot t LEFT JOIN hit USING (doc_id)""".stripMargin,
+    "pipeline_url_canon" -> s"$urlCanonOracle\nSELECT doc_id, host, domain, url_canon FROM canon",
+    "pipeline_host_caps" ->
+      s"""$urlCanonOracle
+         |SELECT doc_id, domain, CAST(host_rank AS INT) AS host_rank FROM (
+         |  SELECT doc_id, domain,
+         |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS host_rank
+         |  FROM canon)
+         |WHERE host_rank <= 3""".stripMargin,
+    "ann_kmeans" ->
+      // independent re-derivation of the 2-iteration exact-integer Lloyd:
+      // quantize -> assign to seed centroids (8 smallest vec_ids) ->
+      // floor-divided elementwise means -> reassign -> per-cluster rollup
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v
+        |  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 8)
+        |), a1 AS (
+        |  SELECT vec_id, v, arg_min(cid, d * 8 + cid) AS cid FROM (
+        |    SELECT q.vec_id, q.v, c0.cid,
+        |      CAST(list_sum([ (q.v[i] - c0.v[i]) * (q.v[i] - c0.v[i])
+        |                      FOR i IN range(1, len(q.v) + 1) ]) AS BIGINT) AS d
+        |    FROM q CROSS JOIN c0)
+        |  GROUP BY vec_id, v
+        |), c1sum AS (
+        |  SELECT cid, idx, CAST(sum(val) AS BIGINT) AS s, count(*) AS cnt FROM (
+        |    SELECT cid, generate_subscripts(v, 1) AS idx, unnest(v) AS val FROM a1)
+        |  GROUP BY cid, idx
+        |), c1 AS (
+        |  SELECT cid, list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY idx) AS v
+        |  FROM c1sum GROUP BY cid
+        |), a2 AS (
+        |  SELECT vec_id, arg_min(cid, d * 8 + cid) AS cid, min(d) AS dmin FROM (
+        |    SELECT q.vec_id, c1.cid,
+        |      CAST(list_sum([ (q.v[i] - c1.v[i]) * (q.v[i] - c1.v[i])
+        |                      FOR i IN range(1, len(q.v) + 1) ]) AS BIGINT) AS d
+        |    FROM q CROSS JOIN c1)
+        |  GROUP BY vec_id
+        |)
+        |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_points,
+        |  CAST(sum(dmin) AS BIGINT) AS sse_q
+        |FROM a2 GROUP BY cid""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS n_dups

@@ -20,7 +20,11 @@ class CacheHygieneSpec extends SparkTestBase {
   // heaviest kernel join, and two of the new wave
   private val covered = Seq("dedup_minhash_lsh", "dedup_clusters",
     "dedup_best_rep", "pipeline_keep", "contamination_ngram",
-    "graph_khop", "dedup_editdist", "ann_knn_classify", "text_chunking")
+    "graph_khop", "dedup_editdist", "ann_knn_classify", "text_chunking",
+    // r11 additions: kmeans persists the quantized point set across Lloyd
+    // iterations; the other three as controls
+    "ann_kmeans", "contamination_substring", "pipeline_url_canon",
+    "pipeline_host_caps")
 
   covered.foreach { name =>
     test(s"$name releases every cached block it created") {

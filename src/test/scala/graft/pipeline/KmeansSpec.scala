@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** [[Vectors.kmeansQuantized]]: parity with a naive driver-side
+  * quantized Lloyd (same seed, same floor-div update, same tie rule),
+  * plus the SSE-decrease property across iterations on fixed data — the
+  * theorem holds for exact means and is spec-checked here because
+  * centroid quantization makes it only near-exact, so the driver gate
+  * never gates on it (see the ann_kmeans scaladoc). */
+class KmeansSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(31)
+  // 3 well-separated blobs in 4-D so the clustering is meaningful
+  private val points: Seq[(Long, Seq[Float])] = (0L until 90L).map { i =>
+    val center = (i % 3).toInt
+    val base = Array.fill(4)(center * 2.0 - 2.0)
+    (i, base.map(b => (b + rnd.nextGaussian() * 0.3).toFloat).toSeq)
+  }
+
+  private def naive(k: Int, iters: Int): Map[Long, (Long, Long)] = {
+    val q = points.map { case (id, v) =>
+      (id, v.map(x => math.floor(x.toDouble * 1000.0).toLong).toArray)
+    }
+    var cents: Array[(Long, Array[Long])] =
+      q.sortBy(_._1).take(k).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }.toArray
+    def assign(v: Array[Long]): (Long, Long) = {
+      var best = Long.MaxValue
+      cents.foreach { case (cid, cv) =>
+        var d = 0L; var i = 0
+        while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        val comb = d * k + cid
+        if (comb < best) best = comb
+      }
+      (best % k, best / k)
+    }
+    for (_ <- 1 until iters) {
+      val byCid = q.map { case (id, v) => (assign(v)._1, v) }.groupBy(_._1)
+      cents = byCid.toArray.sortBy(_._1).map { case (cid, vs) =>
+        val dim = vs.head._2.length
+        val cq = Array.tabulate(dim) { i =>
+          val s = vs.map(_._2(i)).sum
+          val cnt = vs.length.toLong
+          (s - (((s % cnt) + cnt) % cnt)) / cnt
+        }
+        (cid, cq)
+      }
+    }
+    q.map { case (id, v) => (id, assign(v)) }.toMap
+  }
+
+  test("distributed assignments and distances match the naive model exactly") {
+    val df = points.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val got = Vectors.kmeansQuantized(df, "vec_id", "embedding", k = 3, iters = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got === naive(3, 3))
+  }
+
+  test("SSE is non-increasing across Lloyd iterations on this data") {
+    val df = points.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val sses = (1 to 4).map { iters =>
+      Vectors.kmeansQuantized(df, "vec_id", "embedding", k = 3, iters = iters)
+        .agg(sum(col("dist_q"))).collect().head.getLong(0)
+    }
+    sses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"SSE increased across an iteration: $sses")
+    }
+    // and the blobs actually separate: 3 non-empty clusters
+    val nClusters = Vectors.kmeansQuantized(df, "vec_id", "embedding", 3, 3)
+      .select(col("cluster_id")).distinct().count()
+    assert(nClusters === 3L)
+  }
+}

@@ -54,6 +54,36 @@ class PipelineSpec extends SparkTestBase {
       assert(flag === (if (q >= 5000) 1 else 0))
     }
 
+    // exact-substring contamination: probe docs never appear; hits never
+    // exceed windows; flag == (hits > 0); and a hit implies the window
+    // really is a verbatim token-aligned substring of some probe doc
+    val probeTexts = graft.Tables.documents(spark_, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0)
+      .select("text").collect().map(_.getString(0).trim.split("\\s+").mkString(" "))
+    val sub = graft.queries.Pipeline.contaminationSubstring(spark_, dir).collect()
+    assert(sub.nonEmpty)
+    sub.foreach { r =>
+      val (id, windows, hits, flag) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+      assert(id % 97 != 0, s"probe doc $id in corpus output")
+      assert(hits <= windows && windows > 0)
+      assert(flag === (if (hits > 0) 1 else 0))
+    }
+    val corpusTexts = graft.Tables.documents(spark_, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 97 =!= 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+")))
+      .toMap
+    sub.filter(_.getLong(2) > 0).foreach { r =>
+      val toks = corpusTexts(r.getLong(0))
+      val windows =
+        if (toks.length < 4) Seq(toks.mkString(" "))
+        else toks.sliding(4).map(_.mkString(" ")).toSeq
+      assert(windows.exists(w => probeTexts.exists(p =>
+          p == w || p.startsWith(w + " ") || p.endsWith(" " + w) || p.contains(" " + w + " "))),
+        s"doc ${r.getLong(0)} flagged but no token-aligned probe substring found")
+    }
+
     // repetition: quantized ratio consistent with its own counts
     graft.queries.Pipeline.textRepetition(spark_, dir).collect().foreach { r =>
       val (total, distinct, q) = (r.getInt(1), r.getInt(2), r.getLong(3))
