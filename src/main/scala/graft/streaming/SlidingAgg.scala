@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+/** Streaming trailing-window rolling aggregate — the batch RANGE-frame
+  * operator ([[graft.queries.EventFold]] `evt_sliding_agg`) in continuous
+  * form (VERDICT r10 #7: sessions/rate-limit/dedup/interval-join all had
+  * streaming twins; the moving-feature primitive did not). Per key and
+  * per event: the count and exact value-sum (integer cents) of that key's
+  * events whose event time falls in the trailing `spanUs` window,
+  * INCLUSIVE of same-timestamp peers — identical to the batch
+  * `rangeBetween(-(span-1), currentRow)` frame.
+  *
+  * Scale shape: one keyed-state shuffle (`transformWithState`, the same
+  * Spark 4 API the projector's CDC processors use); state per key is a
+  * time-ordered buffer of (ts, cents) pairs EVICTED at window span — the
+  * newest event's ts minus `spanUs` — so state is bounded by span ×
+  * per-key arrival rate, never by history. Entries append in event-time
+  * order (the in-order feed contract every twin shares, `Worker.cs:32`
+  * -style), so eviction is a prefix drop and the stored list never
+  * re-sorts.
+  *
+  * In-order contract (SlidingAggStreamSpec pins it): the feed is globally
+  * ts-ordered and a micro-batch boundary never splits a same-timestamp
+  * peer group — the batch frame lets equal-ts events see EACH OTHER, so
+  * an event emitted before its peer arrived could never match the batch
+  * answer under a peer-splitting chunking.
+  */
+object SlidingAgg {
+
+  /** One event: `cents` carries the value as exact integer cents (the
+    * batch operator's DECIMAL(18,2) sum in integer form). */
+  case class SlideEvent(key: String, eventId: Long, tsUs: Long, cents: Long)
+  case class SlideAgg(key: String, eventId: Long, n: Long, sumCents: Long)
+  private case class BufEntry(tsUs: Long, cents: Long)
+
+  private class SlidingProcessor(spanUs: Long)
+      extends StatefulProcessor[String, SlideEvent, SlideAgg] {
+    @transient private var buf: ListState[BufEntry] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[BufEntry]("buf",
+        Encoders.product[BufEntry], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[SlideEvent],
+        timerValues: TimerValues): Iterator[SlideAgg] = {
+      // stored entries are ts-ordered (in-order feed); in-batch rows sort
+      // by (ts, eventId) so peer groups process together
+      val window = scala.collection.mutable.ArrayDeque.empty[BufEntry]
+      if (buf.exists()) buf.get().foreach(window.append)
+      val out = Vector.newBuilder[SlideAgg]
+      val batch = rows.toArray.sortBy(e => (e.tsUs, e.eventId))
+      var i = 0
+      while (i < batch.length) {
+        // peer group: every event sharing this ts enters the window FIRST
+        // (RANGE-frame peers include each other), then all emit together
+        val t = batch(i).tsUs
+        var j = i
+        while (j < batch.length && batch(j).tsUs == t) {
+          window.append(BufEntry(t, batch(j).cents))
+          j += 1
+        }
+        while (window.nonEmpty && window.head.tsUs <= t - spanUs)
+          window.removeHead()
+        val n = window.length.toLong
+        val s = window.foldLeft(0L)(_ + _.cents)
+        while (i < j) { out += SlideAgg(key, batch(i).eventId, n, s); i += 1 }
+      }
+      buf.clear()
+      if (window.nonEmpty) buf.appendList(window.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** Rolling (count, sum-of-cents) over the trailing `spanUs` per key.
+    * Works on a stream (buffer state crosses micro-batches) and, via the
+    * same call, on a batch Dataset. */
+  def rolling(events: Dataset[SlideEvent], spanUs: Long): Dataset[SlideAgg] = {
+    val spark: SparkSession = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key).transformWithState(new SlidingProcessor(spanUs),
+      TimeMode.None(), OutputMode.Append())
+  }
+}
