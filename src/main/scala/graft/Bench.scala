@@ -381,6 +381,19 @@ object Bench {
       "text_langid", "text_quality", "text_repetition", "text_token_stats")
     val r9MinSum = results.collect { case (n, _, m) if m >= 0 && r9Set(n) => m }.sum
     val r9N = results.count { case (n, _, m) => m >= 0 && r9Set(n) }
+    // Round-11 (VERDICT r10 #1) — the query suite's variance armor, the
+    // twin of the engine's min-of-runs protocol: each query is measured in
+    // TWO segments (parent suite + forked child), each segment carries its
+    // own mid-run cpu sentinel, so the headline longitudinal field is the
+    // SUM OVER QUERIES of min(parent_min/parent_sentinel,
+    // forked_min/forked_sentinel). A single loaded segment can no longer
+    // print a phantom round-over-round swing (r10's official single
+    // invocation showed +9% on the frozen set while the committed pair's
+    // minima showed −8%).
+    val forkedPerQuery: Map[String, Double] =
+      "\"([^\"]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(qsIso)
+        .map(m => m.group(1) -> scala.util.Try(m.group(2).toDouble).getOrElse(-1.0))
+        .toMap
     val forkedMins = "(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(
       qsIso.replaceAll("\"[^\"]*\"", "")).map(_.group(1).toDouble).filter(_ >= 0).toSeq
     val forkedMinSum = forkedMins.sum
@@ -396,6 +409,21 @@ object Bench {
       }
     def norm(sum: Double, mid: Option[Double]): String =
       mid.map(c => fmt(sum / c)).getOrElse("null")
+    // per-query min across both sentinel-normalized segments; a query
+    // missing from a segment (fork failure, -1 marker) falls back to the
+    // segment(s) that did measure it
+    def minRunNorm(name: String, parentMin: Double): Option[Double] = {
+      val p = parentMidCpu.collect { case c if parentMin >= 0 => parentMin / c }
+      val f = forkedMidCpu.flatMap(c =>
+        forkedPerQuery.get(name).collect { case v if v >= 0 => v / c })
+      (p.toSeq ++ f.toSeq).reduceOption(_ min _)
+    }
+    val minRunNorms: Seq[(String, Double)] =
+      results.flatMap { case (n, _, m) => minRunNorm(n, m).map(n -> _) }
+    val minRunNormSum = minRunNorms.map(_._2).sum
+    val minRunNormSumR9 = minRunNorms.collect { case (n, v) if r9Set(n) => v }.sum
+    val minRunN = minRunNorms.size
+    val minRunNR9 = minRunNorms.count(p => r9Set(p._1))
     // headline copies of the engine medians, lifted out of the nested
     // object so the compact line alone carries the round's engine story
     val engineKeys = Seq("backfill_sec", "catchup_events_per_sec",
@@ -437,6 +465,9 @@ object Bench {
       s""""queries_min_sum_r9set":${fmt(r9MinSum)},""" +
       s""""queries_min_norm_r9set":${norm(r9MinSum, parentMidCpu)},""" +
       s""""queries_n_r9set":$r9N,""" +
+      s""""queries_min_norm_minrun":${fmt(minRunNormSum)},""" +
+      s""""queries_min_norm_r9set_minrun":${fmt(minRunNormSumR9)},""" +
+      s""""queries_n_minrun":$minRunN,"queries_n_r9set_minrun":$minRunNR9,""" +
       s""""forked_n":${forkedMins.size},"forked_min_sum":${fmt(forkedMinSum)},""" +
       s""""forked_min_norm":${norm(forkedMinSum, forkedMidCpu)},""" +
       s""""sentinel":${Sentinel.json(sentinels)},""" +
