@@ -93,6 +93,32 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("substring contamination: probe side broadcast, equi join, no nested loop") {
+    val p = plan("contamination_substring")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"inverted-index join must stay an equi join:\n$p")
+    // the benchmark-sized probe side broadcasts; the hash join key is the
+    // aggregate-computed h/ph attr pair (xxhash64 folded into the agg)
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected a broadcast equi join on the window hash:\n$p")
+  }
+
+  test("url canonicalization is join-free row-local string arithmetic") {
+    val p = plan("pipeline_url_canon")
+    assert(!p.contains("Join"), s"canonicalization must not join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"canonicalization must not shuffle on a key:\n$p")
+  }
+
+  test("host caps run on exactly one domain-keyed hash exchange") {
+    val p = plan("pipeline_host_caps")
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange (the domain window):\n$p")
+    assert(!p.contains("Join"), s"host caps must not join:\n$p")
+  }
+
   test("as-of join plans as one keyed window pass, never a nested loop") {
     val p = plan("evt_asof_join")
     assert(!p.contains("BroadcastNestedLoopJoin"),
