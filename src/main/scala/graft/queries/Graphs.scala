@@ -41,8 +41,39 @@ object Graphs {
       .orderBy(col("src"), col("hop"))
   }
 
+  /** graph_reach_conv: FULL reachability closure per source — the
+    * unknown-depth traversal [[Graph.kHopLevelsConvergedReleasable]]
+    * drives to convergence (empty frontier), maxK far above any real
+    * diameter (this graph's is ~6; the loop stops there, not at 64). One
+    * shuffle join + one emptiness probe per actual level; lineage cut
+    * every 4 levels. The per-(source, level) rollup — bounded by
+    * |sources| × (diameter + 1) rows — is consumed EAGERLY so every
+    * checkpoint block releases before return (CacheHygieneSpec pins it);
+    * like sketch_cms, the timed cost sits at DataFrame construction by
+    * design. The oracle recurses the same closure with a hop bound above
+    * the diameter — `min(hop)` agrees wherever both terminate. */
+  def reachConverged(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, _) = graph(spark, dir)
+    // every 500th part: multi-source CLOSURE work is inherently
+    // |sources| × |component| — the full %50 source set spends ~10× the
+    // wall-clock exercising the identical operator shape
+    val sources = Tables.part(spark, dir)
+      .filter(col("p_partkey") % 500 === 0)
+      .select(concat(lit("p"), col("p_partkey")).as("src"))
+    val (levels, release) =
+      Graph.kHopLevelsConvergedReleasable(edges, sources, maxK = 64)
+    try {
+      val rows = levels.groupBy(col("src"), col("hop"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("src"), col("hop"))
+      val collected = rows.collect() // bounded: |sources| × (diameter + 1)
+      spark.createDataFrame(java.util.Arrays.asList(collected: _*), rows.schema)
+    } finally release()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_khop" -> kHop)
+    "graph_khop" -> kHop,
+    "graph_reach_conv" -> reachConverged)
 
   def oracleSql: Map[String, String] = Map(
     "graph_khop" ->
@@ -58,6 +89,28 @@ object Graphs {
         |  SELECT r.src, e.b, r.hop + 1
         |  FROM reach r JOIN edges e ON r.node = e.a
         |  WHERE r.hop < 3
+        |), levels AS (
+        |  SELECT src, node, min(hop) AS hop FROM reach GROUP BY 1, 2
+        |)
+        |SELECT src, CAST(hop AS INT) AS hop,
+        |  CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM levels GROUP BY 1, 2""".stripMargin,
+    // hop < 32: a recursion bound safely above the graph's ~6 diameter —
+    // the (src, node, hop) tuples keep growing on cycles, so the bound is
+    // the CTE's terminator; min(hop) is closed well below it
+    "graph_reach_conv" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT 'p' || l_partkey AS a, 's' || l_suppkey AS b
+        |  FROM lineitem WHERE l_quantity <= 3
+        |), edges AS (
+        |  SELECT a, b FROM base UNION SELECT b, a FROM base
+        |), reach(src, node, hop) AS (
+        |  SELECT 'p' || p_partkey, 'p' || p_partkey, 0
+        |  FROM part WHERE p_partkey % 500 = 0
+        |  UNION
+        |  SELECT r.src, e.b, r.hop + 1
+        |  FROM reach r JOIN edges e ON r.node = e.a
+        |  WHERE r.hop < 32
         |), levels AS (
         |  SELECT src, node, min(hop) AS hop FROM reach GROUP BY 1, 2
         |)

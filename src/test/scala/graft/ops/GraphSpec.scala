@@ -107,6 +107,19 @@ class GraphSpec extends SparkTestBase {
       s"plan depth grew with graph diameter: k=8 -> $d8, k=19 -> $d19")
   }
 
+  test("releasable converged BFS frees every checkpoint block on release()") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (levels, release) = Graph.kHopLevelsConvergedReleasable(
+      chainCliqueEdges.toDF("a", "b"), Seq("n0", "c0").toDF("src"), 1000)
+    val n = levels.count()
+    assert(n === 26) // 20 chain + 6 clique
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "the loop should have checkpointed at least one frame")
+    release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"release() left blocks cached: $leaked")
+  }
+
   test("randomized parity between converged and unrolled BFS at small k") {
     val rnd = new scala.util.Random(23)
     val edges = Seq.fill(150)((s"m${rnd.nextInt(35)}", s"m${rnd.nextInt(35)}"))

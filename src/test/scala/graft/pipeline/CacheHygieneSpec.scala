@@ -24,7 +24,10 @@ class CacheHygieneSpec extends SparkTestBase {
     // r11 additions: kmeans persists the quantized point set across Lloyd
     // iterations; the other three as controls
     "ann_kmeans", "contamination_substring", "pipeline_url_canon",
-    "pipeline_host_caps")
+    "pipeline_host_caps",
+    // the converged BFS checkpoints per level; the query must release
+    // every block via the releasable variant's thunk before returning
+    "graph_reach_conv")
 
   covered.foreach { name =>
     test(s"$name releases every cached block it created") {
