@@ -1000,6 +1000,35 @@ object Pipeline {
       .orderBy(col("cluster_id"))
   }
 
+  /** text_inverted_index: posting-list construction — the search-side
+    * structure corpus tooling builds next to every training set (term →
+    * document frequency, total term frequency, and a bounded posting
+    * sample). Scale shape: ONE (term, doc) hash aggregation with
+    * map-side combine, then stats as a term-keyed aggregate and the
+    * posting sample from a rank-≤5 filtered frame — the sample is
+    * bounded BEFORE any collect_list, so no term's full posting list is
+    * ever materialized in one task (a hot stopword's postings are
+    * corpus-sized; `slice(collect_list(...))` would buffer them all to
+    * keep 5). */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("term"))
+    val perDoc = toks.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ttf"))
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    val sample = perDoc.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 5)
+      .groupBy(col("term"))
+      .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+        _.cast("string")), ",").as("top_docs"))
+    stats.join(sample, Seq("term"))
+      .select(col("term"), col("df"), col("ttf"), col("top_docs"))
+      .orderBy(col("term"))
+  }
+
   /** text_repetition: degenerate-text detection — the fraction of a
     * document's 3-gram shingles that are repeats (1 − distinct/total),
     * quantized. The standard quality filter for looping/boilerplate text.
@@ -1167,6 +1196,7 @@ object Pipeline {
     "pack_sequences" -> packSequences,
     "contamination_ngram" -> contaminationNgram,
     "contamination_substring" -> contaminationSubstring,
+    "text_inverted_index" -> invertedIndex,
     "pipeline_url_canon" -> urlCanon,
     "pipeline_host_caps" -> hostCaps,
     "ann_kmeans" -> annKmeans,
@@ -1547,6 +1577,22 @@ object Pipeline {
         |  CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits,
         |  CAST(CASE WHEN coalesce(hit.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
         |FROM tot t LEFT JOIN hit USING (doc_id)""".stripMargin,
+    "text_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), perdoc AS (
+        |  SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(tf) AS BIGINT) AS ttf
+        |  FROM perdoc GROUP BY 1
+        |), samp AS (
+        |  SELECT term, array_to_string((list_sort(list(doc_id)))[1:5], ',') AS top_docs
+        |  FROM perdoc GROUP BY term
+        |)
+        |SELECT term, df, ttf, top_docs
+        |FROM stats JOIN samp USING (term)""".stripMargin,
     "pipeline_url_canon" -> s"$urlCanonOracle\nSELECT doc_id, host, domain, url_canon FROM canon",
     "pipeline_host_caps" ->
       s"""$urlCanonOracle

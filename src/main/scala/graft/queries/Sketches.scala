@@ -82,6 +82,51 @@ object Sketches {
       .orderBy(col("q"))
   }
 
+  /** sketch_quantiles_grouped: the GROUPED form of [[quantilesContract]]
+    * — the shape production actually runs (per-key latency percentiles):
+    * per event type, exact interpolated p50/p90 (the oracle rows) plus
+    * the per-group approx_percentile rank-interval contract. One hash
+    * aggregation builds every group's sketch AND exact percentile in the
+    * same pass; the rank audit joins the column once against the
+    * broadcast ~|groups|×|qs| probe frame — no per-group sort, no
+    * per-group scan.
+    */
+  def quantilesGroupedContract(spark: SparkSession, dir: String): DataFrame =
+    quantilesGroupedContractOf(Tables.events(spark, dir)
+      .select(col("event_type"), col("value")).filter(col("value").isNotNull))
+
+  /** Core over any non-null `(event_type, value)` frame — split out so
+    * the per-group tie-mass behavior is unit-testable. */
+  private[graft] def quantilesGroupedContractOf(ev: DataFrame): DataFrame = {
+    val qs = Seq(0.5, 0.9)
+    val stats = ev.groupBy(col("event_type")).agg(
+      percentile(col("value"), typedLit(qs)).as("exact"),
+      percentile_approx(col("value"), typedLit(qs), lit(1000)).as("approx"),
+      count(lit(1)).as("n"))
+    val perQ = stats.select(col("event_type"),
+        posexplode(arrays_zip(typedLit(qs).as("q"),
+          col("exact").as("ex"), col("approx").as("ap"))).as(Seq("__i", "z")),
+        col("n"))
+      .select(col("event_type"), col("z.q").as("q"), col("z.ex").as("ex"),
+        col("z.ap").as("ap"), col("n"))
+    // same tie-robust rank INTERVAL as the global contract (self-review
+    // r10): the returned element's rank span must intersect (q ± eps)·n
+    val ranks = ev.join(broadcast(perQ.select(col("event_type").as("__et"),
+        col("q"), col("ap"))),
+        col("event_type") === col("__et") && col("value") <= col("ap"))
+      .groupBy(col("__et"), col("q"))
+      .agg(count(lit(1)).as("rank_le"),
+        sum(when(col("value") < col("ap"), 1L).otherwise(0L)).as("rank_lt"))
+      .withColumnRenamed("__et", "event_type")
+    val eps = lit(0.011)
+    perQ.join(ranks, Seq("event_type", "q"), "left")
+      .select(col("event_type"), col("q"),
+        col("ex").cast("decimal(18,2)").cast("double").as("exact_value"),
+        ((coalesce(col("rank_lt"), lit(0L)) + 1 <= (col("q") + eps) * col("n")) &&
+          (coalesce(col("rank_le"), lit(0L)) >= (col("q") - eps) * col("n"))).as("rank_ok"))
+      .orderBy(col("event_type"), col("q"))
+  }
+
   /** sketch_topk: heavy hitters — exact groups above a 10% frequency
     * threshold (the oracle rows) plus the `freqItems` single-pass sketch
     * containment contract: the Karp/Misra-Gries-style sketch GUARANTEES
@@ -145,7 +190,8 @@ object Sketches {
     "sketch_distinct" -> distinctContract,
     "sketch_topk" -> topkContract,
     "sketch_cms" -> cmsContract,
-    "sketch_quantiles" -> quantilesContract)
+    "sketch_quantiles" -> quantilesContract,
+    "sketch_quantiles_grouped" -> quantilesGroupedContract)
 
   val oracleSql: Map[String, String] = Map(
     "sketch_distinct" ->
@@ -167,6 +213,17 @@ object Sketches {
         |    unnest(quantile_cont(value, [0.5, 0.9, 0.99])) AS v
         |  FROM events WHERE value IS NOT NULL)
         |SELECT CAST(q AS DOUBLE) AS q,
+        |  CAST(CAST(v AS DECIMAL(18,2)) AS DOUBLE) AS exact_value,
+        |  TRUE AS rank_ok
+        |FROM qq""".stripMargin,
+    "sketch_quantiles_grouped" ->
+      """WITH agg AS (
+        |  SELECT event_type, quantile_cont(value, [0.5, 0.9]) AS vs
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type
+        |), qq AS (
+        |  SELECT event_type, unnest([0.5, 0.9]) AS q, unnest(vs) AS v FROM agg
+        |)
+        |SELECT event_type, CAST(q AS DOUBLE) AS q,
         |  CAST(CAST(v AS DECIMAL(18,2)) AS DOUBLE) AS exact_value,
         |  TRUE AS rank_ok
         |FROM qq""".stripMargin)

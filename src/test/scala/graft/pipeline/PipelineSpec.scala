@@ -84,6 +84,28 @@ class PipelineSpec extends SparkTestBase {
         s"doc ${r.getLong(0)} flagged but no token-aligned probe substring found")
     }
 
+    // inverted index: df/ttf consistent, posting sample = the df's 5
+    // smallest doc_ids, every posting a real (term, doc) occurrence
+    val inv = graft.queries.Pipeline.invertedIndex(spark_, dir).collect()
+    assert(inv.nonEmpty)
+    val docToks = graft.Tables.documents(spark_, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.trim.split("\\s+").toSet))
+    inv.foreach { r =>
+      val (term, df, ttf, tops) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))
+      assert(ttf >= df && df >= 1)
+      val postings = tops.split(",").map(_.toLong)
+      assert(postings.length === math.min(df, 5L).toInt)
+      assert(postings.sorted.sameElements(postings), s"$term sample unsorted")
+      postings.foreach(d => assert(docToks.toMap.apply(d).contains(term),
+        s"posting $d lacks term $term"))
+      // the sample is exactly the df's SMALLEST doc ids
+      val expected = docToks.filter(_._2.contains(term)).map(_._1)
+        .sorted.take(5).toSeq
+      assert(postings.toSeq === expected, s"$term sample != 5 smallest")
+    }
+
     // repetition: quantized ratio consistent with its own counts
     graft.queries.Pipeline.textRepetition(spark_, dir).collect().foreach { r =>
       val (total, distinct, q) = (r.getInt(1), r.getInt(2), r.getLong(3))

@@ -28,6 +28,17 @@ class SketchesSpec extends SparkTestBase {
     assert(out.forall(_._2), s"all rank contracts: $out")
   }
 
+  test("grouped rank contract holds per group, incl. a group with tie mass") {
+    // group A: the global spec's 20%-tie-mass column; group B: all
+    // distinct — per-group contracts must not leak across groups
+    val a = ((1 to 4000).map(_.toDouble / 10000.0) ++ Seq.fill(1000)(0.9)).map(("A", _))
+    val b = (1 to 3000).map(i => ("B", i.toDouble))
+    val out = Sketches.quantilesGroupedContractOf((a ++ b).toDF("event_type", "value"))
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getBoolean(3))).toMap
+    assert(out.size === 4)
+    assert(out.forall(_._2), s"per-group rank contracts: $out")
+  }
+
   test("count-min contract holds on a skewed key column (incl. singletons)") {
     // 5000 copies of one hot key + 500 singletons: min-of-counters must
     // never undercount any of them (the hard theorem cms_ok gates)
