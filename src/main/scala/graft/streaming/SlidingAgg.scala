@@ -44,8 +44,14 @@ object SlidingAgg {
 
     override def handleInputRows(key: String, rows: Iterator[SlideEvent],
         timerValues: TimerValues): Iterator[SlideAgg] = {
-      // stored entries are ts-ordered (in-order feed); in-batch rows sort
-      // by (ts, eventId) so peer groups process together
+      // Stored entries are ts-ordered (in-order feed); in-batch rows sort
+      // by (ts, eventId) so peer groups process together. NOTE the
+      // in-batch buffering assumption (the RateLimited ADVICE class):
+      // unlike the rate limiter — whose output is quota-bounded, so it
+      // now keeps only a max-heap — this operator emits one row PER
+      // input row, so a key's micro-batch must materialize here anyway;
+      // memory per key per batch is O(batch rows + span-window), the
+      // same order as its own output.
       val window = scala.collection.mutable.ArrayDeque.empty[BufEntry]
       if (buf.exists()) buf.get().foreach(window.append)
       val out = Vector.newBuilder[SlideAgg]
