@@ -889,6 +889,36 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** pack_concat: the MATERIALIZATION half of [[packSequences]] — the
+    * actual packed training sequences (per (lang, shard, bin): documents
+    * concatenated in doc_id order with a blank-line separator), verified
+    * by md5 + length so the oracle pins the exact packed bytes without
+    * hashing megabyte strings through the driver compare. Scale shape:
+    * the same bounded (lang, shard) window as packSequences, then one
+    * hash aggregation whose per-group payload is capped by the 512-token
+    * bin budget — no group ever concatenates more than one bin's worth
+    * of text. */
+  def packConcat(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val shards = packShardCount(docs.count())
+    val d = docs.select(col("doc_id"), col("lang"), trim(col("text")).as("t"),
+      Text.tokenCount(col("text")).as("n_tokens"),
+      pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+    val binned = d.withColumn("bin_id",
+      floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(512.0)).cast("long"))
+    binned.groupBy(col("lang"), col("shard"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("t")))),
+          x => x.getField("t")), "\n\n").as("__packed"))
+      .select(col("lang"), col("shard"), col("bin_id"), col("n_docs"),
+        col("bin_tokens"), md5(col("__packed")).as("packed_md5"),
+        length(col("__packed")).cast("long").as("packed_len"))
+      .orderBy(col("lang"), col("shard"), col("bin_id"))
+  }
+
   /** contamination_ngram: benchmark-contamination check — per corpus doc,
     * how many of its distinct 3-gram shingles appear anywhere in the
     * probe (benchmark) set, with a quantized overlap ratio and a ≥ 50%
@@ -1194,6 +1224,7 @@ object Pipeline {
     "text_tfidf" -> tfIdfTopTerms,
     "text_quality_buckets" -> qualityBuckets,
     "pack_sequences" -> packSequences,
+    "pack_concat" -> packConcat,
     "contamination_ngram" -> contaminationNgram,
     "contamination_substring" -> contaminationSubstring,
     "text_inverted_index" -> invertedIndex,
@@ -1549,6 +1580,25 @@ object Pipeline {
         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id)
         |    - n_tokens) / 512.0) AS BIGINT) AS bin_id
         |FROM t""".stripMargin,
+    "pack_concat" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, trim(text) AS tt,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_tokens,
+        |    doc_id % (SELECT GREATEST(4, CAST(CEIL(COUNT(*) / 100000.0) AS BIGINT))
+        |              FROM documents) AS shard
+        |  FROM documents
+        |), b AS (
+        |  SELECT *, CAST(floor((sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id)
+        |    - n_tokens) / 512.0) AS BIGINT) AS bin_id
+        |  FROM t
+        |)
+        |SELECT lang, shard, bin_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |  md5(string_agg(tt, chr(10) || chr(10) ORDER BY doc_id)) AS packed_md5,
+        |  CAST(length(string_agg(tt, chr(10) || chr(10) ORDER BY doc_id)) AS BIGINT) AS packed_len
+        |FROM b GROUP BY 1, 2, 3""".stripMargin,
     "contamination_ngram" -> contaminationOracle,
     // W=4 token windows; the hash join is a Spark-side optimization — the
     // oracle joins on the window STRING directly (independent algorithm)
