@@ -110,12 +110,22 @@ object Graph {
     val sc = edges.sparkSession.sparkContext
     val cpIds = scala.collection.mutable.ArrayBuffer.empty[Int]
     // localCheckpoint persists the dataset's INTERNAL rdd, which never
-    // registers with the CacheManager — track the persistent-RDD ids it
-    // adds so the release thunk can unpersist storage-level blocks
+    // registers with the CacheManager. Capture the persisted ancestors of
+    // THIS checkpoint's own rdd lineage (not a global persistent-RDD set
+    // diff — ADVICE r11: a concurrent job persisting an RDD in the diff
+    // window would get its cache released by our thunk; sc state is
+    // session-wide shared).
     def cp(df: DataFrame): DataFrame = {
-      val before = sc.getPersistentRDDs.keySet
       val c = df.localCheckpoint()
-      cpIds ++= (sc.getPersistentRDDs.keySet -- before)
+      val queue = scala.collection.mutable.Queue[org.apache.spark.rdd.RDD[_]](c.rdd)
+      val seen = scala.collection.mutable.Set.empty[Int]
+      while (queue.nonEmpty) {
+        val r = queue.dequeue()
+        if (seen.add(r.id)) {
+          if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) cpIds += r.id
+          else queue ++= r.dependencies.map(_.rdd)
+        }
+      }
       reRoot(c)
     }
     val release: () => Unit = () =>

@@ -57,9 +57,19 @@ object Urls {
       .otherwise(lit("")),
     when(col("doc_id") % 6 === 0, lit("#sec2")).otherwise(lit("")))
 
+  /** Output + intermediate column names [[withCanonical]] claims on its
+    * input frame; reserved so a caller's pre-existing column is never
+    * silently clobbered (ADVICE r11 — the AsOfJoin require() pattern). */
+  private val ReservedCanonicalCols = Seq("host", "domain", "url_canon",
+    "__rest", "__hostport", "__pq", "__path", "__query", "__params")
+
   /** Adds `host`, `domain` (registrable) and `url_canon` columns computed
-    * from `url`. Intermediate `__`-prefixed columns are dropped. */
+    * from `url`. Intermediate `__`-prefixed columns are dropped. The
+    * input must not already carry any of [[ReservedCanonicalCols]]. */
   def withCanonical(df: DataFrame, url: Column): DataFrame = {
+    val clash = df.columns.toSet.intersect(ReservedCanonicalCols.toSet)
+    require(clash.isEmpty,
+      s"withCanonical reserves column names ${clash.mkString(", ")} — rename them on the input")
     val labels = split(col("host"), "\\.")
     val n = size(labels)
     val registrable =

@@ -258,7 +258,12 @@ object Vectors {
     */
   def kmeansQuantized(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
-    require(k >= 1 && k <= 1000000 && iters >= 1, s"bad kmeans params k=$k iters=$iters")
+    // k ≤ 2^20 keeps the packed `d·k + cid` key inside a Long for any
+    // quantized distance below 2^43 (≈8.8e12 — e.g. 8,800 dims of
+    // full-range ±1.0 components at the ×1000 quantization). The
+    // assignment kernel still fails FAST (require below) rather than
+    // silently wrapping if a pathological vector exceeds it (ADVICE r11).
+    require(k >= 1 && k <= (1 << 20) && iters >= 1, s"bad kmeans params k=$k iters=$iters")
     val q = emb.select(col(idCol),
       transform(col(vecCol), x => floor(x.cast("double") * lit(1000.0)).cast("long")).as("__v"))
     q.persist()
@@ -271,19 +276,23 @@ object Vectors {
       def assigned(cents: Array[(Long, Array[Long])]): DataFrame = {
         val cs = cents // task-closure capture broadcasts the k×dim table
         val combFn = udf { (v: Array[Long]) =>
-          var best = Long.MaxValue
+          // compare (d, cid) lexicographically — packing happens ONCE on
+          // the winner, so intermediate candidates can't overflow the key
+          var bestD = Long.MaxValue; var bestCid = 0L
           cs.foreach { case (cid, cv) =>
             var d = 0L; var i = 0; val n = math.min(v.length, cv.length)
             while (i < n) { val t = v(i) - cv(i); d += t * t; i += 1 }
-            val comb = d * kL + cid
-            if (comb < best) best = comb
+            if (d < bestD || (d == bestD && cid < bestCid)) { bestD = d; bestCid = cid }
           }
-          best
+          require(bestD <= (Long.MaxValue - bestCid) / kL,
+            s"kmeans packed key overflow: dist_q=$bestD k=$kL — exact-integer contract unrepresentable")
+          bestD * kL + bestCid
         }
+        // integral `div` (not the double-returning `/`): exact for any
+        // representable packed key, no 2^53 mantissa cliff (ADVICE r11)
         q.withColumn("__comb", combFn(col("__v")))
           .withColumn("cluster_id", pmod(col("__comb"), lit(kL)))
-          .withColumn("dist_q",
-            ((col("__comb") - pmod(col("__comb"), lit(kL))) / lit(kL)).cast("long"))
+          .withColumn("dist_q", expr(s"__comb div ${kL}L"))
       }
       for (_ <- 1 until iters) {
         // centroid update: floor-divided element-wise means, one keyed
@@ -293,7 +302,7 @@ object Vectors {
           .groupBy(col("cluster_id"), col("idx"))
           .agg(sum(col("val")).as("s"), count(lit(1)).as("cnt"))
           .select(col("cluster_id"), col("idx"),
-            ((col("s") - pmod(col("s"), col("cnt"))) / col("cnt")).cast("long").as("cq"))
+            expr("(s - pmod(s, cnt)) div cnt").as("cq"))
           .collect()
         centroids = upd.groupBy(_.getLong(0)).toArray.sortBy(_._1).map { case (cid, rows) =>
           (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray)

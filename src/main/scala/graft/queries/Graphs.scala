@@ -44,14 +44,16 @@ object Graphs {
   /** graph_reach_conv: FULL reachability closure per source — the
     * unknown-depth traversal [[Graph.kHopLevelsConvergedReleasable]]
     * drives to convergence (empty frontier), maxK far above any real
-    * diameter (this graph's is ~6; the loop stops there, not at 64). One
+    * diameter (this graph's is ~6; the loop stops there, not at 32). One
     * shuffle join + one emptiness probe per actual level; lineage cut
     * every 4 levels. The per-(source, level) rollup — bounded by
     * |sources| × (diameter + 1) rows — is consumed EAGERLY so every
     * checkpoint block releases before return (CacheHygieneSpec pins it);
     * like sketch_cms, the timed cost sits at DataFrame construction by
-    * design. The oracle recurses the same closure with a hop bound above
-    * the diameter — `min(hop)` agrees wherever both terminate. */
+    * design. The oracle recurses the same closure with the SAME hop bound
+    * (32 — ADVICE r11: a mismatched pair would silently diverge on any
+    * path longer than the smaller bound), so both sides terminate at the
+    * identical frontier. */
   def reachConverged(spark: SparkSession, dir: String): DataFrame = {
     val (edges, _) = graph(spark, dir)
     // every 500th part: multi-source CLOSURE work is inherently
@@ -61,7 +63,7 @@ object Graphs {
       .filter(col("p_partkey") % 500 === 0)
       .select(concat(lit("p"), col("p_partkey")).as("src"))
     val (levels, release) =
-      Graph.kHopLevelsConvergedReleasable(edges, sources, maxK = 64)
+      Graph.kHopLevelsConvergedReleasable(edges, sources, maxK = 32)
     try {
       val rows = levels.groupBy(col("src"), col("hop"))
         .agg(count(lit(1)).as("n_nodes"))

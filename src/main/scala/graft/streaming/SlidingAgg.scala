@@ -56,6 +56,12 @@ object SlidingAgg {
       if (buf.exists()) buf.get().foreach(window.append)
       val out = Vector.newBuilder[SlideAgg]
       val batch = rows.toArray.sortBy(e => (e.tsUs, e.eventId))
+      // in-order feed contract: every stored entry's ts <= the incoming
+      // batch's min ts, or head-eviction silently corrupts counts/sums —
+      // fail fast on violation instead (ADVICE r11)
+      require(window.isEmpty || batch.isEmpty || batch(0).tsUs >= window.last.tsUs,
+        s"out-of-order micro-batch for key $key: incoming min ts ${batch(0).tsUs} " +
+          s"< stored max ts ${window.last.tsUs}")
       var i = 0
       while (i < batch.length) {
         // peer group: every event sharing this ts enters the window FIRST

@@ -51,4 +51,12 @@ class UrlsSpec extends SparkTestBase {
     val Seq((_, host, _, c)) = canon("https://www.solo.com")
     assert(host === "solo.com" && c === "solo.com")
   }
+
+  test("a pre-existing reserved column fails fast instead of clobbering") {
+    val withHost = Seq(("http://a.io/p", "pre")).toDF("url", "host")
+    val e = intercept[IllegalArgumentException] {
+      Urls.withCanonical(withHost, col("url"))
+    }
+    assert(e.getMessage.contains("host"))
+  }
 }

@@ -76,4 +76,34 @@ class SlidingAggStreamSpec extends SparkTestBase {
       }
     }
   }
+
+  test("an out-of-order micro-batch fails fast instead of corrupting sums") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SlidingAgg.SlideEvent]
+    val q = SlidingAgg.rolling(input.toDS(), 3600L * 1000000L)
+      .writeStream.format("memory").queryName("sliding_agg_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq(SlidingAgg.SlideEvent("k", 1L, 10L * 1000000L, 100L)))
+      q.processAllAvailable()
+      // second batch carries a ts BEHIND the stored window tail — the
+      // in-order contract guard must surface this as an error
+      input.addData(Seq(SlidingAgg.SlideEvent("k", 2L, 1L * 1000000L, 100L)))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("out-of-order micro-batch"))
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS sliding_agg_ooo")
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
