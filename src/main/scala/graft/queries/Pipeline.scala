@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Text, Urls, Vectors}
+import graft.pipeline.{Dedup, Multimodal, Pii, Text, Urls, Vectors}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1212,7 +1212,122 @@ object Pipeline {
       .orderBy(col("cluster_id"))
   }
 
+  /** pipeline_pii: PII detection + redaction ([[Pii]]) — per-doc match
+    * counts for each pattern class plus an md5 of the redacted text (a
+    * content pin: the hash fails if redaction touches one byte it
+    * shouldn't). Row-local regexp work, zero shuffle; the synthetic
+    * injection is replicated verbatim by the oracle so the contract
+    * tests detection/redaction, not synthesis (the urlCanon pattern). */
+  def pipelinePii(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(col("text"), Pii.syntheticPiiSuffix).as("__t"))
+      .withColumn("__red", Pii.redacted(col("__t")))
+    val counts = Pii.Patterns.map { case (name, re, _) =>
+      Pii.countOf(col("__t"), re).as(s"n_$name")
+    }
+    d.select(col("doc_id") +: counts :+
+        md5(col("__red")).as("red_md5") :+
+        length(col("__red")).cast("bigint").as("red_len"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** dedup_paragraph: paragraph-level exact dedup — the CCNet-style pass
+    * that removes boilerplate repeated ACROSS documents while keeping the
+    * documents themselves. "Paragraphs" are the non-overlapping 20-token
+    * grid cells of [[chunkingOf]] (the driver corpus has no newlines;
+    * production swaps the splitter, the dedup shape is identical): a
+    * paragraph occurrence is a duplicate unless it is the first in global
+    * (doc_id, para_idx) order. Scale shape: one exchange keyed on the
+    * paragraph hash (each window partition = one identical-content group)
+    * + one per-doc aggregation; no text payload survives past the md5. */
+  def dedupParagraph(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = chunkingOf(Tables.documents(spark, dir), width = 20, stride = 20)
+    val w = Window.partitionBy(col("chunk_md5")).orderBy(col("doc_id"), col("chunk_id"))
+    paras.withColumn("__rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_paras"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** pipeline_split: deterministic stratified train/val/test assignment —
+    * every corpus needs a split that is stable under re-runs, insertion
+    * order, and partitioning. Bucket = (doc_id · Knuth's 2654435761) mod
+    * 1000 → 80/10/10; the multiplier decorrelates the split from any
+    * doc_id range structure while both engines reproduce it exactly
+    * (pure integer arithmetic — no engine-specific hash). Row-local
+    * assignment + ONE (lang, split) aggregation. */
+  def pipelineSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+          .as("split"),
+        size(split(trim(col("text")), "\\s+")).cast("bigint").as("__n"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  /** text_collocations: top bigram collocations by exact-integer Dice
+    * coefficient `dice_q = (2·cnt_ab·10^6) div (cnt_a + cnt_b)` — the
+    * phrase-mining/tokenizer-merge-rule primitive (Dice is BPE's pair
+    * score up to normalization). Scale shape: bigrams explode row-locally
+    * and aggregate with map-side combine; the unigram join runs over the
+    * AGGREGATED vocab frame (corpus-size-independent), and the top-20
+    * sort sees only ≥5-support bigrams. Exact-integer bound: cnt_ab must
+    * stay below 2^62/10^6 ≈ 4.6·10^12 occurrences — beyond any single
+    * bigram's count at 100 TB. */
+  def textCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(split(trim(lower(col("text"))), "\\s+").as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val bi = toks
+      .filter(size(col("w")) >= 2) // sequence(1, 0) would run DESCENDING
+      .select(explode(
+        expr("transform(sequence(1, size(w) - 1), i -> named_struct('a', w[i-1], 'b', w[i]))"))
+        .as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt_ab"))
+      .filter(col("cnt_ab") >= 5)
+    bi.join(uni.withColumnRenamed("t", "a").withColumnRenamed("cnt", "__ca"), Seq("a"))
+      .join(uni.withColumnRenamed("t", "b").withColumnRenamed("cnt", "__cb"), Seq("b"))
+      .withColumn("dice_q", expr("(2 * cnt_ab * 1000000) div (__ca + __cb)"))
+      .select(col("a"), col("b"), col("cnt_ab"), col("dice_q"))
+      .orderBy(col("dice_q").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  /** pipeline_mixture: per-source sampling rates toward a uniform token
+    * mixture — the data-mixing step that decides how much of each source
+    * enters the training run. `rate_ppm = min(10^6, target·10^6 div
+    * tokens)` with `target = total div n_sources`, all exact integers
+    * (bound: total corpus tokens below 2^63/10^6 ≈ 9.2·10^12; switch the
+    * ppm arithmetic to DECIMAL(38,0) past that). ONE source-keyed
+    * aggregation; the 1-row totals frame broadcasts. */
+  def pipelineMixture(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("bigint").as("__n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("__tot"), count(lit(1)).as("__ns"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("((__tot div __ns) * 1000000) div n_tokens")))
+      .withColumn("exp_tokens", expr("(n_tokens * rate_ppm) div 1000000"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("rate_ppm"),
+        col("exp_tokens"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pii" -> pipelinePii,
+    "dedup_paragraph" -> dedupParagraph,
+    "pipeline_split" -> pipelineSplit,
+    "text_collocations" -> textCollocations,
+    "pipeline_mixture" -> pipelineMixture,
     "pipeline_keep" -> pipelineKeep,
     "dedup_best_rep" -> dedupBestRep,
     "text_repetition" -> textRepetition,
@@ -1450,7 +1565,110 @@ object Pipeline {
       |    AND abs(a.n_chars - b.n_chars) <= 50
       |)""".stripMargin
 
+  /** DuckDB mirror of [[Pii.syntheticPiiSuffix]] + [[Pii.redacted]] —
+    * patterns interpolated straight from [[Pii.Patterns]] so the two
+    * sides cannot drift. */
+  private val piiOracle: String = {
+    val Seq(email, card, ip, phone) = Pii.Patterns.map(_._2)
+    val red = Pii.Patterns.foldLeft("t") { case (inner, (_, re, repl)) =>
+      s"regexp_replace($inner, '$re', '$repl', 'g')"
+    }
+    s"""WITH p AS (
+       |  SELECT doc_id, text ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@mail' ||
+       |          (doc_id % 5) || '.example.com now' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || (doc_id % 256) || '.' ||
+       |          ((doc_id * 7) % 256) || '.' || (doc_id % 250) || ' logged' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || (doc_id % 9000 + 1000) ||
+       |          ' today' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 7 = 0 THEN ' card 4111 ' || (doc_id % 9000 + 1000) ||
+       |          ' 2222 ' || ((doc_id * 3) % 9000 + 1000) ELSE '' END) AS t
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, t, $red AS red FROM p
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(t, '$card')) AS BIGINT) AS n_card,
+       |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ip,
+       |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone,
+       |  md5(red) AS red_md5, CAST(length(red) AS BIGINT) AS red_len
+       |FROM r""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "pipeline_pii" -> piiOracle,
+    "dedup_paragraph" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+        |  FROM documents
+        |), nc AS (
+        |  SELECT doc_id, tokens,
+        |    CASE WHEN len(tokens) <= 20 THEN 1
+        |         ELSE 1 + (len(tokens) - 20 + 19) // 20 END AS n_chunks
+        |  FROM toks
+        |), ch AS (
+        |  SELECT doc_id,
+        |    [{'cid': i, 'h': md5(array_to_string(tokens[i*20+1 : i*20+20], ' '))}
+        |     FOR i IN range(0, n_chunks)] AS chunks
+        |  FROM nc
+        |), para AS (
+        |  SELECT doc_id, unnest(chunks).cid AS chunk_id, unnest(chunks).h AS h
+        |  FROM ch
+        |), ranked AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS rn
+        |  FROM para
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras
+        |FROM ranked GROUP BY 1""".stripMargin,
+    "pipeline_split" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    len(string_split_regex(trim(text), '\s+')) AS n
+        |  FROM documents
+        |)
+        |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "text_collocations" ->
+      """WITH w AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+        |), uc AS (
+        |  SELECT t, count(*) AS cnt
+        |  FROM (SELECT unnest(toks) AS t FROM w) GROUP BY 1
+        |), bc AS (
+        |  SELECT bg.a AS a, bg.b AS b, count(*) AS cnt_ab
+        |  FROM (SELECT unnest([{'a': toks[i], 'b': toks[i+1]}
+        |                      FOR i IN range(1, len(toks))]) AS bg FROM w)
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |)
+        |SELECT a, b, CAST(cnt_ab AS BIGINT) AS cnt_ab,
+        |  CAST((2 * cnt_ab * 1000000) // (ua.cnt + ub.cnt) AS BIGINT) AS dice_q
+        |FROM bc JOIN uc ua ON bc.a = ua.t JOIN uc ub ON bc.b = ub.t
+        |ORDER BY dice_q DESC, a, b LIMIT 20""".stripMargin,
+    "pipeline_mixture" ->
+      """WITH d AS (
+        |  SELECT source, len(string_split_regex(trim(text), '\s+')) AS n
+        |  FROM documents
+        |), per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS t, count(*) AS ns FROM per
+        |), rated AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    least(1000000, ((t // ns) * 1000000) // n_tokens) AS rate_ppm
+        |  FROM per, tot
+        |)
+        |SELECT source, n_docs, n_tokens, CAST(rate_ppm AS BIGINT) AS rate_ppm,
+        |  CAST((n_tokens * rate_ppm) // 1000000 AS BIGINT) AS exp_tokens
+        |FROM rated""".stripMargin,
     "text_repetition" -> repetitionOracle,
     // dedup-family contracts (VERDICT r6 #3): DuckDB independently counts
     // the exact ground-truth pair sets; the ok-booleans are Spark-computed

@@ -232,4 +232,46 @@ class PlanQualitySpec extends SparkTestBase {
       s"chunk explode must not shuffle:\n$p")
     assert(p.contains("Generate explode"), s"expected the chunk-grid explode:\n$p")
   }
+
+  test("pii redaction is join-free row-local regexp work, no UDF") {
+    val p = plan("pipeline_pii")
+    assert(!p.contains("Join"), s"pii pass must not join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"pii pass must not shuffle below the contract sort:\n$p")
+    assert(!p.contains("UDF"), s"pii pass must stay codegen regexp:\n$p")
+  }
+
+  test("paragraph dedup shuffles only on the paragraph hash and the doc key") {
+    val p = plan("dedup_paragraph")
+    assert(p.contains("Window"), s"expected the first-occurrence rank window:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"expected <=2 keyed exchanges, got $exchanges:\n$p")
+    // the md5 projection must sit BELOW (printed after) the paragraph-hash
+    // exchange: only the 32-byte hash crosses the shuffle, never the tokens
+    val exIdx = p.indexOf("Exchange hashpartitioning(chunk_md5")
+    assert(exIdx >= 0 && p.indexOf("md5(", exIdx) > exIdx,
+      s"md5 must be computed on the map side of the paragraph shuffle:\n$p")
+  }
+
+  test("split assignment is one map-side-combined aggregation") {
+    val p = plan("pipeline_split")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"expected map-side partial agg:\n$p")
+    assert(!p.contains("Join"), s"split assignment must not join:\n$p")
+  }
+
+  test("collocations join unigram counts over the aggregated vocab, never a nested loop") {
+    val p = plan("text_collocations")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"vocab joins must stay equi joins:\n$p")
+    assert(p.contains("partial_count"), s"bigram agg must map-side combine:\n$p")
+  }
+
+  test("mixture totals broadcast as a 1-row frame; the corpus never reshuffles for them") {
+    val p = plan("pipeline_mixture")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row totals frame must broadcast:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"expected <=2 keyed exchanges, got $exchanges:\n$p")
+  }
 }
