@@ -127,6 +127,26 @@ object EventFold {
       .orderBy(col("user_id"))
   }
 
+  /** evt_cohort_retention: the classic retention triangle — users
+    * cohorted by their first active week, counted in each later week
+    * they return. Scale shape: ONE user-keyed exchange builds each
+    * user's distinct active-week set (collect_set map-side combines;
+    * set size is bounded by the calendar, not by event volume), the
+    * cohort week falls out row-locally as `array_min`, and the final
+    * (cohort, offset) aggregate runs over |users| × |weeks| rows — no
+    * self-join of the event stream against its own min-week frame. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val weeks = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts_us div ${weekUs}L").as("week"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("week")).as("weeks"))
+      .select(array_min(col("weeks")).as("cohort_week"), explode(col("weeks")).as("week"))
+    weeks.groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** evt_session_agg: sessionization — gap > 30 min starts a new session
     * (windowed lag + running sum); per user: number of sessions and events.
     * This is the batch analogue of the streaming state fold (§2.9).
@@ -471,6 +491,7 @@ object EventFold {
     "evt_walk_dedup" -> walkDedup,
     "evt_asof_value" -> asofValue,
     "evt_cdc_classify" -> cdcClassify,
+    "evt_cohort_retention" -> cohortRetention,
     "evt_session_agg" -> sessionAgg,
     "evt_sliding_agg" -> slidingAgg,
     "evt_gapfill" -> gapFill,
@@ -483,6 +504,15 @@ object EventFold {
     "evt_type_markov" -> typeTransitions)
 
   val oracleSql: Map[String, String] = Map(
+    "evt_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+        |), c AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1
+        |)
+        |SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
     "evt_window_counts" ->
       """SELECT strftime(time_bucket(INTERVAL 1 minute, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  strftime(time_bucket(INTERVAL 1 minute, ts) + INTERVAL 1 minute, '%Y-%m-%d %H:%M:%S') AS window_end,

@@ -436,6 +436,36 @@ object Pipeline {
       .orderBy(col("query_id"))
   }
 
+  /** ann_hard_negatives: hard-negative mining — for each query, the 5
+    * most-similar vectors carrying a DIFFERENT label (the contrastive-
+    * training batch-construction primitive: negatives that are hard
+    * precisely because they sit closest in embedding space). Scale
+    * shape: reuses [[Vectors.bruteForceTopK]]'s broadcast-queries plan
+    * with a deeper candidate pool (top-20), then both label joins and
+    * the negative re-rank operate on the BOUNDED |queries| × 20 frame,
+    * never the corpus (swap in lshTopK/ivfTopK for the approximate
+    * scale path — the mining step is neighbor-source-agnostic). Fewer
+    * than 5 negatives in the pool yields fewer rows, deterministically
+    * on both engines. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    val pool = Vectors.bruteForceTopK(e, q => q % 100 === 0, 20)
+    val labels = e.select(col("vec_id"), col("label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_q").desc, col("neighbor_id"))
+    pool
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "__ql"), Seq("query_id"))
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "__nl"), Seq("neighbor_id"))
+      .filter(col("__nl") =!= col("__ql"))
+      .withColumn("neg_rank", row_number().over(w).cast("int"))
+      .filter(col("neg_rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("sim_q"), col("neg_rank"))
+      .orderBy(col("query_id"), col("neg_rank"))
+  }
+
   /** ann_lsh_topk: LSH-bucketed approximate top-10 for the same query set
     * — 4 hyperplanes × 4 independent tables (recall managed by table
     * count — see [[Vectors.lshTopK]]); rows-only (seeded hyperplanes);
@@ -1360,6 +1390,7 @@ object Pipeline {
     "text_fingerprint" -> fingerprints,
     "ann_brute_topk" -> annBrute,
     "ann_knn_classify" -> knnClassify,
+    "ann_hard_negatives" -> hardNegatives,
     "ann_lsh_topk" -> annLsh,
     "ann_ivf_topk" -> annIvf,
     "ann_lsh_recall" -> annLshRecall,
@@ -2037,6 +2068,31 @@ object Pipeline {
         |SELECT query_id, neighbor_id, CAST(sim_q AS BIGINT) AS sim_q, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim_q DESC, neighbor_id) AS INT) AS rank
         |  FROM scored) t WHERE rank <= 10""".stripMargin,
+    "ann_hard_negatives" ->
+      // the ann_brute_topk CTE at depth 20, label-joined both sides,
+      // different-label filter, re-ranked to the top-5 negatives
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, label AS ql,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id % 100 = 0
+        |), c AS (
+        |  SELECT vec_id AS neighbor_id, label AS nl,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT query_id, neighbor_id, ql, nl,
+        |    list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2])) AS sim_q
+        |  FROM q, c WHERE query_id <> neighbor_id
+        |), pool AS (
+        |  SELECT * FROM (
+        |    SELECT query_id, neighbor_id, ql, nl, sim_q,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY sim_q DESC, neighbor_id) AS rank
+        |    FROM scored) t WHERE rank <= 20
+        |)
+        |SELECT query_id, neighbor_id, CAST(sim_q AS BIGINT) AS sim_q, neg_rank FROM (
+        |  SELECT query_id, neighbor_id, sim_q,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim_q DESC, neighbor_id) AS INT) AS neg_rank
+        |  FROM pool WHERE nl <> ql) n WHERE neg_rank <= 5""".stripMargin,
     "ann_knn_classify" ->
       // the ann_brute_topk CTE extended by a label join and a majority
       // vote (tie -> smaller label)

@@ -225,7 +225,24 @@ object Relational {
       .orderBy(col("z_bucket"))
   }
 
+  /** q15: unpivot/melt — the wide→long reshape (Spark's native `unpivot`,
+    * one Expand node: a single scan emits one row per (row, measure),
+    * never one scan per measure), aggregated per (returnflag, metric) so
+    * the contract output stays bounded. Measures go through DECIMAL(18,2)
+    * BEFORE the melt so the value column has one exact type. */
+  def q15Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), dec(col("l_quantity")).as("quantity"),
+        dec(col("l_extendedprice")).as("extendedprice"), dec(col("l_discount")).as("discount"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("quantity"), col("extendedprice"), col("discount")), "metric", "val")
+      .groupBy(col("l_returnflag"), col("metric"))
+      .agg(sum(col("val")).cast("double").as("sum_val"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_unpivot" -> q15Unpivot,
     "q14_zorder" -> q14ZOrder,
     "q13_cube" -> q13Cube,
     "q12_bloom_semi" -> q12BloomSemi,
@@ -242,6 +259,20 @@ object Relational {
     "q10_having" -> q10Having)
 
   val oracleSql: Map[String, String] = Map(
+    "q15_unpivot" ->
+      """WITH melted AS (
+        |  SELECT l_returnflag, 'quantity' AS metric,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'extendedprice',
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'discount',
+        |    CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+        |)
+        |SELECT l_returnflag, metric, CAST(sum(val) AS DOUBLE) AS sum_val,
+        |  count(*) AS n
+        |FROM melted GROUP BY 1, 2""".stripMargin,
     "q14_zorder" -> {
       val z = graft.functions.ZOrder.zOrderSql("l_partkey", "l_suppkey", 8)
       s"""WITH zt AS (

@@ -267,6 +267,21 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("partial_count"), s"bigram agg must map-side combine:\n$p")
   }
 
+  test("cohort retention is join-free: week sets fold on one user-keyed exchange") {
+    val p = plan("evt_cohort_retention")
+    assert(!p.contains("Join"), // the min-week frame never re-joins the stream
+      s"retention must fold week sets, not self-join the event stream:\n$p")
+    assert(p.contains("partial_collect_set"),
+      s"week-set aggregation must map-side combine:\n$p")
+  }
+
+  test("unpivot melts via one Expand over a single scan, not one scan per measure") {
+    val p = plan("q15_unpivot")
+    assert(p.contains("Expand"), s"expected the unpivot Expand node:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1, s"expected a single lineitem scan, got $scans:\n$p")
+  }
+
   test("mixture totals broadcast as a 1-row frame; the corpus never reshuffles for them") {
     val p = plan("pipeline_mixture")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
