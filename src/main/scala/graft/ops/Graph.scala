@@ -115,8 +115,7 @@ object Graph {
     // diff — ADVICE r11: a concurrent job persisting an RDD in the diff
     // window would get its cache released by our thunk; sc state is
     // session-wide shared).
-    def cp(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint()
+    def track(c: DataFrame): DataFrame = {
       val queue = scala.collection.mutable.Queue[org.apache.spark.rdd.RDD[_]](c.rdd)
       val seen = scala.collection.mutable.Set.empty[Int]
       while (queue.nonEmpty) {
@@ -126,8 +125,9 @@ object Graph {
           else queue ++= r.dependencies.map(_.rdd)
         }
       }
-      reRoot(c)
+      c
     }
+    def cp(df: DataFrame): DataFrame = reRoot(track(df.localCheckpoint()))
     val release: () => Unit = () =>
       cpIds.foreach(id => sc.getPersistentRDDs.get(id).foreach { r =>
         r.unpersist(blocking = false)
@@ -136,8 +136,14 @@ object Graph {
     // the edge list is re-read by EVERY level's eager action — checkpoint
     // it once so levels read executor-cached blocks instead of re-running
     // the upstream scan/distinct per level (measured: the dominant
-    // per-level cost on a parquet-derived edge list)
-    val e = cp(edges.select(col("a"), col("b")))
+    // per-level cost on a parquet-derived edge list). It is PRE-PARTITIONED
+    // on the join key and checkpointed WITHOUT reRoot: the checkpoint's
+    // LogicalRDD keeps the hashpartitioning(a) metadata (reRoot would drop
+    // it), so every level's frontier⋈edges join skips the edge-side
+    // exchange — the edges never union, so the constraint bug reRoot
+    // works around cannot bite here.
+    val e = track(edges.select(col("a"), col("b"))
+      .repartition(col("a")).localCheckpoint())
     var visited = sources.select(col("src"), col("src").as("node"),
       lit(0).as("hop"))
     var frontier = cp(visited.select("src", "node"))
