@@ -147,6 +147,28 @@ object EventFold {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** evt_outliers: per-user mean-relative outlier flags — an event is an
+    * outlier when its value exceeds 2× the user's mean, tested as the
+    * exact integer cross-multiplication `cents·n > 2·sum_cents` (no
+    * division, no float: the comparison both engines reproduce
+    * bit-for-bit). The anomaly/heavy-tail screening primitive of metric
+    * pipelines. Scale shape: ONE user-keyed exchange — the mean terms
+    * come from an unbounded window over that partition and the per-user
+    * rollup reuses the same partitioning; everything between is
+    * row-local. */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("user_id"))
+    ev.withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("cents")).over(w))
+      .withColumn("__out", when(col("cents") * col("__n") > col("__s") * 2, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("__out")).as("n_outliers"))
+      .orderBy(col("user_id"))
+  }
+
   /** evt_session_agg: sessionization — gap > 30 min starts a new session
     * (windowed lag + running sum); per user: number of sessions and events.
     * This is the batch analogue of the streaming state fold (§2.9).
@@ -492,6 +514,7 @@ object EventFold {
     "evt_asof_value" -> asofValue,
     "evt_cdc_classify" -> cdcClassify,
     "evt_cohort_retention" -> cohortRetention,
+    "evt_outliers" -> outliers,
     "evt_session_agg" -> sessionAgg,
     "evt_sliding_agg" -> slidingAgg,
     "evt_gapfill" -> gapFill,
@@ -504,6 +527,20 @@ object EventFold {
     "evt_type_markov" -> typeTransitions)
 
   val oracleSql: Map[String, String] = Map(
+    "evt_outliers" ->
+      """WITH c AS (
+        |  SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, cents,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    sum(cents) OVER (PARTITION BY user_id) AS s
+        |  FROM c
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN cents * n > s * 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM m GROUP BY 1""".stripMargin,
     "evt_cohort_retention" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events

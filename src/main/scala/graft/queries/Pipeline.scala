@@ -1330,6 +1330,36 @@ object Pipeline {
       .limit(20)
   }
 
+  /** text_bigram_lm: the n-gram language-model table — for every head
+    * token with ≥50 observed continuations, its top-3 next tokens with
+    * exact-ppm conditional probability `p_ppm = (cnt_ab·10^6) div
+    * cnt_a`, where cnt_a counts the head's TOTAL continuations (so each
+    * head's distribution sums to ≤10^6). The corpus-statistics primitive
+    * behind next-token diagnostics and cheap perplexity proxies. Scale
+    * shape: same as [[textCollocations]] — bigrams aggregate with
+    * map-side combine; the head totals and rank window run over the
+    * AGGREGATED bigram frame, never the corpus. */
+  def textBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bi = Tables.documents(spark, dir)
+      .select(split(trim(lower(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(
+        expr("transform(sequence(1, size(w) - 1), i -> named_struct('a', w[i-1], 'b', w[i]))"))
+        .as("bg"))
+      .groupBy(col("bg.a").as("a"), col("bg.b").as("b"))
+      .agg(count(lit(1)).as("cnt_ab"))
+    val headW = Window.partitionBy(col("a"))
+    val rankW = Window.partitionBy(col("a")).orderBy(col("cnt_ab").desc, col("b"))
+    bi.withColumn("cnt_a", sum(col("cnt_ab")).over(headW))
+      .filter(col("cnt_a") >= 50)
+      .withColumn("rank", row_number().over(rankW).cast("int"))
+      .filter(col("rank") <= 3)
+      .withColumn("p_ppm", expr("(cnt_ab * 1000000) div cnt_a"))
+      .select(col("a"), col("b"), col("cnt_ab"), col("p_ppm"), col("rank"))
+      .orderBy(col("a"), col("rank"))
+  }
+
   /** pipeline_mixture: per-source sampling rates toward a uniform token
     * mixture — the data-mixing step that decides how much of each source
     * enters the training run. `rate_ppm = min(10^6, target·10^6 div
@@ -1357,6 +1387,7 @@ object Pipeline {
     "dedup_paragraph" -> dedupParagraph,
     "pipeline_split" -> pipelineSplit,
     "text_collocations" -> textCollocations,
+    "text_bigram_lm" -> textBigramLm,
     "pipeline_mixture" -> pipelineMixture,
     "pipeline_keep" -> pipelineKeep,
     "dedup_best_rep" -> dedupBestRep,
@@ -1682,6 +1713,24 @@ object Pipeline {
         |  CAST((2 * cnt_ab * 1000000) // (ua.cnt + ub.cnt) AS BIGINT) AS dice_q
         |FROM bc JOIN uc ua ON bc.a = ua.t JOIN uc ub ON bc.b = ub.t
         |ORDER BY dice_q DESC, a, b LIMIT 20""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH w AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+        |), bc AS (
+        |  SELECT bg.a AS a, bg.b AS b, count(*) AS cnt_ab
+        |  FROM (SELECT unnest([{'a': toks[i], 'b': toks[i+1]}
+        |                      FOR i IN range(1, len(toks))]) AS bg FROM w)
+        |  GROUP BY 1, 2
+        |), headed AS (
+        |  SELECT a, b, cnt_ab,
+        |    sum(cnt_ab) OVER (PARTITION BY a) AS cnt_a,
+        |    row_number() OVER (PARTITION BY a ORDER BY cnt_ab DESC, b) AS rank
+        |  FROM bc
+        |)
+        |SELECT a, b, CAST(cnt_ab AS BIGINT) AS cnt_ab,
+        |  CAST((cnt_ab * 1000000) // cnt_a AS BIGINT) AS p_ppm,
+        |  CAST(rank AS INT) AS rank
+        |FROM headed WHERE cnt_a >= 50 AND rank <= 3""".stripMargin,
     "pipeline_mixture" ->
       """WITH d AS (
         |  SELECT source, len(string_split_regex(trim(text), '\s+')) AS n

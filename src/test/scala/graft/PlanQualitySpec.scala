@@ -282,6 +282,29 @@ class PlanQualitySpec extends SparkTestBase {
     assert(scans === 1, s"expected a single lineitem scan, got $scans:\n$p")
   }
 
+  test("outlier flags run on ONE user-keyed exchange: window and rollup share it") {
+    val p = plan("evt_outliers")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected exactly one keyed exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"mean terms must come from the window, not a self-join:\n$p")
+  }
+
+  test("exact median windows over per-value COUNTS, never sorting raw rows on one reducer") {
+    val p = plan("q16_median_exact")
+    // the partial aggregate must sit below the first exchange: the shuffle
+    // carries |distinct values| rows, not |lineitem| rows
+    val exIdx = p.indexOf("Exchange hashpartitioning")
+    val partialIdx = p.indexOf("partial_count", exIdx)
+    assert(exIdx >= 0 && partialIdx > exIdx,
+      s"value-count aggregation must map-side combine below the shuffle:\n$p")
+  }
+
+  test("bigram LM aggregates map-side; the rank window sees only the bigram frame") {
+    val p = plan("text_bigram_lm")
+    assert(p.contains("partial_count"), s"bigram agg must map-side combine:\n$p")
+    assert(!p.contains("Join"), s"head totals come from a window, not a self-join:\n$p")
+  }
+
   test("mixture totals broadcast as a 1-row frame; the corpus never reshuffles for them") {
     val p = plan("pipeline_mixture")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
