@@ -36,4 +36,31 @@ object DedupStream {
     firstPerFingerprint(
       docs.withColumn("fingerprint", graft.pipeline.Text.fingerprint(col(textCol))),
       tsCol, "fingerprint", lateness)
+
+  /** Streaming twin of the batch paragraph dedup
+    * ([[graft.queries.Pipeline]] `dedup_paragraph`): incoming documents
+    * explode row-locally into the SAME non-overlapping `width`-token
+    * grid (identical chunk-count arithmetic, so batch and stream agree
+    * on every paragraph boundary), and the first arrival of each
+    * paragraph md5 survives across micro-batches. State carries one row
+    * per DISTINCT paragraph hash still inside the watermark window —
+    * boilerplate repeated across the feed hits existing state and drops
+    * without growing it. Output: one row per kept paragraph occurrence
+    * (`para_idx`, `para_md5`, `n_tokens` + every input column). */
+  def firstParagraphs(docs: DataFrame, tsCol: String, textCol: String,
+      width: Int = 20, lateness: String = "10 minutes"): DataFrame = {
+    require(width >= 1, "width must be >= 1")
+    val toks = docs.withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+      .withColumn("__nc",
+        when(size(col("__toks")) <= width, lit(1))
+          .otherwise(expr(s"1 + ((size(__toks) - $width + ${width - 1}) DIV $width)")))
+    val chunk = slice(col("__toks"), col("para_idx") * width + 1, lit(width))
+    val paras = toks
+      .withColumn("para_idx", explode(sequence(lit(0), col("__nc") - 1)))
+      .withColumn("para_idx", col("para_idx").cast("int"))
+      .withColumn("n_tokens", size(chunk).cast("bigint"))
+      .withColumn("para_md5", md5(concat_ws(" ", chunk)))
+      .drop("__toks", "__nc")
+    firstPerFingerprint(paras, tsCol, "para_md5", lateness)
+  }
 }
