@@ -1339,25 +1339,56 @@ object Pipeline {
     * shape: same as [[textCollocations]] — bigrams aggregate with
     * map-side combine; the head totals and rank window run over the
     * AGGREGATED bigram frame, never the corpus. */
-  def textBigramLm(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bi = Tables.documents(spark, dir)
-      .select(split(trim(lower(col("text"))), "\\s+").as("w"))
+  /** Per-doc bigram rows (doc_id, a, b) — shared by the LM-table and
+    * LM-scoring contracts. Row-local explode, zero shuffle. */
+  private def docBigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
       .filter(size(col("w")) >= 2)
-      .select(explode(
+      .select(col("doc_id"), explode(
         expr("transform(sequence(1, size(w) - 1), i -> named_struct('a', w[i-1], 'b', w[i]))"))
         .as("bg"))
-      .groupBy(col("bg.a").as("a"), col("bg.b").as("b"))
-      .agg(count(lit(1)).as("cnt_ab"))
-    val headW = Window.partitionBy(col("a"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+
+  /** Aggregated bigram LM table (a, b, cnt_ab, cnt_a, p_ppm) — vocab²-
+    * bounded, corpus-size-independent after the map-side-combined
+    * aggregation. */
+  private def bigramTable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docBigrams(spark, dir)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt_ab"))
+      .withColumn("cnt_a", sum(col("cnt_ab")).over(Window.partitionBy(col("a"))))
+      .withColumn("p_ppm", expr("(cnt_ab * 1000000) div cnt_a"))
+  }
+
+  def textBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val rankW = Window.partitionBy(col("a")).orderBy(col("cnt_ab").desc, col("b"))
-    bi.withColumn("cnt_a", sum(col("cnt_ab")).over(headW))
+    bigramTable(spark, dir)
       .filter(col("cnt_a") >= 50)
       .withColumn("rank", row_number().over(rankW).cast("int"))
       .filter(col("rank") <= 3)
-      .withColumn("p_ppm", expr("(cnt_ab * 1000000) div cnt_a"))
       .select(col("a"), col("b"), col("cnt_ab"), col("p_ppm"), col("rank"))
       .orderBy(col("a"), col("rank"))
+  }
+
+  /** text_lm_score: LM-perplexity-proxy document scoring — each doc's
+    * mean in-ppm bigram probability under the corpus's own bigram LM
+    * (the CCNet-style quality signal: fluent text scores high, noise
+    * scores low), kept exact-integer as `sum(p_ppm) div n_bigrams`.
+    * Composes [[bigramTable]] with a per-doc rollup. Scale shape: the
+    * LM side is the AGGREGATED vocab² frame (broadcastable; Catalyst
+    * picks broadcast at this size and a shuffled equi join past the
+    * threshold — both correct); the per-doc bigram stream joins it
+    * keyed on (a, b) and rolls up on doc_id. */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val lm = bigramTable(spark, dir).select(col("a"), col("b"), col("p_ppm"))
+    docBigrams(spark, dir)
+      .join(lm, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"), expr("__s div n_bigrams").as("score_ppm"))
+      .orderBy(col("doc_id"))
   }
 
   /** pipeline_mixture: per-source sampling rates toward a uniform token
@@ -1388,6 +1419,7 @@ object Pipeline {
     "pipeline_split" -> pipelineSplit,
     "text_collocations" -> textCollocations,
     "text_bigram_lm" -> textBigramLm,
+    "text_lm_score" -> textLmScore,
     "pipeline_mixture" -> pipelineMixture,
     "pipeline_keep" -> pipelineKeep,
     "dedup_best_rep" -> dedupBestRep,
@@ -1731,6 +1763,25 @@ object Pipeline {
         |  CAST((cnt_ab * 1000000) // cnt_a AS BIGINT) AS p_ppm,
         |  CAST(rank AS INT) AS rank
         |FROM headed WHERE cnt_a >= 50 AND rank <= 3""".stripMargin,
+    "text_lm_score" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+        |), db AS (
+        |  SELECT doc_id, bg.a AS a, bg.b AS b
+        |  FROM (SELECT doc_id, unnest([{'a': toks[i], 'b': toks[i+1]}
+        |                              FOR i IN range(1, len(toks))]) AS bg FROM w)
+        |), bc AS (
+        |  SELECT a, b, count(*) AS cnt_ab FROM db GROUP BY 1, 2
+        |), lm AS (
+        |  SELECT a, b, (cnt_ab * 1000000) // sum(cnt_ab) OVER (PARTITION BY a) AS p_ppm
+        |  FROM bc
+        |), scored AS (
+        |  SELECT db.doc_id, count(*) AS n_bigrams, sum(lm.p_ppm) AS s
+        |  FROM db JOIN lm USING (a, b) GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  CAST(s // n_bigrams AS BIGINT) AS score_ppm
+        |FROM scored""".stripMargin,
     "pipeline_mixture" ->
       """WITH d AS (
         |  SELECT source, len(string_split_regex(trim(text), '\s+')) AS n
