@@ -50,6 +50,12 @@ object DedupStream {
   def firstParagraphs(docs: DataFrame, tsCol: String, textCol: String,
       width: Int = 20, lateness: String = "10 minutes"): DataFrame = {
     require(width >= 1, "width must be >= 1")
+    // reserved output/intermediate names — fail fast instead of silently
+    // clobbering caller columns (the Urls.withCanonical ADVICE class)
+    val clash = docs.columns.toSet
+      .intersect(Set("__toks", "__nc", "para_idx", "n_tokens", "para_md5"))
+    require(clash.isEmpty,
+      s"firstParagraphs reserves column names ${clash.mkString(", ")} — rename them on the input")
     val toks = docs.withColumn("__toks", split(trim(col(textCol)), "\\s+"))
       .withColumn("__nc",
         when(size(col("__toks")) <= width, lit(1))

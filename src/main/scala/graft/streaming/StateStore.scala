@@ -59,6 +59,17 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
 
   private def path(table: String) = s"$root/$table"
 
+  /** Parquet codec for every state file the store writes. lz4 beats the
+    * session default (snappy) on the micro-batch hot path — the state
+    * files are small (tens of KB to a few MB), re-read every batch, and
+    * encode/decode CPU dominates their I/O: an interleaved 2×-per-codec
+    * EngineBench A/B measured dense catch-up min 3.44/3.20 s (snappy) vs
+    * 2.79/2.56 s (lz4), sentinel-normalized 26.5/28.1 vs 20.4/23.6, with
+    * sparse never worse; uncompressed was ambiguous (best raw on the
+    * quietest host, worst normalized). Scoped here rather than session-
+    * wide so sinks/outputs keep their own codec choices. */
+  private val StateCodec = "lz4"
+
   // merge-coverage verification (see mergeReplaceReturning): off on the
   // production hot path, on for the whole test suite via SparkTestBase
   private lazy val verifyMergeSpan: Boolean =
@@ -395,7 +406,8 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     // thread-local job description: names the merge in the Spark UI and
     // in job-timeline probes (StepProbe) — costs nothing on the data path
     spark.sparkContext.setJobDescription(s"graft-merge:$table")
-    try merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    try merged.write.mode("overwrite").option("compression", StateCodec)
+      .partitionBy("bucket").parquet(tmp.toString)
     finally spark.sparkContext.setJobDescription(null)
     val staged = fs.listStatus(tmp).map(_.getPath.getName)
       .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt)
@@ -475,7 +487,8 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     // mergeReplace — avoids partitions × buckets small files)
     df.withColumn("bucket", bucketExpr(col(bucketCol), count))
       .repartition(count, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+      .write.mode("overwrite").option("compression", StateCodec)
+      .partitionBy("bucket").parquet(tmp.toString)
     val out = fs.create(new Path(tmp, "_nbuckets"), true)
     try out.write(count.toString.getBytes("UTF-8")) finally out.close()
     val trash = new Path(s"$root/.old_$table")
@@ -607,7 +620,7 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     val p = new Path(snapPath(batchId, name))
     val done = new Path(p, "_SUCCESS")
     if (!fs.exists(done)) // absent or torn (no _SUCCESS) → (re)write
-      read.write.mode("overwrite").parquet(p.toString)
+      read.write.mode("overwrite").option("compression", StateCodec).parquet(p.toString)
     // explicit schema: a 0-row snapshot has no part files to infer from
     spark.read.schema(schema).parquet(p.toString)
       .select(schema.fieldNames.map(col).toSeq: _*)
@@ -829,7 +842,7 @@ class StateStore(spark: SparkSession, val root: String, val nBuckets: Int = 64,
     val tmp = new Path(s"$root/.tmp_$table")
     val target = new Path(path(table))
     fs.delete(tmp, true)
-    out.write.mode("overwrite").parquet(tmp.toString)
+    out.write.mode("overwrite").option("compression", StateCodec).parquet(tmp.toString)
     val trash = new Path(s"$root/.old_$table")
     fs.delete(trash, true)
     if (fs.exists(target) && !fs.rename(target, trash))

@@ -87,10 +87,10 @@ class StateStoreScaleSpec extends SparkTestBase {
     val c0 = store.bucketCount("t")
 
     // grow the table through the INCREMENTAL path only
-    store.mergeReplace("t", "k", keysDf(100 to 400), rowsDf(100 to 400))
+    store.mergeReplace("t", "k", keysDf(100 to 800), rowsDf(100 to 800))
     assert(store.bucketCount("t") > c0,
       s"rebucket did not trigger (count ${store.bucketCount("t")})")
-    val expected = ((1 to 20) ++ (100 to 400)).map(i => s"key-$i" -> payload(i)).toMap
+    val expected = ((1 to 20) ++ (100 to 800)).map(i => s"key-$i" -> payload(i)).toMap
     assert(contents(store) === expected, "contents diverged across the rebucket")
 
     // post-rebucket merges read/write the NEW layout consistently:
@@ -119,11 +119,11 @@ class StateStoreScaleSpec extends SparkTestBase {
       maxBucketBytes = 4 * 1024)
     store.writeBucketed("t", "k", rowsDf(1 to 20))
     val c0 = store.bucketCount("t")
-    val ks = KeySet.fromDf(keysDf(100 to 400), store.maxInsetKeys)
-    val returned = store.mergeReplaceReturning("t", "k", ks, rowsDf(100 to 400))
+    val ks = KeySet.fromDf(keysDf(100 to 800), store.maxInsetKeys)
+    val returned = store.mergeReplaceReturning("t", "k", ks, rowsDf(100 to 800))
     assert(store.bucketCount("t") > c0, "rebucket did not trigger")
     val got = returned.get.select("k").collect().map(_.getString(0)).toSet
-    val expected = (100 to 400).map(i => s"key-$i").toSet
+    val expected = (100 to 800).map(i => s"key-$i").toSet
     assert(expected.subsetOf(got),
       s"returned frame lost ${(expected -- got).size} of the touched keys across the rebucket")
   }
