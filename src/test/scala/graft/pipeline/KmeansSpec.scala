@@ -74,4 +74,22 @@ class KmeansSpec extends SparkTestBase {
       .select(col("cluster_id")).distinct().count()
     assert(nClusters === 3L)
   }
+
+  test("a packed key that would overflow fails fast instead of wrapping (ADVICE r11)") {
+    import spark.implicits._
+    // the 4 seed centroids sit near zero; the outlier's quantized
+    // distance ≈ 4.4e18 is representable alone, but d·k + cid overflows
+    // Long at k = 4 — the assignment kernel must require(), never
+    // silently wrap into a wrong cluster id
+    val df = (Seq.tabulate(4)(i => (i.toLong, Array(i.toFloat))) :+
+        (4L, Array(2.1e6f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Vectors.kmeansQuantized(df, "vec_id", "embedding", k = 4, iters = 1)
+        .collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("overflow"), s"expected the packed-key overflow guard, got: $msgs")
+  }
 }
