@@ -1209,6 +1209,47 @@ object Pipeline {
     } finally { base.unpersist(blocking = false); () }
   }
 
+  /** pipeline_keep2: the full keep/filter ladder EXTENDED with the
+    * round-12 signals — after [[pipelineKeep]]'s duplicate / low-quality
+    * / repetitive / contaminated branches, a doc is dropped as `pii`
+    * when it carries ≥3 detected PII items ([[Pii]]) and as
+    * `low_fluency` when its bigram-LM score ([[textLmScore]]) falls
+    * under 33 000 ppm (≈ the corpus's 5th percentile). Kept SEPARATE
+    * from `pipeline_keep` so that query's timing stays longitudinally
+    * comparable across rounds. Scale shape: all new joins key on doc_id
+    * like the existing ones; the PII/LM branches add one row-local
+    * regexp pass and the (a,b)-keyed LM join — no new all-pairs work. */
+  def pipelineKeep2(spark: SparkSession, dir: String): DataFrame = {
+    val base = keepBase(spark, dir).persist()
+    try {
+      val clusters = componentsFrom(base)
+        .select(col("v").as("doc_id"), col("component").as("cluster_id"))
+      val cont = contaminationFrom(base)
+      val pii = pipelinePii(spark, dir).select(col("doc_id"),
+        (col("n_email") + col("n_card") + col("n_ip") + col("n_phone")).as("n_pii"))
+      val lms = textLmScore(spark, dir).select(col("doc_id"), col("score_ppm"))
+      base.select(col("doc_id"), col("quality"),
+          when(size(col("sh3")) > 0,
+            floor((lit(1.0) - size(array_distinct(col("sh3"))).cast("double") /
+              size(col("sh3")).cast("double")) * 10000).cast("long")).as("rep_q"))
+        .join(clusters, Seq("doc_id"))
+        .join(cont, Seq("doc_id"), "left")
+        .join(pii, Seq("doc_id"))
+        .join(lms, Seq("doc_id"), "left") // <2-token docs have no bigrams
+        .withColumn("reason",
+          when(col("cluster_id") =!= col("doc_id"), "duplicate")
+            .when(col("quality") < 0.5, "low_quality")
+            .when(coalesce(col("rep_q"), lit(0L)) > 3000, "repetitive")
+            .when(coalesce(col("contaminated"), lit(0)) === 1, "contaminated")
+            .when(col("n_pii") >= 3, "pii")
+            .when(coalesce(col("score_ppm"), lit(Long.MaxValue)) < 33000, "low_fluency")
+            .otherwise("keep"))
+        .withColumn("keep", when(col("reason") === "keep", 1).otherwise(0))
+        .select(col("doc_id"), col("keep"), col("reason"))
+        .orderBy(col("doc_id"))
+    } finally { base.unpersist(blocking = false); () }
+  }
+
   /** dedup_best_rep: representative selection per duplicate cluster — the
     * policy knob on top of [[dedupClusters]]: instead of keeping the min
     * doc id, keep the highest-QUALITY member (ties → smallest id) — the
@@ -1422,6 +1463,7 @@ object Pipeline {
     "text_lm_score" -> textLmScore,
     "pipeline_mixture" -> pipelineMixture,
     "pipeline_keep" -> pipelineKeep,
+    "pipeline_keep2" -> pipelineKeep2,
     "dedup_best_rep" -> dedupBestRep,
     "text_repetition" -> textRepetition,
     "samp_stratified" -> stratifiedSample,
@@ -1690,6 +1732,28 @@ object Pipeline {
        |FROM r""".stripMargin
   }
 
+  /** DuckDB mirror of [[textLmScore]] — also composed into
+    * pipeline_keep2's low_fluency branch. */
+  private val lmScoreOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+      |), db AS (
+      |  SELECT doc_id, bg.a AS a, bg.b AS b
+      |  FROM (SELECT doc_id, unnest([{'a': toks[i], 'b': toks[i+1]}
+      |                              FOR i IN range(1, len(toks))]) AS bg FROM w)
+      |), bc AS (
+      |  SELECT a, b, count(*) AS cnt_ab FROM db GROUP BY 1, 2
+      |), lm AS (
+      |  SELECT a, b, (cnt_ab * 1000000) // sum(cnt_ab) OVER (PARTITION BY a) AS p_ppm
+      |  FROM bc
+      |), scored AS (
+      |  SELECT db.doc_id, count(*) AS n_bigrams, sum(lm.p_ppm) AS s
+      |  FROM db JOIN lm USING (a, b) GROUP BY 1
+      |)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |  CAST(s // n_bigrams AS BIGINT) AS score_ppm
+      |FROM scored""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "pipeline_pii" -> piiOracle,
     "dedup_paragraph" ->
@@ -1763,25 +1827,7 @@ object Pipeline {
         |  CAST((cnt_ab * 1000000) // cnt_a AS BIGINT) AS p_ppm,
         |  CAST(rank AS INT) AS rank
         |FROM headed WHERE cnt_a >= 50 AND rank <= 3""".stripMargin,
-    "text_lm_score" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
-        |), db AS (
-        |  SELECT doc_id, bg.a AS a, bg.b AS b
-        |  FROM (SELECT doc_id, unnest([{'a': toks[i], 'b': toks[i+1]}
-        |                              FOR i IN range(1, len(toks))]) AS bg FROM w)
-        |), bc AS (
-        |  SELECT a, b, count(*) AS cnt_ab FROM db GROUP BY 1, 2
-        |), lm AS (
-        |  SELECT a, b, (cnt_ab * 1000000) // sum(cnt_ab) OVER (PARTITION BY a) AS p_ppm
-        |  FROM bc
-        |), scored AS (
-        |  SELECT db.doc_id, count(*) AS n_bigrams, sum(lm.p_ppm) AS s
-        |  FROM db JOIN lm USING (a, b) GROUP BY 1
-        |)
-        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
-        |  CAST(s // n_bigrams AS BIGINT) AS score_ppm
-        |FROM scored""".stripMargin,
+    "text_lm_score" -> lmScoreOracle,
     "pipeline_mixture" ->
       """WITH d AS (
         |  SELECT source, len(string_split_regex(trim(text), '\s+')) AS n
@@ -2084,6 +2130,38 @@ object Pipeline {
          |  JOIN qual q ON q.doc_id = d0.doc_id
          |  LEFT JOIN rep r ON r.doc_id = d0.doc_id
          |  LEFT JOIN cont ct ON ct.doc_id = d0.doc_id
+         |) t""".stripMargin,
+    "pipeline_keep2" ->
+      s"""WITH RECURSIVE $clusterCtes, qual AS (
+         |$qualityOracle
+         |), rep AS (
+         |$repetitionOracle
+         |), cont AS (
+         |$contaminationOracle
+         |), pii AS (
+         |  SELECT doc_id, n_email + n_card + n_ip + n_phone AS n_pii
+         |  FROM ($piiOracle)
+         |), lms AS (
+         |  SELECT doc_id, score_ppm FROM ($lmScoreOracle)
+         |)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS INT) AS keep, reason
+         |FROM (
+         |  SELECT d0.doc_id,
+         |    CASE WHEN c.cluster_id <> d0.doc_id THEN 'duplicate'
+         |         WHEN q.quality < 0.5 THEN 'low_quality'
+         |         WHEN coalesce(r.rep_q, 0) > 3000 THEN 'repetitive'
+         |         WHEN coalesce(ct.contaminated, 0) = 1 THEN 'contaminated'
+         |         WHEN p.n_pii >= 3 THEN 'pii'
+         |         WHEN coalesce(l.score_ppm, 9223372036854775807) < 33000 THEN 'low_fluency'
+         |         ELSE 'keep' END AS reason
+         |  FROM documents d0
+         |  JOIN comp c ON c.doc_id = d0.doc_id
+         |  JOIN qual q ON q.doc_id = d0.doc_id
+         |  LEFT JOIN rep r ON r.doc_id = d0.doc_id
+         |  LEFT JOIN cont ct ON ct.doc_id = d0.doc_id
+         |  JOIN pii p ON p.doc_id = d0.doc_id
+         |  LEFT JOIN lms l ON l.doc_id = d0.doc_id
          |) t""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id,

@@ -294,7 +294,24 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q17: explicit GROUPING SETS — two unrelated single-dimension
+    * aggregations (per returnflag, per linestatus) answered in ONE scan
+    * + one Expand, completing the multi-aggregate family next to
+    * q11_rollup / q13_cube (rollup and cube are the prefix/powerset
+    * special cases; arbitrary sets are the general tool). gid
+    * disambiguates which set a row belongs to. */
+  def q17GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_lines"), grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_grouping_sets" -> q17GroupingSets,
     "q16_median_exact" -> q16MedianExact,
     "q15_unpivot" -> q15Unpivot,
     "q14_zorder" -> q14ZOrder,
@@ -313,6 +330,13 @@ object Relational {
     "q10_having" -> q10Having)
 
   val oracleSql: Map[String, String] = Map(
+    "q17_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_lines,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
     "q16_median_exact" ->
       """WITH counts AS (
         |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,

@@ -282,6 +282,13 @@ class PlanQualitySpec extends SparkTestBase {
     assert(scans === 1, s"expected a single lineitem scan, got $scans:\n$p")
   }
 
+  test("grouping sets plan one Expand over a single scan, like cube/rollup") {
+    val p = plan("q17_grouping_sets")
+    assert(p.contains("Expand"), s"expected the grouping-sets Expand node:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1, s"expected a single lineitem scan, got $scans:\n$p")
+  }
+
   test("outlier flags run on ONE user-keyed exchange: window and rollup share it") {
     val p = plan("evt_outliers")
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
