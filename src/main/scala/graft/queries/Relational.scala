@@ -259,39 +259,49 @@ object Relational {
     * nothing and one reducer per group sorted ~200k rows; this form
     * runs 1.1 s and its phase-2 window sees only one bucket's values.)
     * Integer rank arithmetic both engines reproduce exactly. */
-  def q16MedianExact(spark: SparkSession, dir: String): DataFrame = {
+  def q16MedianExact(spark: SparkSession, dir: String): DataFrame =
+    medianExactOf(spark,
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("grp"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents")))
+      .select(col("grp").as("l_returnflag"),
+        (col("median_cents").cast("decimal(18,2)") / 100).cast("double").as("median_price"),
+        col("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Core of [[q16MedianExact]] over any `(grp STRING, cents LONG)`
+    * frame — split out so the rank arithmetic (bucket localization,
+    * within-bucket offset, tie mass on the median value) is randomized-
+    * parity-testable against a naive sorted model (MedianSpec). Returns
+    * `(grp, median_cents, n_rows)` with the LOWER median at rank
+    * `(n + 1) div 2`. */
+  private[graft] def medianExactOf(spark: SparkSession, input: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark0 = spark
-    val cents = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"),
-        (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
-      .withColumn("bucket", expr("cents div 65536"))
-    val grp = Window.partitionBy(col("l_returnflag"))
-    val bCum = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))
+    val cents = input.withColumn("bucket", expr("cents div 65536"))
+    val grp = Window.partitionBy(col("grp"))
+    val bCum = Window.partitionBy(col("grp")).orderBy(col("bucket"))
     // phase 1: which bucket holds the target rank, and the rank's offset
     // within it (driver sync bounded at one row per group)
-    val targets = cents.groupBy(col("l_returnflag"), col("bucket"))
+    val targets = cents.groupBy(col("grp"), col("bucket"))
       .agg(count(lit(1)).as("c"))
       .withColumn("n", sum(col("c")).over(grp))
       .withColumn("cum", sum(col("c")).over(bCum))
       .withColumn("r", expr("(n + 1) div 2"))
       .filter(col("cum") - col("c") < col("r") && col("r") <= col("cum"))
-      .select(col("l_returnflag"), col("bucket"),
+      .select(col("grp"), col("bucket"),
         (col("r") - (col("cum") - col("c"))).as("r_in"), col("n"))
     import spark0.implicits._
     val tRows = targets.as[(String, Long, Long, Long)].collect()
-    val tDf = tRows.toSeq.toDF("l_returnflag", "bucket", "r_in", "n")
+    val tDf = tRows.toSeq.toDF("grp", "bucket", "r_in", "n")
     // phase 2: exact-value rank inside the single target bucket per group
-    val vCum = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
-    cents.join(broadcast(tDf), Seq("l_returnflag", "bucket"))
-      .groupBy(col("l_returnflag"), col("cents"), col("r_in"), col("n"))
+    val vCum = Window.partitionBy(col("grp")).orderBy(col("cents"))
+    cents.join(broadcast(tDf), Seq("grp", "bucket"))
+      .groupBy(col("grp"), col("cents"), col("r_in"), col("n"))
       .agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(vCum))
       .filter(col("cum") - col("c") < col("r_in") && col("r_in") <= col("cum"))
-      .select(col("l_returnflag"),
-        (col("cents").cast("decimal(18,2)") / 100).cast("double").as("median_price"),
-        col("n").as("n_rows"))
-      .orderBy(col("l_returnflag"))
+      .select(col("grp"), col("cents").as("median_cents"), col("n").as("n_rows"))
   }
 
   /** q17: explicit GROUPING SETS — two unrelated single-dimension
