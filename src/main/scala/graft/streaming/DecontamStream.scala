@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming decontamination — the batch exact-substring contamination
+  * check ([[graft.queries.Pipeline]] `contamination_substring`) at
+  * ingest time: every arriving document's W-token windows are checked
+  * against a STATIC eval-set probe frame, so contaminated documents are
+  * flagged before they ever land in the corpus.
+  *
+  * Scale shape: this is the canonical STREAM-STATIC join — the probe
+  * side is a bounded, pre-hashed static frame (an eval set's shingles:
+  * thousands to millions of rows), which Spark broadcasts or re-reads
+  * per micro-batch without any stream-side state; the stream side
+  * explodes row-locally. Window dedup needs NO streaming state either:
+  * a document arrives whole in one row, so `array_distinct` before the
+  * explode reproduces the batch op's (doc, window) distinct exactly.
+  *
+  * The per-doc rollup runs as an UPDATE-mode streaming aggregation (one
+  * state row per in-flight document). Because each doc is atomic in one
+  * input row, every doc's aggregate is complete after its own
+  * micro-batch — production sinks consume the update stream (or run the
+  * same rollup in foreachBatch) and the state can be TTL'd aggressively;
+  * the parity spec reads the final table.
+  */
+object DecontamStream {
+
+  /** Per-document window/hit counts for streaming `docs` against the
+    * static `probe` (columns `pw` + `ph = xxhash64(pw)`, distinct on
+    * `pw` — build it with [[probeOf]]). Returns
+    * (doc_id, n_windows, n_hits, contaminated) as an aggregation the
+    * caller writes in Update or Complete mode. */
+  def flaggedCounts(docs: DataFrame, docIdCol: String, textCol: String,
+      probe: DataFrame, w: Int = 4): DataFrame = {
+    val windows = docs.select(col(docIdCol).as("doc_id"),
+        explode(array_distinct(graft.pipeline.Text.shingles(col(textCol), w))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    windows.join(probe, col("h") === col("ph") && col("w") === col("pw"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"), count(col("pw")).as("n_hits"))
+      .withColumn("contaminated", when(col("n_hits") > 0, 1).otherwise(0))
+  }
+
+  /** Static probe frame from an eval set's text column: distinct
+    * W-token windows, pre-hashed with the same xxhash64 the stream side
+    * joins on. */
+  def probeOf(evalDocs: DataFrame, textCol: String, w: Int = 4): DataFrame =
+    evalDocs.select(explode(graft.pipeline.Text.shingles(col(textCol), w)).as("pw"))
+      .distinct()
+      .withColumn("ph", xxhash64(col("pw")))
+}

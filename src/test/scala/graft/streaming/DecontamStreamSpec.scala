@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** [[DecontamStream]] ≡ the batch substring-contamination counts for the
+  * same documents and the same static probe, fed across micro-batches —
+  * the stream-static join must see every window of every arriving doc
+  * exactly once, and the in-row `array_distinct` must reproduce the
+  * batch op's (doc, window) distinct. */
+class DecontamStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streamed contamination counts equal the batch join on the same probe") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // eval set: two short docs; corpus: docs that overlap one, both, or
+    // neither, plus one with an internally-repeated window (array_distinct)
+    val eval = Seq("alpha beta gamma delta epsilon", "one two three four five")
+      .toDF("text")
+    val probe = DecontamStream.probeOf(eval, "text", w = 4).cache()
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta zeta eta"),         // 1 hit (window 1)
+      (2L, "x y z w v u"),                              // clean
+      (3L, "one two three four five six"),              // 2 hits
+      (4L, "q r s t q r s t q r s t"),                  // repeated windows, clean
+      (5L, "beta gamma delta epsilon mu"))              // 1 hit
+    val batches = Seq(corpus.take(2), corpus.slice(2, 4), corpus.drop(4))
+
+    val input = MemoryStream[(Long, String)]
+    val out = DecontamStream.flaggedCounts(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", probe, w = 4)
+    val q = out.writeStream.format("memory").queryName("decontam_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("decontam_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted.toSeq
+
+      // batch model: the same explode/distinct/join/rollup, non-streaming
+      val expected = DecontamStream.flaggedCounts(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", probe, w = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted.toSeq
+      assert(got === expected)
+      // and the fixture exercises all three cases
+      val byDoc = got.map(t => t._1 -> t._4).toMap
+      assert(byDoc(1L) === 1 && byDoc(2L) === 0 && byDoc(3L) === 1 &&
+        byDoc(4L) === 0 && byDoc(5L) === 1)
+      val hits = got.map(t => t._1 -> t._3).toMap
+      assert(hits(3L) >= 2L, s"doc 3 must hit both eval windows: $got")
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS decontam_stream")
+      probe.unpersist()
+      ()
+    }
+  }
+}
