@@ -1432,6 +1432,33 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** samp_class_balance: class-balance downsampling over the labeled
+    * embeddings — every class keeps min(|class|, |smallest class|·2)
+    * vectors via a deterministic per-row hash keep-rate (the
+    * imbalanced-classes primitive of classifier training sets; the 2×
+    * headroom is the usual cap-not-equalize policy). Exact integers end
+    * to end: rate_ppm = min(10^6, (2·min_n·10^6) div n) per class, keep
+    * when pmod(vec_id·2654435761, 10^6) < rate_ppm — reproducible on
+    * any engine, no RNG. Scale shape: one label-keyed count, the tiny
+    * per-class rate frame broadcasts back, the keep test is row-local;
+    * the output contract aggregates back to per-class counts. */
+  def classBalance(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val per = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val minN = per.agg(min(col("n")).as("__min"))
+    val rates = per.crossJoin(broadcast(minN))
+      .withColumn("rate_ppm", least(lit(1000000L), expr("(2 * __min * 1000000) div n")))
+      .select(col("label"), col("n"), col("rate_ppm"))
+    e.join(broadcast(rates), Seq("label"))
+      .withColumn("__keep",
+        when(pmod(col("vec_id") * lit(2654435761L), lit(1000000L)) < col("rate_ppm"), 1L)
+          .otherwise(0L))
+      .groupBy(col("label"), col("n"), col("rate_ppm"))
+      .agg(sum(col("__keep")).as("n_kept"))
+      .select(col("label"), col("n").as("n_before"), col("rate_ppm"), col("n_kept"))
+      .orderBy(col("label"))
+  }
+
   /** pipeline_mixture: per-source sampling rates toward a uniform token
     * mixture — the data-mixing step that decides how much of each source
     * enters the training run. `rate_ppm = min(10^6, target·10^6 div
@@ -1462,6 +1489,7 @@ object Pipeline {
     "text_bigram_lm" -> textBigramLm,
     "text_lm_score" -> textLmScore,
     "pipeline_mixture" -> pipelineMixture,
+    "samp_class_balance" -> classBalance,
     "pipeline_keep" -> pipelineKeep,
     "pipeline_keep2" -> pipelineKeep2,
     "dedup_best_rep" -> dedupBestRep,
@@ -1846,6 +1874,21 @@ object Pipeline {
         |SELECT source, n_docs, n_tokens, CAST(rate_ppm AS BIGINT) AS rate_ppm,
         |  CAST((n_tokens * rate_ppm) // 1000000 AS BIGINT) AS exp_tokens
         |FROM rated""".stripMargin,
+    "samp_class_balance" ->
+      """WITH per AS (
+        |  SELECT label, count(*) AS n FROM embeddings GROUP BY 1
+        |), mn AS (
+        |  SELECT min(n) AS m FROM per
+        |), rates AS (
+        |  SELECT label, n, least(1000000, (2 * m * 1000000) // n) AS rate_ppm
+        |  FROM per, mn
+        |)
+        |SELECT e.label, CAST(r.n AS BIGINT) AS n_before,
+        |  CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+        |  CAST(sum(CASE WHEN (e.vec_id * 2654435761) % 1000000 < r.rate_ppm
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM embeddings e JOIN rates r USING (label)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "text_repetition" -> repetitionOracle,
     // dedup-family contracts (VERDICT r6 #3): DuckDB independently counts
     // the exact ground-truth pair sets; the ok-booleans are Spark-computed

@@ -184,4 +184,38 @@ class StateStoreMergeSpec extends SparkTestBase {
     assert(attempt.failed.get.getMessage.contains("rebucketed"),
       s"unexpected error: ${attempt.failed.get.getMessage}")
   }
+
+  test("a store written under another codec merges and reads unchanged (lz4 migration)") {
+    // parquet files are self-describing, so a pre-round-12 store (snappy)
+    // keeps working after the writers switched to lz4 — merged buckets
+    // come out lz4, untouched buckets stay snappy, reads see one table
+    val dir = Files.createTempDirectory("graft-codec").toFile.getPath
+    val store = new StateStore(spark, dir, nBuckets = 4)
+    val initial = (0 until 24).map(i => s"k$i" -> i)
+    store.writeBucketed("t", "k", toDf(initial))
+    // rewrite every bucket's files with snappy IN PLACE (simulating the
+    // old store), preserving the layout and the bucket hashing
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    (0 until 4).foreach { b =>
+      val p = s"$dir/t/bucket=$b"
+      if (fs.exists(new org.apache.hadoop.fs.Path(p))) {
+        val rows = spark.read.schema(schema).parquet(p)
+          .collect().map(r => (r.getString(0), r.getInt(1)))
+        val tmp = s"$dir/.codec_tmp"
+        toDf(rows.toSeq).coalesce(1).write.mode("overwrite")
+          .option("compression", "snappy").parquet(tmp)
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+        assert(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(p)))
+      }
+    }
+    assert(contents(store) === initial.toSet, "snappy rewrite changed contents")
+    // an lz4-era merge over the snappy store: delete k0/k1, rewrite k2, add new
+    store.mergeReplace("t", "k", keysDf(Seq("k0", "k1", "k2", "knew")),
+      toDf(Seq("k2" -> 999, "knew" -> 1000)))
+    val expected = initial.toSet -- Set("k0" -> 0, "k1" -> 1, "k2" -> 2) ++
+      Set("k2" -> 999, "knew" -> 1000)
+    assert(contents(store) === expected, "mixed-codec merge diverged")
+  }
 }
