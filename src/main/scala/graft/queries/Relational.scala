@@ -274,8 +274,22 @@ object Relational {
     * within-bucket offset, tie mass on the median value) is randomized-
     * parity-testable against a naive sorted model (MedianSpec). Returns
     * `(grp, median_cents, n_rows)` with the LOWER median at rank
-    * `(n + 1) div 2`. */
-  private[graft] def medianExactOf(spark: SparkSession, input: DataFrame): DataFrame = {
+    * `(n + 1) div 2` (= `ceil(n/2)`, i.e. [[quantileExactOf]] at
+    * 500000 ppm). */
+  private[graft] def medianExactOf(spark: SparkSession, input: DataFrame): DataFrame =
+    quantileExactOf(spark, input, 500000L)
+      .withColumnRenamed("q_cents", "median_cents")
+
+  /** EXACT q-quantile (rank `ceil(n·q_ppm/10^6)`, clamped to ≥1) per
+    * group over any `(grp STRING, cents LONG)` frame, by the same
+    * two-phase range-bucketing as the median: a domain-bounded bucket
+    * cumsum localizes the rank, a second pass ranks exact values inside
+    * the one target bucket. The exact-p99 shape of latency/SLA
+    * reporting — no interpolation, no sketch error, and never a raw
+    * per-group sort on one reducer. */
+  private[graft] def quantileExactOf(spark: SparkSession, input: DataFrame,
+      qPpm: Long): DataFrame = {
+    require(qPpm >= 1 && qPpm <= 1000000, s"qPpm out of (0, 10^6]: $qPpm")
     import org.apache.spark.sql.expressions.Window
     val spark0 = spark
     val cents = input.withColumn("bucket", expr("cents div 65536"))
@@ -287,7 +301,7 @@ object Relational {
       .agg(count(lit(1)).as("c"))
       .withColumn("n", sum(col("c")).over(grp))
       .withColumn("cum", sum(col("c")).over(bCum))
-      .withColumn("r", expr("(n + 1) div 2"))
+      .withColumn("r", expr(s"greatest(1L, (n * ${qPpm}L + 999999L) div 1000000L)"))
       .filter(col("cum") - col("c") < col("r") && col("r") <= col("cum"))
       .select(col("grp"), col("bucket"),
         (col("r") - (col("cum") - col("c"))).as("r_in"), col("n"))
@@ -301,8 +315,22 @@ object Relational {
       .agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(vCum))
       .filter(col("cum") - col("c") < col("r_in") && col("r_in") <= col("cum"))
-      .select(col("grp"), col("cents").as("median_cents"), col("n").as("n_rows"))
+      .select(col("grp"), col("cents").as("q_cents"), col("n").as("n_rows"))
   }
+
+  /** q18: exact p99 of extendedprice per returnflag via
+    * [[quantileExactOf]] — the SLA/latency-reporting staple, exact and
+    * sketch-free at scale. */
+  def q18P99Exact(spark: SparkSession, dir: String): DataFrame =
+    quantileExactOf(spark,
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("grp"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
+      qPpm = 990000L)
+      .select(col("grp").as("l_returnflag"),
+        (col("q_cents").cast("decimal(18,2)") / 100).cast("double").as("p99_price"),
+        col("n_rows"))
+      .orderBy(col("l_returnflag"))
 
   /** q17: explicit GROUPING SETS — two unrelated single-dimension
     * aggregations (per returnflag, per linestatus) answered in ONE scan
@@ -321,6 +349,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_p99_exact" -> q18P99Exact,
     "q17_grouping_sets" -> q17GroupingSets,
     "q16_median_exact" -> q16MedianExact,
     "q15_unpivot" -> q15Unpivot,
@@ -340,6 +369,22 @@ object Relational {
     "q10_having" -> q10Having)
 
   val oracleSql: Map[String, String] = Map(
+    "q18_p99_exact" ->
+      """WITH counts AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |    count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT l_returnflag, price, c,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS n,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY price) AS cum
+        |  FROM counts
+        |)
+        |SELECT l_returnflag, CAST(price AS DOUBLE) AS p99_price,
+        |  CAST(n AS BIGINT) AS n_rows
+        |FROM ranked
+        |WHERE cum - c < greatest(1, (n * 990000 + 999999) // 1000000)
+        |  AND greatest(1, (n * 990000 + 999999) // 1000000) <= cum""".stripMargin,
     "q17_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

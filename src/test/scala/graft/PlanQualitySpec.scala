@@ -296,14 +296,16 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Join"), s"mean terms must come from the window, not a self-join:\n$p")
   }
 
-  test("exact median windows over per-value COUNTS, never sorting raw rows on one reducer") {
-    val p = plan("q16_median_exact")
-    // the partial aggregate must sit below the first exchange: the shuffle
-    // carries |distinct values| rows, not |lineitem| rows
-    val exIdx = p.indexOf("Exchange hashpartitioning")
-    val partialIdx = p.indexOf("partial_count", exIdx)
-    assert(exIdx >= 0 && partialIdx > exIdx,
-      s"value-count aggregation must map-side combine below the shuffle:\n$p")
+  test("exact median/p99 window over per-value COUNTS, never sorting raw rows on one reducer") {
+    Seq("q16_median_exact", "q18_p99_exact").foreach { name =>
+      val p = plan(name)
+      // the partial aggregate must sit below the first exchange: the shuffle
+      // carries |distinct values| rows, not |lineitem| rows
+      val exIdx = p.indexOf("Exchange hashpartitioning")
+      val partialIdx = p.indexOf("partial_count", exIdx)
+      assert(exIdx >= 0 && partialIdx > exIdx,
+        s"$name: value-count aggregation must map-side combine below the shuffle:\n$p")
+    }
   }
 
   test("bigram LM aggregates map-side; the rank window sees only the bigram frame") {

@@ -39,6 +39,24 @@ class MedianSpec extends SparkTestBase {
     }
   }
 
+  test("exact quantile equals the naive ceil-rank model across q values") {
+    val rnd = new Random(7)
+    Seq(10000L, 250000L, 500000L, 900000L, 990000L, 1000000L).foreach { q =>
+      val data = (0 until 4).flatMap { g =>
+        val n = 1 + rnd.nextInt(300)
+        Seq.fill(n)(s"g$g" -> (rnd.nextLong() % 1000000L))
+      }
+      val got = Relational.quantileExactOf(spark, data.toDF("grp", "cents"), q)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = data.groupBy(_._1).map { case (g, rows) =>
+        val sorted = rows.map(_._2).sorted
+        val r = math.max(1L, (rows.size.toLong * q + 999999L) / 1000000L)
+        g -> sorted((r - 1).toInt)
+      }
+      assert(got === expected, s"q=$q diverged")
+    }
+  }
+
   test("single-row and two-row groups pick the lower median") {
     val data = Seq("a" -> 7L, "b" -> 3L, "b" -> 9L)
     val got = Relational.medianExactOf(spark, data.toDF("grp", "cents"))
