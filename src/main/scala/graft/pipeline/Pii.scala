@@ -14,7 +14,14 @@ import org.apache.spark.sql.functions._
   * The pattern set is the deterministic, cross-engine-portable core
   * (RE2 ∩ java.util.regex: character classes, bounded repetition, `\b`)
   * — production swaps in a wider pattern library behind the same
-  * columns. Redaction order is fixed (email → card → ip → phone) so the
+  * columns. One documented portability seam (ADVICE r12): `\b` is
+  * Unicode-aware in java.util.regex but ASCII-only in RE2/DuckDB, so a
+  * digit bordering a NON-ASCII word character (e.g. `é1.2.3.4`) matches
+  * differently across engines. The contract therefore assumes
+  * ASCII-adjacent PII boundaries (the driver corpus is ASCII, so it
+  * holds exactly today); a production library replaces `\b` with
+  * explicit guards like `(^|[^0-9A-Za-z_])` when scrubbing mixed-script
+  * text. Redaction order is fixed (email → card → ip → phone) so the
   * output is deterministic even if a future pattern pair overlaps.
   *
   * The driver corpus carries no natural PII, so [[syntheticPiiSuffix]]
@@ -34,20 +41,23 @@ object Pii {
 
   /** Deterministic synthetic PII appended to each document: an email on
     * every 3rd doc, an IPv4 on every 4th, a phone on every 5th, a card
-    * on every 7th (so docs carry 0-4 PII items in mixed surroundings). */
-  def syntheticPiiSuffix: Column = concat(
-    when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
-      col("doc_id").cast("string"), lit("@mail"), (col("doc_id") % 5).cast("string"),
+    * on every 7th (so docs carry 0-4 PII items in mixed surroundings).
+    * Takes the doc-id column explicitly instead of assuming a `doc_id`
+    * column on the caller's frame (the `Urls.withCanonical` implicit-
+    * schema-coupling class, ADVICE r11 #5 / VERDICT r12 Wrong #3). */
+  def syntheticPiiSuffix(docId: Column): Column = concat(
+    when(docId % 3 === 0, concat(lit(" contact user"),
+      docId.cast("string"), lit("@mail"), (docId % 5).cast("string"),
       lit(".example.com now"))).otherwise(lit("")),
-    when(col("doc_id") % 4 === 0, concat(lit(" from 10."),
-      (col("doc_id") % 256).cast("string"), lit("."),
-      ((col("doc_id") * 7) % 256).cast("string"), lit("."),
-      (col("doc_id") % 250).cast("string"), lit(" logged"))).otherwise(lit("")),
-    when(col("doc_id") % 5 === 0, concat(lit(" call 555-"),
-      (col("doc_id") % 9000 + 1000).cast("string"), lit(" today"))).otherwise(lit("")),
-    when(col("doc_id") % 7 === 0, concat(lit(" card 4111 "),
-      (col("doc_id") % 9000 + 1000).cast("string"), lit(" 2222 "),
-      ((col("doc_id") * 3) % 9000 + 1000).cast("string"))).otherwise(lit("")))
+    when(docId % 4 === 0, concat(lit(" from 10."),
+      (docId % 256).cast("string"), lit("."),
+      ((docId * 7) % 256).cast("string"), lit("."),
+      (docId % 250).cast("string"), lit(" logged"))).otherwise(lit("")),
+    when(docId % 5 === 0, concat(lit(" call 555-"),
+      (docId % 9000 + 1000).cast("string"), lit(" today"))).otherwise(lit("")),
+    when(docId % 7 === 0, concat(lit(" card 4111 "),
+      (docId % 9000 + 1000).cast("string"), lit(" 2222 "),
+      ((docId * 3) % 9000 + 1000).cast("string"))).otherwise(lit("")))
 
   /** Per-type match count over `text` (0 when none). */
   def countOf(text: Column, pattern: String): Column =
@@ -59,4 +69,30 @@ object Pii {
     Patterns.foldLeft(text) { case (c, (_, re, repl)) =>
       regexp_replace(c, lit(re), lit(repl))
     }
+
+  /** True when a `dddd dddd dddd dddd` card-format match passes the Luhn
+    * checksum — distinguishes format-match from checksum-valid (VERDICT
+    * r12 Next #8). Fixed 16-digit layout, so the doubled positions are
+    * the even string indexes from the left; pure exact-integer
+    * digit arithmetic (`ascii − 48`, double, subtract 9 past 9, sum,
+    * mod 10) that any engine reproduces bit-for-bit — no lookup tables,
+    * no floats. Row-local and codegen'd like every other column here. */
+  def luhnValid(cardMatch: Column): Column = {
+    val s = translate(cardMatch, " ", "")
+    val total = (0 until 16).map { i =>
+      val d = ascii(substring(s, i + 1, 1)) - lit(48)
+      // 16 digits: Luhn doubles every second digit from the right
+      // starting at the penultimate one = even 0-based indexes from left
+      if (i % 2 == 0) { val dd = d * 2; when(dd > 9, dd - 9).otherwise(dd) }
+      else d
+    }.reduce(_ + _)
+    total % 10 === 0
+  }
+
+  /** Count of card-format matches in `text` that are also Luhn-valid. */
+  def luhnValidCount(text: Column): Column = {
+    val cardRe = Patterns.find(_._1 == "card").get._2
+    size(filter(regexp_extract_all(text, lit(cardRe), lit(0)),
+      m => luhnValid(m))).cast("bigint")
+  }
 }

@@ -137,6 +137,10 @@ object EventFold {
     * self-join of the event stream against its own min-week frame. */
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val weekUs = 7L * 86400L * 1000000L
+    // `div` truncates toward zero while the DuckDB oracle's `//` floors —
+    // they agree only for ts_us >= 0, the repo-wide ts_us convention
+    // (driver epochs are all post-1970; a pre-1970 event would land in
+    // week 0 here and week -1 in the oracle). Pinned per ADVICE r12.
     val weeks = Tables.events(spark, dir)
       .select(col("user_id"), expr(s"ts_us div ${weekUs}L").as("week"))
       .groupBy(col("user_id"))

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.pipeline.{Dedup, Multimodal, Pii, Text, Urls, Vectors}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over the driver's `documents`
@@ -725,6 +725,22 @@ object Pipeline {
       .orderBy(col("format"))
   }
 
+  /** The portable arithmetic id-hash shared by every deterministic
+    * sampler/splitter here: Knuth's multiplicative 2654435761 over the
+    * id REDUCED mod 10⁶ first. The reduction is the cross-engine
+    * overflow guard (ADVICE r12): without it, ids past
+    * 2⁶³/2654435761 ≈ 3.47·10⁹ — routine at 100 TB — silently wrap in
+    * Spark's 64-bit multiply while DuckDB RAISES an overflow error, so
+    * the "reproducible on any engine" claim would break exactly at
+    * scale. With it the product is ≤ 999999·2654435761 ≈ 2.65·10¹⁵,
+    * comfortably inside Int64 on every engine, and for ids < 10⁶ (all
+    * driver SFs) the value is bit-identical to the unreduced form.
+    * Sampling/splitting only needs the hash to decorrelate the keep
+    * decision from id-range structure, which survives the reduction
+    * (ids 10⁶ apart share a bucket — irrelevant for rate decisions). */
+  private[graft] def knuthHash(id: Column): Column =
+    pmod(id, lit(1000000L)) * lit(2654435761L)
+
   /** samp_stratified: deterministic per-stratum (language) sampling —
     * keep a doc iff an arithmetic hash of its id falls under the
     * stratum's keep-rate. Row-local predicate: no shuffle, pushes to the
@@ -739,7 +755,7 @@ object Pipeline {
         .when(col("lang") === "fr", 25).when(col("lang") === "es", 10)
         .when(col("lang") === "zh", 10), lit(5)).as("kept_rate")
     d.select(col("doc_id"), col("lang"), rate)
-      .filter(pmod(col("doc_id") * lit(2654435761L), lit(100)) < col("kept_rate"))
+      .filter(pmod(knuthHash(col("doc_id")), lit(100)) < col("kept_rate"))
       .orderBy(col("doc_id"))
   }
 
@@ -754,7 +770,7 @@ object Pipeline {
   def weightedSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-      .filter(pmod(col("doc_id") * lit(2654435761L), lit(10000)) <
+      .filter(pmod(knuthHash(col("doc_id")), lit(10000)) <
         least(col("n_chars"), lit(5000)) * 2)
       .orderBy(col("doc_id"))
 
@@ -782,7 +798,7 @@ object Pipeline {
   private[graft] def reservoirOf(d: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyed = d.select(col("doc_id"), col("lang"),
-      pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)).as("pri"),
+      pmod(knuthHash(col("doc_id")), lit(1000000007L)).as("pri"),
       pmod(col("doc_id"), lit(32)).as("salt"))
     val w1 = Window.partitionBy(col("lang"), col("salt"))
       .orderBy(col("pri"), col("doc_id"))
@@ -1291,12 +1307,14 @@ object Pipeline {
     * tests detection/redaction, not synthesis (the urlCanon pattern). */
   def pipelinePii(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), concat(col("text"), Pii.syntheticPiiSuffix).as("__t"))
+      .select(col("doc_id"),
+        concat(col("text"), Pii.syntheticPiiSuffix(col("doc_id"))).as("__t"))
       .withColumn("__red", Pii.redacted(col("__t")))
     val counts = Pii.Patterns.map { case (name, re, _) =>
       Pii.countOf(col("__t"), re).as(s"n_$name")
     }
     d.select(col("doc_id") +: counts :+
+        Pii.luhnValidCount(col("__t")).as("n_card_luhn") :+
         md5(col("__red")).as("red_md5") :+
         length(col("__red")).cast("bigint").as("red_len"): _*)
       .orderBy(col("doc_id"))
@@ -1308,17 +1326,28 @@ object Pipeline {
     * grid cells of [[chunkingOf]] (the driver corpus has no newlines;
     * production swaps the splitter, the dedup shape is identical): a
     * paragraph occurrence is a duplicate unless it is the first in global
-    * (doc_id, para_idx) order. Scale shape: one exchange keyed on the
-    * paragraph hash (each window partition = one identical-content group)
-    * + one per-doc aggregation; no text payload survives past the md5. */
+    * (doc_id, para_idx) order. Scale shape: the global first occurrence
+    * per hash is `min(struct(doc_id, chunk_id))` — a MAP-SIDE-COMBINABLE
+    * aggregate, so a boilerplate paragraph repeated 10⁹ times collapses
+    * to one row per map task before the exchange (a `row_number` window
+    * on the same key would sort the whole hot key on one reducer — the
+    * skew-killer this shape avoids). Per-doc dup counts then derive as
+    * `n_paras − n_firsts` via a join of two doc-keyed frames (uniform
+    * key, corpus-size-independent right side); the raw paragraph hash is
+    * never a join or window key. No text payload survives past the md5. */
   def dedupParagraph(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val paras = chunkingOf(Tables.documents(spark, dir), width = 20, stride = 20)
-    val w = Window.partitionBy(col("chunk_md5")).orderBy(col("doc_id"), col("chunk_id"))
-    paras.withColumn("__rn", row_number().over(w))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_paras"),
-        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_paras"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_md5"))
+    // one row per distinct paragraph hash: which (doc, chunk) saw it first
+    val firstsPerDoc = paras
+      .groupBy(col("chunk_md5"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__first"))
+      .groupBy(col("__first").getField("doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("__n_firsts"))
+    paras.groupBy(col("doc_id")).agg(count(lit(1)).as("n_paras"))
+      .join(firstsPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        (col("n_paras") - coalesce(col("__n_firsts"), lit(0L))).as("n_dup_paras"))
       .orderBy(col("doc_id"))
   }
 
@@ -1330,7 +1359,7 @@ object Pipeline {
     * (pure integer arithmetic — no engine-specific hash). Row-local
     * assignment + ONE (lang, split) aggregation. */
   def pipelineSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+    val bucket = pmod(knuthHash(col("doc_id")), lit(1000L))
     Tables.documents(spark, dir)
       .select(col("lang"),
         when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
@@ -1451,7 +1480,7 @@ object Pipeline {
       .select(col("label"), col("n"), col("rate_ppm"))
     e.join(broadcast(rates), Seq("label"))
       .withColumn("__keep",
-        when(pmod(col("vec_id") * lit(2654435761L), lit(1000000L)) < col("rate_ppm"), 1L)
+        when(pmod(knuthHash(col("vec_id")), lit(1000000L)) < col("rate_ppm"), 1L)
           .otherwise(0L))
       .groupBy(col("label"), col("n"), col("rate_ppm"))
       .agg(sum(col("__keep")).as("n_kept"))
@@ -1756,6 +1785,13 @@ object Pipeline {
        |  CAST(len(regexp_extract_all(t, '$card')) AS BIGINT) AS n_card,
        |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ip,
        |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone,
+       |  CAST(len(list_filter(regexp_extract_all(t, '$card'), m ->
+       |    list_sum([CASE WHEN i % 2 = 0 THEN
+       |        CASE WHEN 2 * (ascii(substr(replace(m, ' ', ''), i + 1, 1)) - 48) > 9
+       |             THEN 2 * (ascii(substr(replace(m, ' ', ''), i + 1, 1)) - 48) - 9
+       |             ELSE 2 * (ascii(substr(replace(m, ' ', ''), i + 1, 1)) - 48) END
+       |        ELSE ascii(substr(replace(m, ' ', ''), i + 1, 1)) - 48 END
+       |      FOR i IN range(0, 16)]) % 10 = 0)) AS BIGINT) AS n_card_luhn,
        |  md5(red) AS red_md5, CAST(length(red) AS BIGINT) AS red_len
        |FROM r""".stripMargin
   }
@@ -1812,8 +1848,8 @@ object Pipeline {
     "pipeline_split" ->
       """WITH s AS (
         |  SELECT lang,
-        |    CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
-        |         WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+        |    CASE WHEN ((doc_id % 1000000) * 2654435761) % 1000 < 800 THEN 'train'
+        |         WHEN ((doc_id % 1000000) * 2654435761) % 1000 < 900 THEN 'val'
         |         ELSE 'test' END AS split,
         |    len(string_split_regex(trim(text), '\s+')) AS n
         |  FROM documents
@@ -1885,7 +1921,7 @@ object Pipeline {
         |)
         |SELECT e.label, CAST(r.n AS BIGINT) AS n_before,
         |  CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
-        |  CAST(sum(CASE WHEN (e.vec_id * 2654435761) % 1000000 < r.rate_ppm
+        |  CAST(sum(CASE WHEN ((e.vec_id % 1000000) * 2654435761) % 1000000 < r.rate_ppm
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM embeddings e JOIN rates r USING (label)
         |GROUP BY 1, 2, 3""".stripMargin,
@@ -1925,19 +1961,19 @@ object Pipeline {
         |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 WHEN 'fr' THEN 25
         |            WHEN 'es' THEN 10 WHEN 'zh' THEN 10 ELSE 5 END AS kept_rate
         |FROM documents
-        |WHERE (doc_id * 2654435761) % 100 <
+        |WHERE ((doc_id % 1000000) * 2654435761) % 100 <
         |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 WHEN 'fr' THEN 25
         |            WHEN 'es' THEN 10 WHEN 'zh' THEN 10 ELSE 5 END""".stripMargin,
     "samp_weighted" ->
       """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE (doc_id * 2654435761) % 10000 < least(n_chars, 5000) * 2""".stripMargin,
+        |WHERE ((doc_id % 1000000) * 2654435761) % 10000 < least(n_chars, 5000) * 2""".stripMargin,
     "samp_reservoir" ->
       // plain per-language rank — the single-sort algorithm the Spark side
       // deliberately avoids; identical answer by top-k containment
       """SELECT doc_id, lang, rk FROM (
         |  SELECT doc_id, lang,
         |    CAST(row_number() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS INT) AS rk
+        |      ORDER BY ((doc_id % 1000000) * 2654435761) % 1000000007, doc_id) AS INT) AS rk
         |  FROM documents) t
         |WHERE rk <= 10""".stripMargin,
     "text_chunking" ->

@@ -11,9 +11,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: this is the canonical STREAM-STATIC join — the probe
   * side is a bounded, pre-hashed static frame (an eval set's shingles:
-  * thousands to millions of rows), which Spark broadcasts or re-reads
-  * per micro-batch without any stream-side state; the stream side
-  * explodes row-locally. Window dedup needs NO streaming state either:
+  * thousands to millions of rows) joined per micro-batch without any
+  * stream-side state; the stream side explodes row-locally. The probe
+  * join is SIZE-GATED (the `minhashVerified` pattern): under the cap it
+  * is pinned `broadcast(probe)` — relying on `autoBroadcastJoinThreshold`
+  * would silently flip to a shuffled join past 10 MB and re-shuffle
+  * EVERY micro-batch on the window hash; above the cap the shuffled
+  * stream-static equi-join is the documented fallback (an eval set that
+  * big is itself a corpus). The gate is decided once at plan-build time
+  * with one count on the static side. Window dedup needs NO streaming
+  * state either:
   * a document arrives whole in one row, so `array_distinct` before the
   * explode reproduces the batch op's (doc, window) distinct exactly.
   *
@@ -26,17 +33,30 @@ import org.apache.spark.sql.functions._
   */
 object DecontamStream {
 
+  /** Probe rows a pinned broadcast will accept before the plan falls back
+    * to a shuffled stream-static join: ~64 B/row (short shingle string +
+    * 8-byte hash) ⇒ ≈ 64 MB build side at the cap — comfortably inside
+    * executor memory, far past `autoBroadcastJoinThreshold`'s 10 MB. */
+  val MaxBroadcastProbeRows = 1000000L
+
   /** Per-document window/hit counts for streaming `docs` against the
     * static `probe` (columns `pw` + `ph = xxhash64(pw)`, distinct on
     * `pw` — build it with [[probeOf]]). Returns
     * (doc_id, n_windows, n_hits, contaminated) as an aggregation the
-    * caller writes in Update or Complete mode. */
+    * caller writes in Update or Complete mode.
+    *
+    * `maxBroadcastProbe` gates the pinned `broadcast(probe)` (one count
+    * on the static side at plan-build time); above it the join is the
+    * documented shuffled fallback (tests force it with 0). */
   def flaggedCounts(docs: DataFrame, docIdCol: String, textCol: String,
-      probe: DataFrame, w: Int = 4): DataFrame = {
+      probe: DataFrame, w: Int = 4,
+      maxBroadcastProbe: Long = MaxBroadcastProbeRows): DataFrame = {
     val windows = docs.select(col(docIdCol).as("doc_id"),
         explode(array_distinct(graft.pipeline.Text.shingles(col(textCol), w))).as("w"))
       .withColumn("h", xxhash64(col("w")))
-    windows.join(probe, col("h") === col("ph") && col("w") === col("pw"), "left")
+    val probeSide =
+      if (probe.count() <= maxBroadcastProbe) broadcast(probe) else probe
+    windows.join(probeSide, col("h") === col("ph") && col("w") === col("pw"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"), count(col("pw")).as("n_hits"))
       .withColumn("contaminated", when(col("n_hits") > 0, 1).otherwise(0))

@@ -56,12 +56,16 @@ object SlidingAgg {
       if (buf.exists()) buf.get().foreach(window.append)
       val out = Vector.newBuilder[SlideAgg]
       val batch = rows.toArray.sortBy(e => (e.tsUs, e.eventId))
-      // in-order feed contract: every stored entry's ts <= the incoming
-      // batch's min ts, or head-eviction silently corrupts counts/sums —
-      // fail fast on violation instead (ADVICE r11)
-      require(window.isEmpty || batch.isEmpty || batch(0).tsUs >= window.last.tsUs,
+      // in-order feed contract: every stored entry's ts < the incoming
+      // batch's min ts, or emission silently diverges from the batch
+      // RANGE-frame answer — fail fast on violation instead (ADVICE r11).
+      // STRICT >: an incoming ts EQUAL to the stored max is always a
+      // cross-batch peer split (the stored peers at that ts were already
+      // emitted without seeing the newcomer), exactly the divergence the
+      // guard exists to catch (ADVICE r12)
+      require(window.isEmpty || batch.isEmpty || batch(0).tsUs > window.last.tsUs,
         s"out-of-order micro-batch for key $key: incoming min ts ${batch(0).tsUs} " +
-          s"< stored max ts ${window.last.tsUs}")
+          s"<= stored max ts ${window.last.tsUs} (equal ts across batches splits a peer group)")
       var i = 0
       while (i < batch.length) {
         // peer group: every event sharing this ts enters the window FIRST

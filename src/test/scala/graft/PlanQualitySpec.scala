@@ -241,11 +241,14 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("UDF"), s"pii pass must stay codegen regexp:\n$p")
   }
 
-  test("paragraph dedup shuffles only on the paragraph hash and the doc key") {
+  test("paragraph dedup collapses the hash key map-side — no window, partial_min") {
     val p = plan("dedup_paragraph")
-    assert(p.contains("Window"), s"expected the first-occurrence rank window:\n$p")
-    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(exchanges <= 2, s"expected <=2 keyed exchanges, got $exchanges:\n$p")
+    // skew guard: the first-occurrence rank must NOT be a row_number window
+    // over the raw paragraph-hash key (one boilerplate paragraph = one
+    // reducer-side sort); it must be a map-side-combinable min aggregate
+    assert(!p.contains("Window"), s"no window over the raw paragraph frame:\n$p")
+    assert(p.contains("partial_min"),
+      s"first-occurrence must partial-aggregate below the paragraph-hash exchange:\n$p")
     // the md5 projection must sit BELOW (printed after) the paragraph-hash
     // exchange: only the 32-byte hash crosses the shuffle, never the tokens
     val exIdx = p.indexOf("Exchange hashpartitioning(chunk_md5")

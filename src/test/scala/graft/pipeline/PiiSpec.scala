@@ -30,6 +30,21 @@ class PiiSpec extends SparkTestBase {
     assert(red === src)
   }
 
+  test("luhn check separates checksum-valid cards from format-only matches") {
+    // 4111 1111 1111 1111 is the canonical Luhn-valid test PAN;
+    // flipping its last digit breaks the checksum but not the format
+    val d = Seq(
+      "pay 4111 1111 1111 1111 now",                      // valid
+      "pay 4111 1111 1111 1112 now",                      // format-only
+      "two: 4111 1111 1111 1111 and 5500 0000 0000 0004", // both valid
+      "no cards here").toDF("t")
+    val got = d.select(
+        Pii.countOf(col("t"), Pii.Patterns.find(_._1 == "card").get._2).as("n_card"),
+        Pii.luhnValidCount(col("t")).as("n_luhn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 1L), (1L, 0L), (2L, 2L), (0L, 0L)))
+  }
+
   test("multiple matches of one class all redact; word boundaries hold") {
     val Seq((counts, red)) = run("a@b.co c@d.io and 1555-0199 is NOT a phone but 555-0199 is")
     assert(counts(0) === 2L) // both emails

@@ -27,7 +27,7 @@ class PipelineSpec extends SparkTestBase {
     val kept = graft.queries.Pipeline.stratifiedSample(spark_, dir).collect()
     kept.foreach { r =>
       val (id, rate) = (r.getLong(0), r.getInt(2))
-      assert(((id * 2654435761L) % 100) < rate, s"doc $id kept but hash >= rate $rate")
+      assert((((id % 1000000L) * 2654435761L) % 100) < rate, s"doc $id kept but hash >= rate $rate")
     }
     assert(kept.nonEmpty)
 
@@ -391,7 +391,7 @@ class PipelineSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     val expected = ids.map(id => (id, langs((id % 7 % 3).toInt)))
       .groupBy(_._2).flatMap { case (lang, rows) =>
-        rows.map { case (id, _) => (id, math.floorMod(id * 2654435761L, 1000000007L)) }
+        rows.map { case (id, _) => (id, math.floorMod((id % 1000000L) * 2654435761L, 1000000007L)) }
           .sortBy { case (id, pri) => (pri, id) }
           .take(k).zipWithIndex
           .map { case ((id, _), i) => (id, lang, i + 1) }

@@ -57,4 +57,62 @@ class DecontamStreamSpec extends SparkTestBase {
       ()
     }
   }
+
+  test("probe join is size-gated: pinned broadcast under the cap, shuffled fallback at cap 0") {
+    val eval = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val probe = DecontamStream.probeOf(eval, "text", w = 4).cache()
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta zeta"),
+      (2L, "x y z w v u"),
+      (3L, "beta gamma delta epsilon mu")).toDF("doc_id", "text")
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevThreshold = spark.conf.getOption(thresholdKey)
+    // auto-broadcast OFF: a tiny test probe would otherwise be broadcast
+    // by Catalyst on BOTH sides of the gate — with it disabled, only the
+    // gate's PINNED broadcast() hint can produce a BroadcastHashJoin
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      // same code path batch frames take — inspect the executed plan
+      val bcast = DecontamStream.flaggedCounts(corpus, "doc_id", "text", probe, w = 4)
+      val pB = bcast.queryExecution.executedPlan.toString
+      assert(pB.contains("BroadcastHashJoin"),
+        s"under the cap the probe must be a pinned broadcast:\n$pB")
+      val shuffled = DecontamStream.flaggedCounts(corpus, "doc_id", "text", probe,
+        w = 4, maxBroadcastProbe = 0L)
+      val pS = shuffled.queryExecution.executedPlan.toString
+      assert(!pS.contains("BroadcastHashJoin"),
+        s"at cap 0 the probe join must take the shuffled fallback:\n$pS")
+      // both sides of the gate agree on the answer
+      val norm = (d: org.apache.spark.sql.DataFrame) => d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted.toSeq
+      assert(norm(bcast) === norm(shuffled))
+
+      // and the STREAMED fallback side stays in parity too
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val out = DecontamStream.flaggedCounts(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", probe,
+        w = 4, maxBroadcastProbe = 0L)
+      val q = out.writeStream.format("memory").queryName("decontam_stream_sh")
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        input.addData(1L -> "alpha beta gamma delta zeta", 2L -> "x y z w v u")
+        q.processAllAvailable()
+        input.addData(3L -> "beta gamma delta epsilon mu")
+        q.processAllAvailable()
+        assert(norm(spark.table("decontam_stream_sh")) === norm(shuffled))
+      } finally {
+        q.stop()
+        spark.sql("DROP VIEW IF EXISTS decontam_stream_sh")
+        ()
+      }
+    } finally {
+      prevThreshold match {
+        case Some(v) => spark.conf.set(thresholdKey, v)
+        case None => spark.conf.unset(thresholdKey)
+      }
+      probe.unpersist()
+      ()
+    }
+  }
 }
