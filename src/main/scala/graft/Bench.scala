@@ -424,6 +424,27 @@ object Bench {
     val minRunNormSumR9 = minRunNorms.collect { case (n, v) if r9Set(n) => v }.sum
     val minRunN = minRunNorms.size
     val minRunNR9 = minRunNorms.count(p => r9Set(p._1))
+    // Round-13 (VERDICT r12 Wrong #4 / Next #3): in r12 the frozen-set
+    // NORM moved +8% while its RAW moved −19%, because the sentinel
+    // itself ran 35% faster — dividing by a faster sentinel inflated the
+    // norm, the exact cross-segment-ratio pitfall. Make the comparison
+    // single-read host-proof: (a) RAW min-across-both-segments sums
+    // printed NEXT TO the norm'd ones, (b) the sentinel spread across
+    // segments (max/min of the mid-run cpu sentinels — how much the
+    // normalizer itself moved within this invocation) as the norm's
+    // trust signal, (c) a paired `frozen` object carrying the decision
+    // rule: a round-over-round regression is claimed only if BOTH the
+    // raw and the norm'd frozen-set sums worsen.
+    val minRunRaws: Seq[(String, Double)] = results.flatMap { case (n, _, m) =>
+      val p = Option(m).filter(_ >= 0)
+      val f = forkedPerQuery.get(n).filter(_ >= 0)
+      (p.toSeq ++ f.toSeq).reduceOption(_ min _).map(n -> _)
+    }
+    val minRunRawSum = minRunRaws.map(_._2).sum
+    val minRunRawSumR9 = minRunRaws.collect { case (n, v) if r9Set(n) => v }.sum
+    val midCpus = (parentMidCpu.toSeq ++ forkedMidCpu.toSeq).filter(_ > 0)
+    val sentinelSpread =
+      if (midCpus.nonEmpty && midCpus.min > 0) midCpus.max / midCpus.min else -1.0
     // headline copies of the engine medians, lifted out of the nested
     // object so the compact line alone carries the round's engine story
     val engineKeys = Seq("backfill_sec", "catchup_events_per_sec",
@@ -467,6 +488,14 @@ object Bench {
       s""""queries_n_r9set":$r9N,""" +
       s""""queries_min_norm_minrun":${fmt(minRunNormSum)},""" +
       s""""queries_min_norm_r9set_minrun":${fmt(minRunNormSumR9)},""" +
+      s""""queries_min_sum_minrun":${fmt(minRunRawSum)},""" +
+      s""""queries_min_sum_r9set_minrun":${fmt(minRunRawSumR9)},""" +
+      s""""sentinel_cpu_mids":${midCpus.map(fmt).mkString("[", ",", "]")},""" +
+      s""""sentinel_cpu_spread":${fmt(sentinelSpread)},""" +
+      s""""frozen":{"raw_min_sum_minrun":${fmt(minRunRawSumR9)},""" +
+      s""""norm_minrun":${fmt(minRunNormSumR9)},""" +
+      s""""sentinel_cpu_spread":${fmt(sentinelSpread)},""" +
+      s""""rule":"regression iff BOTH raw_min_sum_minrun AND norm_minrun worsen"},""" +
       s""""queries_n_minrun":$minRunN,"queries_n_r9set_minrun":$minRunNR9,""" +
       s""""forked_n":${forkedMins.size},"forked_min_sum":${fmt(forkedMinSum)},""" +
       s""""forked_min_norm":${norm(forkedMinSum, forkedMidCpu)},""" +

@@ -257,21 +257,65 @@ object Vectors {
     *         centroid after the LAST assignment pass.
     */
   def kmeansQuantized(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int, seeding: String = "farthest"): DataFrame = {
     // k ≤ 2^20 keeps the packed `d·k + cid` key inside a Long for any
     // quantized distance below 2^43 (≈8.8e12 — e.g. 8,800 dims of
     // full-range ±1.0 components at the ×1000 quantization). The
     // assignment kernel still fails FAST (require below) rather than
     // silently wrapping if a pathological vector exceeds it (ADVICE r11).
     require(k >= 1 && k <= (1 << 20) && iters >= 1, s"bad kmeans params k=$k iters=$iters")
+    require(seeding == "farthest" || seeding == "minids", s"bad seeding: $seeding")
     val q = emb.select(col(idCol),
       transform(col(vecCol), x => floor(x.cast("double") * lit(1000.0)).cast("long")).as("__v"))
     q.persist()
     try {
-      // deterministic seed: the k smallest ids (bounded collect: k rows)
+      // Deterministic seeding (VERDICT r12 #9). "farthest" (default) is
+      // the derandomized k-means++ — greedy farthest-point traversal:
+      // c0 = the smallest id's vector, then k−1 rounds of "the point
+      // maximizing its min squared distance to the chosen set" (tie →
+      // smallest id). Pure exact-integer argmax both engines reproduce
+      // (the ann_kmeans oracle unrolls the same k−1 steps in SQL), and
+      // spread-out seeds give Lloyd a far better start than an id-order
+      // block. Each round is one bounded aggregate over the persisted
+      // quantized frame (max of a (dist, −id) struct: one row to the
+      // driver) + one indexed fetch — k passes total, no pairwise work.
+      // "minids" keeps the legacy k-smallest-ids block (the overflow
+      // spec uses it to place seeds AWAY from an extreme outlier).
       var centroids: Array[(Long, Array[Long])] =
-        q.orderBy(col(idCol)).limit(k).collect().zipWithIndex
-          .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toArray) }
+        if (seeding == "minids") {
+          q.orderBy(col(idCol)).limit(k).collect().zipWithIndex
+            .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toArray) }
+        } else {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+          val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val first = q.orderBy(col(idCol)).limit(1).collect().head
+          buf += ((0L, first.getSeq[Long](1).toArray))
+          chosen += first.getLong(0)
+          while (buf.length < k) {
+            val cs = buf.map(_._2).toArray
+            val minDistFn = udf { (v: Array[Long]) =>
+              var best = Long.MaxValue
+              cs.foreach { cv =>
+                var d = 0L; var i = 0; val n = math.min(v.length, cv.length)
+                while (i < n) { val t = v(i) - cv(i); d += t * t; i += 1 }
+                if (d < best) best = d
+              }
+              best
+            }
+            val row = q.filter(!col(idCol).isin(chosen.toSeq: _*))
+              .select(struct(minDistFn(col("__v")).as("d"),
+                (lit(0L) - col(idCol).cast("long")).as("nid")).as("s"))
+              .agg(max(col("s"))).head()
+            require(!row.isNullAt(0),
+              s"kmeans: k=$k exceeds the available point count ${buf.length}")
+            val nextId = -row.getStruct(0).getLong(1)
+            val nextV = q.filter(col(idCol).cast("long") === nextId)
+              .select(col("__v")).head().getSeq[Long](0).toArray
+            buf += ((buf.length.toLong, nextV))
+            chosen += nextId
+          }
+          buf.toArray
+        }
       val kL = k.toLong
       def assigned(cents: Array[(Long, Array[Long])]): DataFrame = {
         val cs = cents // task-closure capture broadcasts the k×dim table

@@ -1062,8 +1062,11 @@ object Pipeline {
 
   /** ann_kmeans: exact-integer Lloyd's clustering contract
     * ([[Vectors.kmeansQuantized]], VERDICT r10 #9) — per-cluster size and
-    * quantized SSE after 2 iterations from a deterministic seed (the 8
-    * smallest vec_ids). Every assignment, floor-divided centroid update
+    * quantized SSE after 2 iterations from a deterministic farthest-point
+    * seed (derandomized k-means++: c0 = smallest vec_id, then k−1 greedy
+    * max-min-distance picks, tie → smallest id; VERDICT r12 #9 replaced
+    * the legacy k-smallest-ids block). Every seed pick, assignment,
+    * floor-divided centroid update
     * and SSE term is exact integer math the DuckDB oracle reproduces
     * bit-for-bit; the SSE-decrease property is additionally pinned in
     * VectorsSpec (it is a theorem only up to centroid quantization, so it
@@ -2127,15 +2130,32 @@ object Pipeline {
          |WHERE host_rank <= 3""".stripMargin,
     "ann_kmeans" ->
       // independent re-derivation of the 2-iteration exact-integer Lloyd:
-      // quantize -> assign to seed centroids (8 smallest vec_ids) ->
-      // floor-divided elementwise means -> reassign -> per-cluster rollup
-      """WITH q AS (
+      // quantize -> deterministic farthest-point seeds (c0 = smallest
+      // vec_id, then 7 unrolled greedy max-min-distance steps, tie →
+      // smallest id — the same derandomized k-means++ the Spark side
+      // runs) -> assign -> floor-divided elementwise means -> reassign
+      // -> per-cluster rollup
+      s"""WITH q AS (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
         |  FROM embeddings
-        |), c0 AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v
-        |  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 8)
+        |), ch0 AS (
+        |  SELECT vec_id, v, 0 AS cid FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 1)
+        |), ${(1 until 8).map { j =>
+             s"""d$j AS (
+             |  SELECT q.vec_id, q.v,
+             |    min(CAST(list_sum([ (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])
+             |                        FOR i IN range(1, len(q.v) + 1) ]) AS BIGINT)) AS d
+             |  FROM q CROSS JOIN ch${j - 1} c
+             |  WHERE q.vec_id NOT IN (SELECT vec_id FROM ch${j - 1})
+             |  GROUP BY q.vec_id, q.v
+             |), ch$j AS (
+             |  SELECT vec_id, v, cid FROM ch${j - 1} UNION ALL
+             |  SELECT vec_id, v, $j AS cid
+             |  FROM (SELECT vec_id, v FROM d$j ORDER BY d DESC, vec_id LIMIT 1)
+             |)""".stripMargin
+           }.mkString(", ")}, c0 AS (
+        |  SELECT CAST(cid AS BIGINT) AS cid, v FROM ch7
         |), a1 AS (
         |  SELECT vec_id, v, arg_min(cid, d * 8 + cid) AS cid FROM (
         |    SELECT q.vec_id, q.v, c0.cid,

@@ -241,6 +241,32 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("UDF"), s"pii pass must stay codegen regexp:\n$p")
   }
 
+  test("q19: bucket-aligned join reads both facts with zero join-key exchanges") {
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevBcast = spark.conf.get(bcastKey)
+    // auto-broadcast off: a tiny sf0.001 orders side would otherwise be
+    // broadcast and hide whether the bucketed layout eliminated the
+    // shuffle (the claim that matters at fact⋈fact scale)
+    spark.conf.set(bcastKey, "-1")
+    try {
+      val p = plan("q19_bucketed_join")
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join inputs must not re-shuffle on the join key:\n$p")
+      // the only exchange allowed is the final groupBy(o_orderpriority)
+      val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 1, s"expected at most the rollup exchange, got $exchanges:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast fact join:\n$p")
+    } finally {
+      spark.conf.set(bcastKey, prevBcast)
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      spark.sql(s"DROP TABLE IF EXISTS graft_q19_li_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS graft_q19_o_$tag")
+      ()
+    }
+  }
+
   test("paragraph dedup collapses the hash key map-side — no window, partial_min") {
     val p = plan("dedup_paragraph")
     // skew guard: the first-occurrence rank must NOT be a row_number window

@@ -24,8 +24,26 @@ class KmeansSpec extends SparkTestBase {
     val q = points.map { case (id, v) =>
       (id, v.map(x => math.floor(x.toDouble * 1000.0).toLong).toArray)
     }
-    var cents: Array[(Long, Array[Long])] =
-      q.sortBy(_._1).take(k).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }.toArray
+    // deterministic farthest-point seeding, mirrored independently:
+    // c0 = smallest id, then greedy max-min-distance (tie → smallest id)
+    var cents: Array[(Long, Array[Long])] = {
+      val sorted = q.sortBy(_._1)
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, Array[Long])](
+        (0L, sorted.head._2))
+      val chosen = scala.collection.mutable.Set(sorted.head._1)
+      def minD(v: Array[Long]): Long = buf.map { case (_, cv) =>
+        var d = 0L; var i = 0
+        while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        d
+      }.min
+      while (buf.length < k) {
+        val next = sorted.filterNot(p => chosen(p._1))
+          .maxBy(p => (minD(p._2), -p._1))
+        buf += ((buf.length.toLong, next._2))
+        chosen += next._1
+      }
+      buf.toArray
+    }
     def assign(v: Array[Long]): (Long, Long) = {
       var best = Long.MaxValue
       cents.foreach { case (cid, cv) =>
@@ -84,9 +102,12 @@ class KmeansSpec extends SparkTestBase {
     val df = (Seq.tabulate(4)(i => (i.toLong, Array(i.toFloat))) :+
         (4L, Array(2.1e6f)))
       .toDF("vec_id", "embedding")
+    // legacy min-ids seeding keeps all 4 seeds near zero so the outlier's
+    // packed key overflows in ASSIGNMENT (farthest-point would make the
+    // outlier a seed and defuse the fixture)
     val e = intercept[Exception] {
-      Vectors.kmeansQuantized(df, "vec_id", "embedding", k = 4, iters = 1)
-        .collect()
+      Vectors.kmeansQuantized(df, "vec_id", "embedding", k = 4, iters = 1,
+        seeding = "minids").collect()
     }
     val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
