@@ -267,6 +267,22 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("semdedup pairs only inside clusters; dominance agg map-side combines") {
+    val p = plan("pipeline_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must be a cluster-keyed equi-join:\n$p")
+    assert(p.contains("cluster_id"), s"join must key on the cluster:\n$p")
+    assert(p.contains("partial_max"),
+      s"the min-id dominance vote must partial-aggregate map-side:\n$p")
+  }
+
+  test("mix budget planner runs on a local relation — corpus scanned once at build") {
+    val p = plan("pipeline_mix_budget")
+    assert(!p.contains("Scan parquet") && !p.contains("FileScan"),
+      s"the |langs|-row planner frame must not re-scan the corpus:\n$p")
+    assert(p.contains("LocalTableScan"), s"expected the collected planner frame:\n$p")
+  }
+
   test("paragraph dedup collapses the hash key map-side — no window, partial_min") {
     val p = plan("dedup_paragraph")
     // skew guard: the first-occurrence rank must NOT be a row_number window
