@@ -1033,6 +1033,41 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** contamination_split: TRAIN→EVAL leakage check — the composite every
+    * split pipeline must run before shipping a benchmark: using the
+    * [[pipelineSplit]] bucket rule, every val/test document's distinct
+    * 4-token windows are probed against the TRAIN side's window set; one
+    * shared window flags the eval doc as leaked (train text the model
+    * will memorize appears verbatim in the held-out set). Scale shape:
+    * BOTH sides are corpus-scale (train is 80% of the corpus — nothing
+    * to broadcast, unlike the eval-set probe of contamination_substring),
+    * so the join is a shuffled equi-join keyed on the 8-byte window hash
+    * with the string-equality confirm riding the same join
+    * (collision-proof); the train side is distinct on the window BEFORE
+    * the join, so the left join preserves eval cardinality and the hot
+    * boilerplate window collapses map-side. */
+  def contaminationSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(knuthHash(col("doc_id")), lit(1000L))
+    val split = when(bucket < 800, "train").when(bucket < 900, "val")
+      .otherwise("test")
+    val docW = Tables.documents(spark, dir)
+      .select(col("doc_id"), split.as("split"),
+        explode(Text.shingles(col("text"), 4)).as("w"))
+      .distinct()
+    val trainW = docW.filter(col("split") === "train")
+      .select(col("w").as("pw")).distinct()
+      .withColumn("ph", xxhash64(col("pw")))
+    val evalW = docW.filter(col("split") =!= "train")
+      .withColumn("h", xxhash64(col("w")))
+    evalW.join(trainW, col("h") === col("ph") && col("w") === col("pw"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_windows"), count(col("pw")).as("n_hits"))
+      .withColumn("contaminated", when(col("n_hits") > 0, 1).otherwise(0))
+      .select(col("doc_id"), col("split"), col("n_windows"), col("n_hits"),
+        col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** pipeline_url_canon: URL/host canonicalization over a deterministic
     * synthetic URL per document (see [[graft.pipeline.Urls.syntheticUrl]]
     * — the driver tables carry no URL column; the oracle replicates the
@@ -1641,6 +1676,7 @@ object Pipeline {
     "pack_concat" -> packConcat,
     "contamination_ngram" -> contaminationNgram,
     "contamination_substring" -> contaminationSubstring,
+    "contamination_split" -> contaminationSplit,
     "text_inverted_index" -> invertedIndex,
     "pipeline_url_canon" -> urlCanon,
     "pipeline_host_caps" -> hostCaps,
@@ -2259,6 +2295,39 @@ object Pipeline {
         |  GROUP BY 1
         |)
         |SELECT t.doc_id,
+        |  CAST(t.n_windows AS BIGINT) AS n_windows,
+        |  CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(CASE WHEN coalesce(hit.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+        |FROM tot t LEFT JOIN hit USING (doc_id)""".stripMargin,
+    "contamination_split" ->
+      """WITH sh0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         WHEN len(string_split_regex(trim(text), '\s+')) < 4
+        |           THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+        |         ELSE [array_to_string(string_split_regex(trim(text), '\s+')[i:i+3], ' ')
+        |               FOR i IN range(1, len(string_split_regex(trim(text), '\s+')) - 2)]
+        |    END AS shl
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ((doc_id % 1000000) * 2654435761) % 1000 < 800 THEN 'train'
+        |         WHEN ((doc_id % 1000000) * 2654435761) % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |), ds AS (
+        |  SELECT DISTINCT s0.doc_id, sp.split, unnest(s0.shl) AS w
+        |  FROM sh0 s0 JOIN sp USING (doc_id)
+        |), tot AS (
+        |  SELECT doc_id, split, count(*) AS n_windows FROM ds
+        |  WHERE split <> 'train' GROUP BY 1, 2
+        |), hit AS (
+        |  SELECT doc_id, count(*) AS n_hits FROM ds
+        |  WHERE split <> 'train'
+        |    AND w IN (SELECT DISTINCT w FROM ds WHERE split = 'train')
+        |  GROUP BY 1
+        |)
+        |SELECT t.doc_id, t.split,
         |  CAST(t.n_windows AS BIGINT) AS n_windows,
         |  CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits,
         |  CAST(CASE WHEN coalesce(hit.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
