@@ -1650,6 +1650,109 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** emb_dim_stats: per-dimension distribution stats over the quantized
+    * embedding corpus — the feature-health scan run before any ANN or
+    * clustering job (a dead, saturated, or exploding dimension shows up
+    * here first, and IVF/k-means misbehave long before a recall probe
+    * says why). Exact integers end to end: each component quantized to
+    * floor(x·1000) — the contract shared with every quantized-dot
+    * kernel — then per-dimension count / sum / min / max plus the
+    * positive-component count (sign balance). Scale shape: posexplode
+    * is row-local (narrow); the n·|dims| component rows never cross a
+    * shuffle raw — partial aggregation combines them map-side to
+    * |dims| rows per task, the one exchange carries |dims| rows per
+    * task, and the output is |dims| rows regardless of corpus size. */
+  def embDimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("int").as("dim"),
+        floor(col("x").cast("double") * 1000).cast("long").as("q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"),
+        min(col("q")).as("min_q"), max(col("q")).as("max_q"),
+        sum(when(col("q") > 0, 1L).otherwise(0L)).as("n_pos"))
+      .orderBy(col("dim"))
+
+  /** text_term_lift: document-level term co-occurrence lift over the
+    * df-top vocabulary — the association signal behind topic clustering
+    * and template detection (two terms whose joint document frequency
+    * beats independence co-select the same pages). Distinct from
+    * [[textCollocations]]: Dice there counts ADJACENT bigram tokens;
+    * lift here counts whole-document co-presence, the doc-level
+    * co-occurrence statistic. Exactness: lift_q = (n_docs·c_ab·10^6)
+    * div (c_a·c_b) computed in DECIMAL(38,0) (DuckDB HUGEINT), so the
+    * contract holds at any corpus size with no int64 overflow bound —
+    * the fix the samplers' Knuth-hash ADVICE note asked for, applied
+    * from the start. Scale shape: the all-pairs problem is
+    * VOCABULARY-bounded, never corpus-bounded — presence rows semi-join
+    * a broadcast top-V vocab (V=40 here; TakeOrdered, no global sort),
+    * so the per-doc pair fanout is ≤ C(V,2) and the pair aggregate is
+    * ≤ V² rows; the doc-keyed self-join shuffles on the uniform doc id
+    * and Catalyst reuses the identical exchange for both sides. */
+  def termLift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val pres = d.select(col("doc_id"),
+      explode(array_distinct(Text.tokens(col("text")))).as("token"))
+    val vocab = pres.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(40)
+    val pv = pres.join(broadcast(vocab), Seq("token"))
+    pv.as("x").join(pv.as("y"),
+        col("x.doc_id") === col("y.doc_id") && col("x.token") < col("y.token"))
+      .select(col("x.token").as("a"), col("y.token").as("b"),
+        col("x.df").as("__ca"), col("y.df").as("__cb"))
+      .groupBy(col("a"), col("b"), col("__ca"), col("__cb"))
+      .agg(count(lit(1)).as("c_ab"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("lift_q", expr(
+        "(CAST(n_docs AS DECIMAL(38,0)) * c_ab * 1000000) div (CAST(__ca AS DECIMAL(38,0)) * __cb)"))
+      .select(col("a"), col("b"), col("c_ab"), col("lift_q"))
+      .orderBy(col("lift_q").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  /** pipeline_curriculum: exact per-language quality-decile boundaries
+    * and the curriculum tier census — the scale-safe twin of
+    * [[qualityBuckets]]'s rank ntile, whose own scaladoc names this
+    * production swap (boundary lookup instead of a per-lang total-order
+    * sort) but with EXACT boundaries instead of a sketch: the nine
+    * decile values come from ONE [[Relational.quantilesExactOf]] pass
+    * (two-phase range-bucketing; adding a quantile adds local
+    * arithmetic, never another scan) and are collected as a bounded
+    * 9·|langs|-row literal frame, so the final plan scans the corpus
+    * exactly once and assigns tiers by a row-local value comparison.
+    * Tier rule is VALUE-based — tier(d) = 1 + |{j : score_q(d) > b_j}|,
+    * tied scores share a tier (unlike ntile's arbitrary rank split),
+    * which is the property an exactness contract can hash. The census
+    * groups by (lang, score_q) BEFORE the boundary join, so the
+    * comparison and rollup run over |distinct scores| rows (≤ 10^6 by
+    * quantization), not |corpus| rows. score_q = floor(quality·10^6):
+    * quality is a ratio of exact integer counts ([[Text.qualityScore]]),
+    * so both engines produce identical bits. */
+  def pipelineCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val scored = Tables.documents(spark, dir)
+      .select(col("lang").as("grp"),
+        floor(Text.qualityScore(col("text")) * 1000000).cast("long").as("cents"))
+    scored.persist()
+    try {
+      val bRows = Relational
+        .quantilesExactOf(spark, scored, (1 to 9).map(_ * 100000L))
+        .select(col("grp"), col("q_cents")).as[(String, Long)].collect()
+      val bounds = bRows.toSeq.toDF("grp", "b")
+      scored.groupBy(col("grp"), col("cents")).agg(count(lit(1)).as("__n"))
+        .join(broadcast(bounds), Seq("grp"))
+        .groupBy(col("grp"), col("cents"), col("__n"))
+        .agg(sum(when(col("cents") > col("b"), 1L).otherwise(0L)).as("__t"))
+        .withColumn("tier", (col("__t") + 1).cast("int"))
+        .groupBy(col("grp").as("lang"), col("tier"))
+        .agg(sum(col("__n")).as("n_docs"),
+          min(col("cents")).as("min_q"), max(col("cents")).as("max_q"))
+        .orderBy(col("lang"), col("tier"))
+    } finally { scored.unpersist(blocking = false); () }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pii" -> pipelinePii,
     "dedup_paragraph" -> dedupParagraph,
@@ -1660,6 +1763,9 @@ object Pipeline {
     "text_bigram_lm" -> textBigramLm,
     "text_lm_score" -> textLmScore,
     "pipeline_mixture" -> pipelineMixture,
+    "pipeline_curriculum" -> pipelineCurriculum,
+    "emb_dim_stats" -> embDimStats,
+    "text_term_lift" -> termLift,
     "samp_class_balance" -> classBalance,
     "pipeline_keep" -> pipelineKeep,
     "pipeline_keep2" -> pipelineKeep2,
@@ -2108,6 +2214,86 @@ object Pipeline {
         |SELECT source, n_docs, n_tokens, CAST(rate_ppm AS BIGINT) AS rate_ppm,
         |  CAST((n_tokens * rate_ppm) // 1000000 AS BIGINT) AS exp_tokens
         |FROM rated""".stripMargin,
+    "emb_dim_stats" ->
+      """SELECT CAST(dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(q) AS BIGINT) AS sum_q, min(q) AS min_q, max(q) AS max_q,
+        |  CAST(sum(CASE WHEN q > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |FROM (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings)
+        |GROUP BY dim ORDER BY dim""".stripMargin,
+    "text_term_lift" ->
+      """WITH pres AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id,
+        |      unnest(CASE WHEN length(trim(text)) = 0 THEN []
+        |                  ELSE string_split_regex(trim(text), '\s+') END) AS token
+        |    FROM documents)
+        |), vocab AS (
+        |  SELECT token, count(*) AS df FROM pres GROUP BY 1
+        |  ORDER BY df DESC, token LIMIT 40
+        |), pv AS (
+        |  SELECT p.doc_id, p.token, v.df FROM pres p JOIN vocab v USING (token)
+        |), pairs AS (
+        |  SELECT x.token AS a, y.token AS b, x.df AS c_a, y.df AS c_b,
+        |    count(*) AS c_ab
+        |  FROM pv x JOIN pv y ON x.doc_id = y.doc_id AND x.token < y.token
+        |  GROUP BY 1, 2, 3, 4
+        |), n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+        |  CAST((CAST(n_docs AS HUGEINT) * c_ab * 1000000)
+        |       // (CAST(c_a AS HUGEINT) * c_b) AS BIGINT) AS lift_q
+        |FROM pairs, n
+        |ORDER BY lift_q DESC, a, b LIMIT 20""".stripMargin,
+    "pipeline_curriculum" -> {
+      val toks = "string_split_regex(trim(text), '\\s+')"
+      val stop = Text.Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    CASE WHEN length(trim(text)) = 0 THEN [] ELSE $toks END AS toks,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) /
+         |              CAST(length(text) AS DOUBLE) END AS punct_ratio
+         |  FROM documents
+         |), q AS (
+         |  SELECT lang, CAST(floor((
+         |    ((CASE WHEN len(toks) >= 20 AND len(toks) <= 2000 THEN 1.0
+         |           WHEN len(toks) > 0 THEN 0.5 ELSE 0.0 END) * 0.4)
+         |    + ((1.0 - punct_ratio) * 0.2)
+         |    + ((CASE WHEN len(toks) = 0 THEN 0.0
+         |             ELSE CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) /
+         |                  CAST(len(toks) AS DOUBLE) END) * 0.1)
+         |    + ((CASE WHEN len(toks) = 0 THEN 0.0
+         |             ELSE CAST(len(list_distinct(toks)) AS DOUBLE) /
+         |                  CAST(len(toks) AS DOUBLE) END) * 0.3)
+         |  ) * 1000000) AS BIGINT) AS cents
+         |  FROM t
+         |), cnt AS (
+         |  SELECT lang, cents, count(*) AS n_docs FROM q GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT lang, cents, n_docs,
+         |    sum(n_docs) OVER (PARTITION BY lang ORDER BY cents) AS cum,
+         |    sum(n_docs) OVER (PARTITION BY lang) AS n
+         |  FROM cnt
+         |), qs AS (
+         |  SELECT unnest([100000, 200000, 300000, 400000, 500000,
+         |                 600000, 700000, 800000, 900000]) AS q_ppm
+         |), bounds AS (
+         |  SELECT lang, q_ppm, min(cents) AS b
+         |  FROM cum, qs
+         |  WHERE cum >= greatest(1, (n * q_ppm + 999999) // 1000000)
+         |  GROUP BY 1, 2
+         |), tiers AS (
+         |  SELECT c.lang, c.cents, c.n_docs,
+         |    CAST(1 + sum(CASE WHEN c.cents > b.b THEN 1 ELSE 0 END) AS INT) AS tier
+         |  FROM cnt c JOIN bounds b USING (lang)
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT lang, tier, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  min(cents) AS min_q, max(cents) AS max_q
+         |FROM tiers GROUP BY 1, 2 ORDER BY lang, tier""".stripMargin
+    },
     "samp_class_balance" ->
       """WITH per AS (
         |  SELECT label, count(*) AS n FROM embeddings GROUP BY 1

@@ -288,34 +288,55 @@ object Relational {
     * reporting — no interpolation, no sketch error, and never a raw
     * per-group sort on one reducer. */
   private[graft] def quantileExactOf(spark: SparkSession, input: DataFrame,
-      qPpm: Long): DataFrame = {
-    require(qPpm >= 1 && qPpm <= 1000000, s"qPpm out of (0, 10^6]: $qPpm")
+      qPpm: Long): DataFrame =
+    quantilesExactOf(spark, input, Seq(qPpm)).drop("q_ppm")
+
+  /** ALL the requested exact quantiles in ONE corpus pass — the
+    * multi-quantile form of [[quantileExactOf]] (decile boundaries for
+    * curriculum sharding, p50/p95/p99 SLA triples). The corpus is
+    * bucket-counted once; every target rank is localized against that
+    * single bucket-count frame (the |q|-row quantile list joins it as a
+    * broadcast literal frame, so adding a quantile adds local arithmetic
+    * on |buckets| rows, never another scan or shuffle); phase 2 ranks
+    * exact values inside each target bucket per (grp, q_ppm) — several
+    * quantiles landing in the same bucket share its one scan via the
+    * (grp, bucket) join. Driver sync stays one row per (grp, quantile).
+    * Returns `(grp, q_ppm, q_cents, n_rows)`. Rank arithmetic bound:
+    * n·10^6 must fit int64 → n per group below ~9.2·10^12 rows. */
+  private[graft] def quantilesExactOf(spark: SparkSession, input: DataFrame,
+      qPpms: Seq[Long]): DataFrame = {
+    require(qPpms.nonEmpty && qPpms.forall(q => q >= 1 && q <= 1000000),
+      s"qPpms out of (0, 10^6]: $qPpms")
+    require(qPpms.distinct.size == qPpms.size, s"duplicate qPpms: $qPpms")
     import org.apache.spark.sql.expressions.Window
     val spark0 = spark
+    import spark0.implicits._
     val cents = input.withColumn("bucket", expr("cents div 65536"))
     val grp = Window.partitionBy(col("grp"))
     val bCum = Window.partitionBy(col("grp")).orderBy(col("bucket"))
-    // phase 1: which bucket holds the target rank, and the rank's offset
-    // within it (driver sync bounded at one row per group)
+    val qDf = qPpms.map(Tuple1(_)).toDF("q_ppm")
+    // phase 1: which bucket holds each target rank, and the rank's offset
+    // within it (driver sync bounded at one row per (group, quantile))
     val targets = cents.groupBy(col("grp"), col("bucket"))
       .agg(count(lit(1)).as("c"))
       .withColumn("n", sum(col("c")).over(grp))
       .withColumn("cum", sum(col("c")).over(bCum))
-      .withColumn("r", expr(s"greatest(1L, (n * ${qPpm}L + 999999L) div 1000000L)"))
+      .crossJoin(broadcast(qDf))
+      .withColumn("r", expr("greatest(1L, (n * q_ppm + 999999L) div 1000000L)"))
       .filter(col("cum") - col("c") < col("r") && col("r") <= col("cum"))
-      .select(col("grp"), col("bucket"),
+      .select(col("grp"), col("q_ppm"), col("bucket"),
         (col("r") - (col("cum") - col("c"))).as("r_in"), col("n"))
-    import spark0.implicits._
-    val tRows = targets.as[(String, Long, Long, Long)].collect()
-    val tDf = tRows.toSeq.toDF("grp", "bucket", "r_in", "n")
-    // phase 2: exact-value rank inside the single target bucket per group
-    val vCum = Window.partitionBy(col("grp")).orderBy(col("cents"))
+    val tRows = targets.as[(String, Long, Long, Long, Long)].collect()
+    val tDf = tRows.toSeq.toDF("grp", "q_ppm", "bucket", "r_in", "n")
+    // phase 2: exact-value rank inside each target bucket, per (grp, q_ppm)
+    val vCum = Window.partitionBy(col("grp"), col("q_ppm")).orderBy(col("cents"))
     cents.join(broadcast(tDf), Seq("grp", "bucket"))
-      .groupBy(col("grp"), col("cents"), col("r_in"), col("n"))
+      .groupBy(col("grp"), col("q_ppm"), col("cents"), col("r_in"), col("n"))
       .agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(vCum))
       .filter(col("cum") - col("c") < col("r_in") && col("r_in") <= col("cum"))
-      .select(col("grp"), col("cents").as("q_cents"), col("n").as("n_rows"))
+      .select(col("grp"), col("q_ppm"), col("cents").as("q_cents"),
+        col("n").as("n_rows"))
   }
 
   /** q18: exact p99 of extendedprice per returnflag via

@@ -366,4 +366,37 @@ class PlanQualitySpec extends SparkTestBase {
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges <= 2, s"expected <=2 keyed exchanges, got $exchanges:\n$p")
   }
+
+  test("emb dim stats: component rows combine map-side to |dims| rows, one exchange, no join") {
+    val p = plan("emb_dim_stats")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-dimension aggregation must map-side combine:\n$p")
+    assert(!p.contains("Join"), s"dim stats must not join:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"expected <=1 keyed exchange, got $exchanges:\n$p")
+  }
+
+  test("term lift: vocab broadcasts (pair fanout stays V-bounded), top-k never global-sorts") {
+    val p = plan("text_term_lift")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the top-V vocab must broadcast into the presence frame:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab top-V / final top-k must be TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("curriculum census scans the corpus once: boundaries are a literal broadcast, no window") {
+    val p = plan("pipeline_curriculum")
+    // the 9·|langs| boundary rows were collected during the quantile pass;
+    // the FINAL plan must assign tiers by value comparison — no rank window
+    // over any corpus-derived frame, one broadcast of the literal bounds
+    assert(!p.contains("Window"), s"tier assignment must be value-based, not rank-based:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the literal boundary frame must broadcast:\n$p")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") || l.contains("Scan parquet"))
+    assert(scans <= 1, s"census must scan the corpus exactly once, got $scans:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"expected <=2 keyed exchanges, got $exchanges:\n$p")
+  }
 }
