@@ -1753,6 +1753,108 @@ object Pipeline {
     } finally { scored.unpersist(blocking = false); () }
   }
 
+  /** text_bpe_merges: byte-pair-encoding merge training — the first
+    * `rounds` merge rules of a BPE tokenizer learned from the corpus
+    * (the actual workhorse job of tokenizer construction before any
+    * training run). Each round merges the most-frequent adjacent symbol
+    * pair (tie → lexicographic (a, b) — deterministic on any engine) in
+    * every word simultaneously.
+    *
+    * Scale shape: the corpus is scanned ONCE into the word-frequency
+    * table (map-side-combined count over the token stream); every merge
+    * round then runs over that VOCAB-bounded frame — one |vocab|-keyed
+    * pair aggregate, a TakeOrdered(1) argmax (driver sync = exactly one
+    * row per round, the k-means pick pattern), and a row-local literal
+    * replace — so corpus size only affects the first aggregate and
+    * round cost is independent of it. Lineage stays linear in `rounds`
+    * over the persisted vocab.
+    *
+    * Exactness contract: words are carried as wrapped strings
+    * (\x1F sym \x1E per symbol), so "merge pair (a,b) left-to-right
+    * non-overlapping" is a LITERAL string replace of \x1F·a·\x1E\x1F·b·\x1E
+    * with \x1F·ab·\x1E — the wrapping means no occurrence can straddle a
+    * symbol boundary or share characters with the next match, and Spark's
+    * `replace` and DuckDB's `replace` agree exactly (both scan
+    * left-to-right, continuing after each replacement). The oracle
+    * unrolls the rounds as a materialized CTE chain (the k-means oracle
+    * lesson: DuckDB inlines CTEs per reference). ASCII corpus assumption:
+    * the `(.)` char-split is per UTF-16 unit in Java vs per codepoint in
+    * RE2 — identical on ASCII, the driver corpus. */
+  def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 6): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val US = "\u001F"; val RS = "\u001E"
+    val words = Tables.documents(spark, dir)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("token"), "(.)", s"$US$$1$RS").as("w"), col("cnt"))
+    words.persist()
+    try {
+      var cur: DataFrame = words
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val syms = regexp_extract_all(col("w"),
+          lit("\\x1F([^\\x1F\\x1E]+)\\x1E"), lit(1))
+        val best = cur.select(syms.as("s"), col("cnt"))
+          .filter(size(col("s")) >= 2)
+          .select(explode(zip_with(
+            slice(col("s"), lit(1), size(col("s")) - 1),
+            slice(col("s"), lit(2), size(col("s")) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"), col("cnt"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+          .as[(String, String, Long)].collect()
+        require(best.nonEmpty, s"BPE round $r: no adjacent pairs left")
+        val (a, b, c) = best(0)
+        merges += ((r, a, b, c))
+        cur = cur.withColumn("w", org.apache.spark.sql.functions.replace(
+          col("w"), lit(s"$US$a$RS$US$b$RS"), lit(s"$US$a$b$RS")))
+      }
+      merges.result().toDF("round", "sym_a", "sym_b", "pair_cnt")
+        .orderBy(col("round"))
+    } finally { words.unpersist(blocking = false); () }
+  }
+
+  private def bpeMergesQuery(spark: SparkSession, dir: String): DataFrame =
+    bpeMerges(spark, dir)
+
+  /** Oracle for [[bpeMerges]]: the `rounds` merge rounds unrolled as a
+    * materialized CTE chain over the same wrapped-string representation. */
+  private def bpeOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH toks AS (
+        |  SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+        |              ELSE string_split_regex(trim(text), '\s+') END) AS token
+        |  FROM documents
+        |), w0 AS MATERIALIZED (
+        |  SELECT regexp_replace(token, '(.)', chr(31) || '\1' || chr(30), 'g') AS w,
+        |    count(*) AS cnt
+        |  FROM toks GROUP BY 1
+        |)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""", p$r AS MATERIALIZED (
+        |  SELECT pr[1] AS sym_a, pr[2] AS sym_b, CAST(sum(cnt) AS BIGINT) AS pair_cnt FROM (
+        |    SELECT unnest([[syms[i], syms[i+1]] FOR i IN range(1, len(syms))]) AS pr, cnt FROM (
+        |      SELECT regexp_extract_all(w, '\\x1F([^\\x1F\\x1E]+)\\x1E', 1) AS syms, cnt
+        |      FROM w${r - 1}))
+        |  GROUP BY 1, 2
+        |), m$r AS MATERIALIZED (
+        |  SELECT sym_a, sym_b, pair_cnt FROM p$r ORDER BY pair_cnt DESC, sym_a, sym_b LIMIT 1
+        |)""".stripMargin)
+      if (r < rounds) sb.append(s""", w$r AS MATERIALIZED (
+        |  SELECT replace(w, chr(31) || sym_a || chr(30) || chr(31) || sym_b || chr(30),
+        |                 chr(31) || sym_a || sym_b || chr(30)) AS w, cnt
+        |  FROM w${r - 1}, m$r
+        |)""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append((1 to rounds).map(r => s"SELECT $r AS round, * FROM m$r")
+      .mkString("", "\nUNION ALL ", "\nORDER BY round"))
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pii" -> pipelinePii,
     "dedup_paragraph" -> dedupParagraph,
@@ -1766,6 +1868,7 @@ object Pipeline {
     "pipeline_curriculum" -> pipelineCurriculum,
     "emb_dim_stats" -> embDimStats,
     "text_term_lift" -> termLift,
+    "text_bpe_merges" -> bpeMergesQuery,
     "samp_class_balance" -> classBalance,
     "pipeline_keep" -> pipelineKeep,
     "pipeline_keep2" -> pipelineKeep2,
@@ -2214,6 +2317,7 @@ object Pipeline {
         |SELECT source, n_docs, n_tokens, CAST(rate_ppm AS BIGINT) AS rate_ppm,
         |  CAST((n_tokens * rate_ppm) // 1000000 AS BIGINT) AS exp_tokens
         |FROM rated""".stripMargin,
+    "text_bpe_merges" -> bpeOracle(6),
     "emb_dim_stats" ->
       """SELECT CAST(dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(q) AS BIGINT) AS sum_q, min(q) AS min_q, max(q) AS max_q,

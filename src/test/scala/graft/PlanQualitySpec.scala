@@ -385,6 +385,16 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("bpe merges resolve during construction: the final plan is the local merge table") {
+    val p = plan("text_bpe_merges")
+    // one corpus scan + vocab-bounded rounds happen during construction
+    // (1-row driver sync per round, the k-means pick pattern); the result
+    // the driver consumes must be the collected merge table, no rescans
+    assert(p.contains("LocalTableScan"), s"expected the local merge table:\n$p")
+    assert(!p.contains("Scan parquet") && !p.contains("FileScan"),
+      s"no corpus rescan in the final plan:\n$p")
+  }
+
   test("curriculum census scans the corpus once: boundaries are a literal broadcast, no window") {
     val p = plan("pipeline_curriculum")
     // the 9·|langs| boundary rows were collected during the quantile pass;
