@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Checkpoint restart-resume contract for the `transformWithState`
+  * twins: a stopped query restarted against the SAME checkpoint must
+  * resume its keyed state (not reprocess, not forget) — the property
+  * that makes the twins operational services rather than single-run
+  * demos. The fixture splits one user's funnel ACROSS the restart
+  * (signup before, view + purchase after), so a fresh-state restart
+  * could not produce the converted funnel and a reprocessing restart
+  * would double-emit; the parquet sink records exactly what each run
+  * committed. */
+class StreamRestartSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+  private val rocks =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  test("funnel twin resumes keyed state across a query restart") {
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocks)
+    val base = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"
+    try {
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[FunnelStream.FunnelEvent]
+      def start() = FunnelStream.funnel(input.toDS())
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+
+      // run 1: u1 completes signup only; u2 completes the whole funnel
+      val q1 = start()
+      input.addData(Seq(
+        FunnelStream.FunnelEvent(1L, 10L, "signup"),
+        FunnelStream.FunnelEvent(2L, 11L, "signup"),
+        FunnelStream.FunnelEvent(2L, 12L, "view"),
+        FunnelStream.FunnelEvent(2L, 13L, "purchase")))
+      q1.processAllAvailable()
+      q1.stop()
+
+      // run 2 (same checkpoint): u1's view + purchase arrive — they only
+      // convert if u1's signup state survived the restart
+      val q2 = start()
+      input.addData(Seq(
+        FunnelStream.FunnelEvent(1L, 14L, "view"),
+        FunnelStream.FunnelEvent(1L, 15L, "purchase")))
+      q2.processAllAvailable()
+      q2.stop()
+
+      val rows = spark.read.parquet(out)
+        .select(col("userId"), col("signupId"), col("viewId"),
+          col("purchaseId"), col("stage"))
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4)))
+
+      // u1: exactly TWO emissions — stage 1 from run 1, stage 3 from run 2
+      // (resumed state; a fresh-state restart would emit stage 0/ignore the
+      // view, a reprocessing restart would emit the signup row twice)
+      val u1 = rows.filter(_._1 == 1L).sortBy(_._5)
+      assert(u1.toSeq === Seq(
+        (1L, Some(10L), None, None, 1),
+        (1L, Some(10L), Some(14L), Some(15L), 3)))
+      // u2: one emission from run 1, untouched by run 2
+      assert(rows.filter(_._1 == 2L).toSeq ===
+        Seq((2L, Some(11L), Some(12L), Some(13L), 3)))
+      // and the resumed final state matches the batch fold on the full feed
+      val batch = graft.queries.EventFold.funnelOf(
+        Seq((1L, 10L, "signup"), (1L, 14L, "view"), (1L, 15L, "purchase"),
+          (2L, 11L, "signup"), (2L, 12L, "view"), (2L, 13L, "purchase"))
+          .toDF("user_id", "event_id", "event_type"))
+        .select(col("user_id"), col("signup_id"), col("view_id"),
+          col("purchase_id"), col("stage"))
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4)))
+        .toSet
+      val finalPerUser = rows.groupBy(_._1).map { case (_, rs) =>
+        rs.maxBy(t => (t._5, t._2.getOrElse(-1L), t._3.getOrElse(-1L),
+          t._4.getOrElse(-1L)))
+      }.toSet
+      assert(finalPerUser === batch)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      ()
+    }
+  }
+}
