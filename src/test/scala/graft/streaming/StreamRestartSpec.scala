@@ -98,4 +98,46 @@ class StreamRestartSpec extends SparkTestBase {
       ()
     }
   }
+
+  test("near-dup twin's bucket representatives survive a query restart") {
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocks)
+    val base = java.nio.file.Files.createTempDirectory("graft_restart_nd").toString
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"
+    try {
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[NearDupStream.BucketRow]
+      def start() = NearDupStream.candidatePairs(input.toDS())
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+
+      // run 1: doc 1 claims bucket (0, 7); doc 2 collides → pair (1, 2)
+      val q1 = start()
+      input.addData(Seq(NearDupStream.BucketRow(0, 7L, 1L),
+        NearDupStream.BucketRow(0, 7L, 2L)))
+      q1.processAllAvailable()
+      q1.stop()
+
+      // run 2 (same checkpoint): doc 3 hits the bucket — it must pair
+      // with the RECOVERED representative 1, not claim the bucket fresh
+      val q2 = start()
+      input.addData(Seq(NearDupStream.BucketRow(0, 7L, 3L)))
+      q2.processAllAvailable()
+      q2.stop()
+
+      val pairs = spark.read.parquet(out)
+        .select(col("repId"), col("docId"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((1L, 2L), (1L, 3L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      ()
+    }
+  }
 }
