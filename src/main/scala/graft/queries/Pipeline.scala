@@ -1855,6 +1855,43 @@ object Pipeline {
     sb.toString
   }
 
+  /** dedup_cross_source: the exact cross-source duplication matrix —
+    * for every source pair, how many duplicate-PARAGRAPH pairs straddle
+    * it (and, on the diagonal, sit inside it), over the same 20-token
+    * grid as [[dedupParagraph]]. The corpus-forensics view behind source
+    * selection: a crawl that mass-duplicates a curated source's
+    * boilerplate shows up as a hot off-diagonal cell, and the answer
+    * decides which copy survives [[dedupBestRep]].
+    *
+    * Scale shape: NO pair explosion anywhere — paragraphs aggregate to
+    * per-(paragraph-hash, source) counts (map-side combined, so a
+    * cookie banner repeated 10^9 times collapses before the shuffle —
+    * the dedup_paragraph skew lesson), the self-join runs over THAT
+    * frame keyed on the hash with ≤ |sources| rows per key (fanout ≤
+    * |sources|² per hash no matter how hot it is), and the pair mass is
+    * closed-form: c_a·c_b across sources, C(c,2) within. Pair-mass
+    * arithmetic runs in DECIMAL(38,0) (DuckDB HUGEINT) so a hash with
+    * billions of copies cannot overflow the exact contract; the final
+    * cast to BIGINT holds to ~9.2·10^18 pairs per cell. */
+  def dedupCrossSource(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val c = chunkingOf(d, width = 20, stride = 20)
+      .select(col("doc_id"), col("chunk_md5").as("h"))
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("h"), col("source")).agg(count(lit(1)).as("c"))
+    c.as("a").join(c.as("b"),
+        col("a.h") === col("b.h") && col("a.source") <= col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        expr("""CAST(CASE WHEN a.source = b.source
+               |  THEN (CAST(a.c AS DECIMAL(38,0)) * (a.c - 1)) div 2
+               |  ELSE CAST(a.c AS DECIMAL(38,0)) * b.c END AS BIGINT)""".stripMargin)
+          .as("__m"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("__m")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pii" -> pipelinePii,
     "dedup_paragraph" -> dedupParagraph,
@@ -1869,6 +1906,7 @@ object Pipeline {
     "emb_dim_stats" -> embDimStats,
     "text_term_lift" -> termLift,
     "text_bpe_merges" -> bpeMergesQuery,
+    "dedup_cross_source" -> dedupCrossSource,
     "samp_class_balance" -> classBalance,
     "pipeline_keep" -> pipelineKeep,
     "pipeline_keep2" -> pipelineKeep2,
@@ -2318,6 +2356,32 @@ object Pipeline {
         |  CAST((n_tokens * rate_ppm) // 1000000 AS BIGINT) AS exp_tokens
         |FROM rated""".stripMargin,
     "text_bpe_merges" -> bpeOracle(6),
+    "dedup_cross_source" ->
+      """WITH toks AS (
+        |  SELECT source, string_split_regex(trim(text), '\s+') AS tokens
+        |  FROM documents
+        |), nc AS (
+        |  SELECT source, tokens,
+        |    CASE WHEN len(tokens) <= 20 THEN 1
+        |         ELSE 1 + (len(tokens) - 20 + 19) // 20 END AS n_chunks
+        |  FROM toks
+        |), ch AS (
+        |  SELECT source,
+        |    unnest([md5(array_to_string(tokens[i*20+1 : i*20+20], ' '))
+        |            FOR i IN range(0, n_chunks)]) AS h
+        |  FROM nc
+        |), c AS (
+        |  SELECT h, source, count(*) AS c FROM ch GROUP BY 1, 2
+        |)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(sum(CASE WHEN a.source = b.source
+        |    THEN (CAST(a.c AS HUGEINT) * (a.c - 1)) // 2
+        |    ELSE CAST(a.c AS HUGEINT) * b.c END) AS BIGINT) AS n_pairs
+        |FROM c a JOIN c b ON a.h = b.h AND a.source <= b.source
+        |GROUP BY 1, 2 HAVING sum(CASE WHEN a.source = b.source
+        |    THEN (CAST(a.c AS HUGEINT) * (a.c - 1)) // 2
+        |    ELSE CAST(a.c AS HUGEINT) * b.c END) > 0
+        |ORDER BY source_a, source_b""".stripMargin,
     "emb_dim_stats" ->
       """SELECT CAST(dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(q) AS BIGINT) AS sum_q, min(q) AS min_q, max(q) AS max_q,

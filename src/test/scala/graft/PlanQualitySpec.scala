@@ -385,6 +385,16 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("cross-source matrix aggregates paragraph counts map-side before any join") {
+    val p = plan("dedup_cross_source")
+    // hot boilerplate must collapse in partial aggregation BEFORE the
+    // hash-keyed self-join (≤ |sources| rows per hash key afterwards)
+    assert(p.contains("partial_count"),
+      s"per-(hash, source) counts must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the pair mass must come from the hash-keyed equi self-join:\n$p")
+  }
+
   test("bpe merges resolve during construction: the final plan is the local merge table") {
     val p = plan("text_bpe_merges")
     // one corpus scan + vocab-bounded rounds happen during construction
