@@ -353,6 +353,24 @@ object Relational {
         col("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** q20: the full exact quantile PROFILE (p25/p50/p75/p95/p99 of
+    * extendedprice per returnflag) in ONE corpus pass — the SLA-report
+    * shape [[quantilesExactOf]] exists for: five quantiles share one
+    * bucket-count scan (adding a quantile adds local arithmetic on the
+    * bucket frame, never another corpus scan or shuffle), where five
+    * [[quantileExactOf]] calls would scan five times. Same exact-rank
+    * convention as q16/q18. */
+  def q20QuantileProfile(spark: SparkSession, dir: String): DataFrame =
+    quantilesExactOf(spark,
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("grp"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents")),
+      Seq(250000L, 500000L, 750000L, 950000L, 990000L))
+      .select(col("grp").as("l_returnflag"), col("q_ppm"),
+        (col("q_cents").cast("decimal(18,2)") / 100).cast("double").as("price"),
+        col("n_rows"))
+      .orderBy(col("l_returnflag"), col("q_ppm"))
+
   /** q17: explicit GROUPING SETS — two unrelated single-dimension
     * aggregations (per returnflag, per linestatus) answered in ONE scan
     * + one Expand, completing the multi-aggregate family next to
@@ -410,6 +428,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_bucketed_join" -> q19BucketedJoin,
+    "q20_quantile_profile" -> q20QuantileProfile,
     "q18_p99_exact" -> q18P99Exact,
     "q17_grouping_sets" -> q17GroupingSets,
     "q16_median_exact" -> q16MedianExact,
@@ -439,6 +458,25 @@ object Relational {
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "q20_quantile_profile" ->
+      """WITH counts AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |    count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT l_returnflag, price, c,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS n,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY price) AS cum
+        |  FROM counts
+        |), qs AS (
+        |  SELECT unnest([250000, 500000, 750000, 950000, 990000]) AS q_ppm
+        |)
+        |SELECT l_returnflag, CAST(q_ppm AS BIGINT) AS q_ppm,
+        |  CAST(price AS DOUBLE) AS price, CAST(n AS BIGINT) AS n_rows
+        |FROM ranked, qs
+        |WHERE cum - c < greatest(1, (n * q_ppm + 999999) // 1000000)
+        |  AND greatest(1, (n * q_ppm + 999999) // 1000000) <= cum
+        |ORDER BY l_returnflag, q_ppm""".stripMargin,
     "q18_p99_exact" ->
       """WITH counts AS (
         |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,

@@ -342,7 +342,7 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("exact median/p99 window over per-value COUNTS, never sorting raw rows on one reducer") {
-    Seq("q16_median_exact", "q18_p99_exact").foreach { name =>
+    Seq("q16_median_exact", "q18_p99_exact", "q20_quantile_profile").foreach { name =>
       val p = plan(name)
       // the partial aggregate must sit below the first exchange: the shuffle
       // carries |distinct values| rows, not |lineitem| rows
