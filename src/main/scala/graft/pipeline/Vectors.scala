@@ -256,18 +256,40 @@ object Vectors {
     *         `dist_q` the quantized squared L2 distance to the assigned
     *         centroid after the LAST assignment pass.
     */
+  /** One farthest-point seeding round's min-distance update: fold the
+    * newest centroid into the running `__bestd` via the codegen'd
+    * [[graft.functions.LongSqDistExpr]] — factored out so the
+    * no-UDF-on-the-seeding-scan contract is directly plan-pinnable
+    * (KmeansSpec). */
+  private[graft] def seedDistUpdate(cur: DataFrame, lastV: Array[Long]): DataFrame =
+    cur.withColumn("__bestd", least(col("__bestd"),
+      graft.functions.LongSqDistExpr.sqDist(col("__v"), typedLit(lastV.toSeq))))
+
+  /** One seeding round's argmax frame: chosen ids anti-joined away
+    * (broadcast — the frame is ≤ k rows), then the single-row
+    * max((d, −id, v)) aggregate. */
+  private[graft] def seedArgmaxFrame(cur: DataFrame, chosenDf: DataFrame): DataFrame =
+    cur.join(broadcast(chosenDf), col("__id") === col("__cid"), "left_anti")
+      .select(struct(col("__bestd").as("d"),
+        (lit(0L) - col("__id")).as("nid"), col("__v").as("v")).as("s"))
+      .agg(max(col("s")))
+
   def kmeansQuantized(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, seeding: String = "farthest"): DataFrame = {
+      k: Int, iters: Int, seeding: String = "farthest",
+      maxLocalSeedRows: Long = 100000L): DataFrame = {
     // k ≤ 2^20 keeps the packed `d·k + cid` key inside a Long for any
     // quantized distance below 2^43 (≈8.8e12 — e.g. 8,800 dims of
     // full-range ±1.0 components at the ×1000 quantization). The
     // assignment kernel still fails FAST (require below) rather than
     // silently wrapping if a pathological vector exceeds it (ADVICE r11).
     require(k >= 1 && k <= (1 << 20) && iters >= 1, s"bad kmeans params k=$k iters=$iters")
-    require(seeding == "farthest" || seeding == "minids", s"bad seeding: $seeding")
+    require(seeding == "farthest" || seeding == "minids" || seeding == "hashids",
+      s"bad seeding: $seeding")
     // quantized-vector rows the farthest-point seeder will collect for
     // the driver-local traversal: ≤ ~25 MB at 32 dims (8 B/component)
-    val MaxLocalSeedRows = 100000L
+    // at the default gate; the parameter exists so KmeansSpec can force
+    // the distributed rounds on a small fixture
+    require(maxLocalSeedRows >= 0, s"bad maxLocalSeedRows=$maxLocalSeedRows")
     val q = emb.select(col(idCol),
       transform(col(vecCol), x => floor(x.cast("double") * lit(1000.0)).cast("long")).as("__v"))
     q.persist()
@@ -284,11 +306,21 @@ object Vectors {
       // driver) + one indexed fetch — k passes total, no pairwise work.
       // "minids" keeps the legacy k-smallest-ids block (the overflow
       // spec uses it to place seeds AWAY from an extreme outlier).
+      // "hashids" is the LARGE-k mode (adaptive SemDeDup, k in the
+      // thousands): seeds = the k rows with the smallest
+      // (xxhash64(id), id) — a deterministic uniform sample (hash order
+      // is uncorrelated with geometry), i.e. classic random kmeans
+      // init made engine-reproducible, in ONE TakeOrdered pass where
+      // farthest-point would need k sequential scan rounds.
       var centroids: Array[(Long, Array[Long])] =
         if (seeding == "minids") {
           q.orderBy(col(idCol)).limit(k).collect().zipWithIndex
             .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toArray) }
-        } else if (q.count() <= MaxLocalSeedRows) {
+        } else if (seeding == "hashids") {
+          q.select(col(idCol), col("__v"))
+            .orderBy(xxhash64(col(idCol)), col(idCol)).limit(k).collect().zipWithIndex
+            .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toArray) }
+        } else if (q.count() <= maxLocalSeedRows) {
           // size-gated LOCAL traversal (the minhashVerified gate idiom):
           // under the cap the greedy argmax sequence runs driver-side on
           // one bounded collect of the already-persisted quantized frame
@@ -328,36 +360,65 @@ object Vectors {
           }
           buf.toArray
         } else {
+          // Distributed farthest-point rounds above the local gate
+          // (VERDICT r13 #3 rewrite). min-distance-so-far is a
+          // MATERIALIZED column updated once per round by the codegen'd
+          // [[graft.functions.LongSqDistExpr]] against the newest
+          // centroid literal (min over a set = min(prev, newest)) — no
+          // interpreted per-row UDF on the scan, and O(k·n·dim) total
+          // integer work instead of the O(k²·n·dim) the k-centroid
+          // closure re-scan did. Chosen ids are excluded by a broadcast
+          // ANTI-JOIN against a k-row frame, replacing the O(k)-literal
+          // `isin` predicate (per-row O(k) evaluation AND per-round
+          // O(k) analysis — un-plannable for k in the thousands). Each
+          // round localCheckpoints (id, __v, __bestd): lineage stays one
+          // node deep, and the previous round's blocks are released as
+          // soon as the next is materialized.
+          val spark = emb.sparkSession
           val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
           val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
           val first = q.orderBy(col(idCol)).limit(1).collect().head
           buf += ((0L, first.getSeq[Long](1).toArray))
           chosen += first.getLong(0)
-          while (buf.length < k) {
-            val cs = buf.map(_._2).toArray
-            val minDistFn = udf { (v: Array[Long]) =>
-              var best = Long.MaxValue
-              cs.foreach { cv =>
-                var d = 0L; var i = 0; val n = math.min(v.length, cv.length)
-                while (i < n) { val t = v(i) - cv(i); d += t * t; i += 1 }
-                if (d < best) best = d
+          var cur = q.select(col(idCol).cast("long").as("__id"), col("__v"))
+            .withColumn("__bestd", lit(Long.MaxValue))
+          var prevCp: Seq[Int] = Nil
+          def persistedIds(df: DataFrame): Seq[Int] = {
+            val queue = scala.collection.mutable.Queue[org.apache.spark.rdd.RDD[_]](df.rdd)
+            val seen = scala.collection.mutable.Set.empty[Int]
+            val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+            while (queue.nonEmpty) {
+              val r = queue.dequeue()
+              if (seen.add(r.id)) {
+                if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) out += r.id
+                else queue ++= r.dependencies.map(_.rdd)
               }
-              best
             }
-            // one aggregate per round: the winning VECTOR rides inside the
-            // max struct (arrays are orderable but (d, −id) decides — ids
-            // are unique), so no second lookup job per pick
-            val row = q.filter(!col(idCol).isin(chosen.toSeq: _*))
-              .select(struct(minDistFn(col("__v")).as("d"),
-                (lit(0L) - col(idCol).cast("long")).as("nid"),
-                col("__v").as("v")).as("s"))
-              .agg(max(col("s"))).head()
-            require(!row.isNullAt(0),
-              s"kmeans: k=$k exceeds the available point count ${buf.length}")
-            val st = row.getStruct(0)
-            buf += ((buf.length.toLong, st.getSeq[Long](2).toArray))
-            chosen += -st.getLong(1)
+            out.toSeq
           }
+          def release(ids: Seq[Int]): Unit =
+            ids.foreach(id => spark.sparkContext.getPersistentRDDs.get(id).foreach { r =>
+              r.unpersist(blocking = false); ()
+            })
+          try {
+            while (buf.length < k) {
+              val cp = seedDistUpdate(cur, buf.last._2).localCheckpoint()
+              release(prevCp)
+              prevCp = persistedIds(cp)
+              cur = cp
+              val chosenDf = spark.createDataset(chosen.toSeq)(
+                org.apache.spark.sql.Encoders.scalaLong).toDF("__cid")
+              // one aggregate per round: the winning VECTOR rides inside
+              // the max struct (arrays are orderable but (d, −id) decides
+              // — ids are unique), so no second lookup job per pick
+              val row = seedArgmaxFrame(cur, chosenDf).head()
+              require(!row.isNullAt(0),
+                s"kmeans: k=$k exceeds the available point count ${buf.length}")
+              val st = row.getStruct(0)
+              buf += ((buf.length.toLong, st.getSeq[Long](2).toArray))
+              chosen += -st.getLong(1)
+            }
+          } finally release(prevCp)
           buf.toArray
         }
       val kL = k.toLong

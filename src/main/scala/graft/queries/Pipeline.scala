@@ -1127,14 +1127,66 @@ object Pipeline {
     * kept-set recursion has no bounded-depth SQL form; both remove the
     * ε-ball mass, dominance just prunes marginally more. Exact integer
     * throughout (kmeans assignments + dot_q²·100 ≥ nq_a·nq_b·64), so
-    * DuckDB reproduces the kept set bit-for-bit. */
+    * DuckDB reproduces the kept set bit-for-bit.
+    *
+    * k is SIZE-DERIVED behind a gate (VERDICT r13 #2, the
+    * minhashVerified(maxBroadcast) idiom): at or below
+    * [[semDedupAdaptiveGate]] rows k stays pinned at 8 so the oracle's
+    * unrolled farthest-point seed chain is finite — the bench contract
+    * at every test SF (≤ 2000 embedding rows). Above the gate,
+    * [[semDedupK]] grows k with the corpus (k ≈ n/C for target cluster
+    * size C = [[semDedupTargetClusterSize]]), which is what bounds
+    * pair work at O(n·C) instead of O(n²/8); that path is spec-checked
+    * (SemDedupSpec proves the bound on a corpus where k = 8 would
+    * explode), not oracle-checked, and seeds via the one-pass
+    * deterministic "hashids" sample because farthest-point's k
+    * sequential argmax rounds are themselves unusable at k in the
+    * thousands. */
   def pipelineSemDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val assigned = Vectors.kmeansQuantized(emb, "vec_id", "embedding", k = 8, iters = 2)
-      .select(col("vec_id"), col("cluster_id"))
-    val e = emb.select(col("vec_id"), col("embedding"),
+    val n = emb.count() // parquet footer count: metadata-only at scale
+    if (n <= semDedupAdaptiveGate)
+      semDedupKept(emb, "vec_id", "embedding", k = 8, seeding = "farthest")
+    else
+      semDedupKept(emb, "vec_id", "embedding",
+        k = semDedupK(n), seeding = "hashids")
+  }
+
+  /** Target mean cluster size C for the adaptive-k regime: pair work is
+    * O(n·C), so C is the knob trading dedup recall (bigger clusters see
+    * more candidate pairs) against join cost. 4096 keeps the per-key
+    * fanout comfortably inside one task at 32-dim vectors. */
+  private[graft] val semDedupTargetClusterSize: Long = 4096L
+
+  /** Below this row count the k = 8 oracle contract applies; above it
+    * k adapts. The cap also bounds the k = 8 regime's worst cluster at
+    * ~12.5k rows (~78M in-cluster pairs) — the largest pair join the
+    * pinned contract can ever produce. */
+  private[graft] val semDedupAdaptiveGate: Long = 100000L
+
+  /** k = max(8, ceil(n / C)), capped at 2^16: flat kmeans assignment is
+    * O(k·dim) per row, so beyond ~65k centroids (n ≈ 270M rows at the
+    * default C) the production swap is a hierarchical/IVF coarse
+    * quantizer (the [[Vectors.autoPlanes]] family), not a bigger flat k. */
+  private[graft] def semDedupK(n: Long,
+      targetClusterSize: Long = semDedupTargetClusterSize): Int = {
+    require(targetClusterSize >= 1, s"bad targetClusterSize=$targetClusterSize")
+    val adaptive = (n + targetClusterSize - 1) / targetClusterSize
+    math.min(1L << 16, math.max(8L, adaptive)).toInt
+  }
+
+  /** The SemDeDup core over an explicit k and seeding mode — the
+    * cluster-bounded pair join + min-id dominance described on
+    * [[pipelineSemDedup]], factored out so the adaptive-k path is
+    * directly spec-testable with a small synthetic C. */
+  private[graft] def semDedupKept(emb: DataFrame, idCol: String,
+      vecCol: String, k: Int, seeding: String): DataFrame = {
+    val assigned = Vectors.kmeansQuantized(emb, idCol, vecCol, k = k,
+        iters = 2, seeding = seeding)
+      .select(col(idCol).as("vec_id"), col("cluster_id"))
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
         Vectors.checkedNormQ(
-          Vectors.quantizedDot(col("embedding"), col("embedding"))).as("nq"))
+          Vectors.quantizedDot(col(vecCol), col(vecCol))).as("nq"))
       .join(assigned, Seq("vec_id"))
     val a = e.select(col("cluster_id"), col("vec_id").as("id_a"),
       col("embedding").as("ea"), col("nq").as("na_q"))
@@ -1680,10 +1732,12 @@ object Pipeline {
     * [[textCollocations]]: Dice there counts ADJACENT bigram tokens;
     * lift here counts whole-document co-presence, the doc-level
     * co-occurrence statistic. Exactness: lift_q = (n_docs·c_ab·10^6)
-    * div (c_a·c_b) computed in DECIMAL(38,0) (DuckDB HUGEINT), so the
-    * contract holds at any corpus size with no int64 overflow bound —
-    * the fix the samplers' Knuth-hash ADVICE note asked for, applied
-    * from the start. Scale shape: the all-pairs problem is
+    * div (c_a·c_b) computed in DECIMAL(38,0) (DuckDB HUGEINT), lifting
+    * the bound from int64 (~9.2e18) to precision 38 (~10^38 — Spark's
+    * checked decimal multiply nulls/throws past that, so the contract
+    * is bounded there, not unbounded; n_docs·c_ab·10^6 stays far below
+    * it for any plausible corpus) — the fix the samplers' Knuth-hash
+    * ADVICE note asked for, applied from the start. Scale shape: the all-pairs problem is
     * VOCABULARY-bounded, never corpus-bounded — presence rows semi-join
     * a broadcast top-V vocab (V=40 here; TakeOrdered, no global sort),
     * so the per-doc pair fanout is ≤ C(V,2) and the pair aggregate is
@@ -1741,7 +1795,7 @@ object Pipeline {
         .quantilesExactOf(spark, scored, (1 to 9).map(_ * 100000L))
         .select(col("grp"), col("q_cents")).as[(String, Long)].collect()
       val bounds = bRows.toSeq.toDF("grp", "b")
-      scored.groupBy(col("grp"), col("cents")).agg(count(lit(1)).as("__n"))
+      val census = scored.groupBy(col("grp"), col("cents")).agg(count(lit(1)).as("__n"))
         .join(broadcast(bounds), Seq("grp"))
         .groupBy(col("grp"), col("cents"), col("__n"))
         .agg(sum(when(col("cents") > col("b"), 1L).otherwise(0L)).as("__t"))
@@ -1750,6 +1804,14 @@ object Pipeline {
         .agg(sum(col("__n")).as("n_docs"),
           min(col("cents")).as("min_q"), max(col("cents")).as("max_q"))
         .orderBy(col("lang"), col("tier"))
+      // Collect the census EAGERLY while `scored` is still cached, so the
+      // persist serves BOTH passes (boundaries + census) — returning the
+      // lazy frame after unpersist would recompute the scores from
+      // parquet and scan the corpus twice end-to-end (ADVICE r13). The
+      // census is a ≤ 10·|langs|-row frame, the mix-planner local-frame
+      // pattern; the returned LocalTableScan keeps the sort order.
+      spark.createDataFrame(
+        java.util.Arrays.asList(census.collect(): _*), census.schema)
     } finally { scored.unpersist(blocking = false); () }
   }
 
@@ -1766,8 +1828,10 @@ object Pipeline {
     * pair aggregate, a TakeOrdered(1) argmax (driver sync = exactly one
     * row per round, the k-means pick pattern), and a row-local literal
     * replace — so corpus size only affects the first aggregate and
-    * round cost is independent of it. Lineage stays linear in `rounds`
-    * over the persisted vocab.
+    * round cost is independent of it. Lineage is CUT every `cutEvery`
+    * rounds (localCheckpoint re-root), so plan size — and with it
+    * analysis/codegen cost — stays bounded at any merge count; a real
+    * tokenizer's 10⁴–10⁵ rounds are BpeScaleSpec-checked at 64.
     *
     * Exactness contract: words are carried as wrapped strings
     * (\x1F sym \x1E per symbol), so "merge pair (a,b) left-to-right
@@ -1780,7 +1844,9 @@ object Pipeline {
     * lesson: DuckDB inlines CTEs per reference). ASCII corpus assumption:
     * the `(.)` char-split is per UTF-16 unit in Java vs per codepoint in
     * RE2 — identical on ASCII, the driver corpus. */
-  def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 6): DataFrame = {
+  def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 6,
+      cutEvery: Int = 16, probe: DataFrame => Unit = _ => ()): DataFrame = {
+    require(cutEvery >= 1, s"bad cutEvery=$cutEvery")
     val spark0 = spark
     import spark0.implicits._
     val US = "\u001F"; val RS = "\u001E"
@@ -1789,6 +1855,7 @@ object Pipeline {
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .select(regexp_replace(col("token"), "(.)", s"$US$$1$RS").as("w"), col("cnt"))
     words.persist()
+    var cpIds: Seq[Int] = Nil
     try {
       var cur: DataFrame = words
       val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -1810,10 +1877,30 @@ object Pipeline {
         merges += ((r, a, b, c))
         cur = cur.withColumn("w", org.apache.spark.sql.functions.replace(
           col("w"), lit(s"$US$a$RS$US$b$RS"), lit(s"$US$a$b$RS")))
+        // lineage cut (VERDICT r13 Wrong #3): a production tokenizer
+        // runs 10⁴–10⁵ merge rounds, and one `replace` per round over
+        // the persisted vocab grows the analyzed plan linearly — past a
+        // few hundred rounds analysis/codegen dominates. localCheckpoint
+        // every `cutEvery` rounds re-roots the vocab (the Graph
+        // convergence-loop idiom, via [[graft.ops.Lineage]]) so plan
+        // size stays bounded by cutEvery; the previous cut's blocks
+        // release as soon as the next materializes. The 6-round oracle
+        // contract never reaches a cut at the default.
+        if (r % cutEvery == 0 && r < rounds) {
+          val cp = cur.localCheckpoint()
+          graft.ops.Lineage.release(cp, cpIds)
+          cpIds = graft.ops.Lineage.persistedIds(cp)
+          cur = cp
+        }
+        probe(cur)
       }
       merges.result().toDF("round", "sym_a", "sym_b", "pair_cnt")
         .orderBy(col("round"))
-    } finally { words.unpersist(blocking = false); () }
+    } finally {
+      graft.ops.Lineage.release(words, cpIds)
+      words.unpersist(blocking = false)
+      ()
+    }
   }
 
   private def bpeMergesQuery(spark: SparkSession, dir: String): DataFrame =

@@ -86,8 +86,14 @@ object NearDupStream {
   def bucketRows(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
-    val sh = graft.pipeline.Text.shingles(col(textCol), 3)
-    docs.withColumn("__sig", graft.pipeline.Dedup.minhashSignature(sh, k))
+    // Empty/whitespace-only docs have NO shingles: the batch path drops
+    // them at its explode, so they never reach a bucket. Mirror that
+    // here — an unguarded minhashSignature over an empty array yields
+    // all-null components whose band hash collapses to the seed,
+    // pairing every empty doc with every other (ADVICE r13).
+    docs.withColumn("__sh", graft.pipeline.Text.shingles(col(textCol), 3))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig", graft.pipeline.Dedup.minhashSignature(col("__sh"), k))
       .select(col(idCol).as("id"),
         explode(graft.pipeline.Dedup.bandKeysFromSignature(
           col("__sig"), bands, k / bands)).as("bk"))

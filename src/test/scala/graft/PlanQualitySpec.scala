@@ -405,18 +405,16 @@ class PlanQualitySpec extends SparkTestBase {
       s"no corpus rescan in the final plan:\n$p")
   }
 
-  test("curriculum census scans the corpus once: boundaries are a literal broadcast, no window") {
+  test("curriculum census is a collected local frame — no corpus re-scan at consumption") {
     val p = plan("pipeline_curriculum")
-    // the 9·|langs| boundary rows were collected during the quantile pass;
-    // the FINAL plan must assign tiers by value comparison — no rank window
-    // over any corpus-derived frame, one broadcast of the literal bounds
+    // ADVICE r13: both passes (boundaries + census) now run inside the
+    // builder while the scored frame is cached, and the RETURNED frame is
+    // the ≤ 10·|langs|-row collected census (the mix-budget local-frame
+    // pattern) — consuming it must never re-scan parquet or re-shuffle
+    assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
+      s"returned census must not re-scan the corpus:\n$p")
+    assert(p.contains("LocalTableScan"), s"expected the collected census frame:\n$p")
     assert(!p.contains("Window"), s"tier assignment must be value-based, not rank-based:\n$p")
-    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
-      s"the literal boundary frame must broadcast:\n$p")
-    val scans = p.linesIterator.count(l =>
-      l.contains("FileScan parquet") || l.contains("Scan parquet"))
-    assert(scans <= 1, s"census must scan the corpus exactly once, got $scans:\n$p")
-    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(exchanges <= 2, s"expected <=2 keyed exchanges, got $exchanges:\n$p")
+    assert(!p.contains("Exchange"), s"the local census must not shuffle:\n$p")
   }
 }

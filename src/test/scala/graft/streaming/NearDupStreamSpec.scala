@@ -36,16 +36,24 @@ class NearDupStreamSpec extends SparkTestBase {
     .select(col("doc_id"), col("text"))
 
   test("row-local bucket rows equal the batch aggregate buckets bit-for-bit") {
-    val shingled = docs.select(col("doc_id"),
+    // include empty / whitespace-only docs: the batch path drops them at
+    // its shingle explode, and bucketRows must agree instead of
+    // collapsing their all-null signatures into one shared bucket
+    // (ADVICE r13)
+    val withEmpties = docs.unionByName(
+      Seq((900000001L, ""), (900000002L, "   \n\t ")).toDF("doc_id", "text"))
+    val shingled = withEmpties.select(col("doc_id"),
       graft.pipeline.Text.shingles(col("text"), 3).as("sh"))
     val batch = Dedup.minhashBuckets(shingled, "doc_id", "sh")
       .select(col("id"), col("band"), col("key"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    val rowLocal = NearDupStream.bucketRows(docs, "doc_id", "text")
+    val rowLocal = NearDupStream.bucketRows(withEmpties, "doc_id", "text")
       .select(col("id"), col("band"), col("key"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(rowLocal.nonEmpty)
     assert(rowLocal === batch)
+    assert(!rowLocal.exists(t => t._1 >= 900000001L),
+      "empty docs must produce no bucket rows")
   }
 
   test("streamed rep pairs equal the batch bucket-min pairs on chunked in-order feeds") {
