@@ -28,12 +28,12 @@ object CohortStream {
 
   val WeekUs: Long = 7L * 86400L * 1000000L
 
-  private class CohortProcessor
+  private class CohortProcessor(ttl: TTLConfig)
       extends StatefulProcessor[Long, CohortEvent, CohortHit] {
     @transient private var state: ValueState[CohortState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[CohortState]("cohort",
-        Encoders.product[CohortState], TTLConfig.NONE)
+        Encoders.product[CohortState], ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[CohortEvent],
         timerValues: TimerValues): Iterator[CohortHit] = {
@@ -62,10 +62,11 @@ object CohortStream {
   /** One `(user, cohort_week, week)` row per first activity of a user in
     * a week, across micro-batches. Roll up with
     * `groupBy(cohortWeek, week − cohortWeek).count` for the triangle. */
-  def weekHits(events: Dataset[CohortEvent]): Dataset[CohortHit] = {
+  def weekHits(events: Dataset[CohortEvent],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[CohortHit] = {
     val spark: SparkSession = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_.userId).transformWithState(new CohortProcessor,
-      TimeMode.None(), OutputMode.Append())
+    events.groupByKey(_.userId).transformWithState(new CohortProcessor(ttl),
+      StateTtl.timeMode(ttl), OutputMode.Append())
   }
 }

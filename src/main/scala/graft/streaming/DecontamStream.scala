@@ -69,4 +69,54 @@ object DecontamStream {
     evalDocs.select(explode(graft.pipeline.Text.shingles(col(textCol), w)).as("pw"))
       .distinct()
       .withColumn("ph", xxhash64(col("pw")))
+
+  /** The split-bucket rule shared bit-for-bit with the batch
+    * [[graft.queries.Pipeline.contaminationSplit]] /
+    * `pipeline_split` contract: overflow-guarded Knuth bucket of the
+    * doc id, <800 train / <900 val / else test. */
+  def splitOf(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = pmod(graft.queries.Pipeline.knuthHash(docId), lit(1000L))
+    when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+  }
+
+  /** Static TRAIN-window probe for [[splitFlaggedCounts]]: the train
+    * slice of a corpus snapshot (by [[splitOf]]'s bucket rule) reduced
+    * to its distinct pre-hashed windows — the batch query's `trainW`
+    * frame, built once at deploy time. */
+  def trainProbeOf(corpus: DataFrame, docIdCol: String, textCol: String,
+      w: Int = 4): DataFrame =
+    corpus.filter(splitOf(col(docIdCol)) === "train")
+      .select(explode(graft.pipeline.Text.shingles(col(textCol), w)).as("pw"))
+      .distinct()
+      .withColumn("ph", xxhash64(col("pw")))
+
+  /** TRAIN→EVAL leakage at INGEST (VERDICT r13 Next #8) — the streaming
+    * twin of the batch `contamination_split`: each arriving document is
+    * assigned its split by the SAME Knuth bucket rule; train docs pass
+    * through unflagged territory (they are the probe's own population —
+    * filtered out here), and every val/test doc's distinct windows probe
+    * the static train-window frame. Same stream-static shape, same
+    * size-gated broadcast, and NO keyed streaming state beyond the
+    * per-doc rollup — a doc arrives whole in one row, so row-local
+    * `array_distinct` reproduces the batch (doc, window) distinct.
+    *
+    * Returns (doc_id, split, n_windows, n_hits, contaminated) for eval
+    * docs only, as an Update/Complete-mode aggregation like
+    * [[flaggedCounts]]. */
+  def splitFlaggedCounts(docs: DataFrame, docIdCol: String, textCol: String,
+      trainProbe: DataFrame, w: Int = 4,
+      maxBroadcastProbe: Long = MaxBroadcastProbeRows): DataFrame = {
+    val windows = docs
+      .select(col(docIdCol).as("doc_id"), splitOf(col(docIdCol)).as("split"),
+        explode(array_distinct(graft.pipeline.Text.shingles(col(textCol), w))).as("w"))
+      .filter(col("split") =!= "train")
+      .withColumn("h", xxhash64(col("w")))
+    val probeSide =
+      if (trainProbe.count() <= maxBroadcastProbe) broadcast(trainProbe)
+      else trainProbe
+    windows.join(probeSide, col("h") === col("ph") && col("w") === col("pw"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_windows"), count(col("pw")).as("n_hits"))
+      .withColumn("contaminated", when(col("n_hits") > 0, 1).otherwise(0))
+  }
 }

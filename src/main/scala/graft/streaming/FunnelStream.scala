@@ -42,12 +42,12 @@ object FunnelStream {
   private case class FunnelState(signupId: Long, viewId: Long,
       purchaseId: Long, lastEid: Long)
 
-  private class FunnelProcessor
+  private class FunnelProcessor(ttl: TTLConfig)
       extends StatefulProcessor[Long, FunnelEvent, FunnelRow] {
     @transient private var state: ValueState[FunnelState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[FunnelState]("funnel",
-        Encoders.product[FunnelState], TTLConfig.NONE)
+        Encoders.product[FunnelState], ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
         timerValues: TimerValues): Iterator[FunnelRow] = {
@@ -86,10 +86,11 @@ object FunnelStream {
 
   /** Incremental funnel over an event stream (or, via the same call, a
     * batch Dataset). */
-  def funnel(events: Dataset[FunnelEvent]): Dataset[FunnelRow] = {
+  def funnel(events: Dataset[FunnelEvent],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[FunnelRow] = {
     val spark: SparkSession = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_.userId).transformWithState(new FunnelProcessor,
-      TimeMode.None(), OutputMode.Append())
+    events.groupByKey(_.userId).transformWithState(new FunnelProcessor(ttl),
+      StateTtl.timeMode(ttl), OutputMode.Append())
   }
 }

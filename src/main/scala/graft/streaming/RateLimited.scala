@@ -28,11 +28,11 @@ object RateLimited {
   case class AdmitEvent(key: String, seq: Long)
   case class Admitted(key: String, seq: Long, rn: Int)
 
-  private class RateLimitProcessor(max: Int)
+  private class RateLimitProcessor(max: Int, ttl: TTLConfig)
       extends StatefulProcessor[String, AdmitEvent, Admitted] {
     @transient private var nAdmitted: ValueState[Int] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      nAdmitted = getHandle.getValueState[Int]("n", Encoders.scalaInt, TTLConfig.NONE)
+      nAdmitted = getHandle.getValueState[Int]("n", Encoders.scalaInt, ttl)
     override def handleInputRows(key: String, rows: Iterator[AdmitEvent],
         timerValues: TimerValues): Iterator[Admitted] = {
       var n = if (nAdmitted.exists()) nAdmitted.get() else 0
@@ -62,11 +62,17 @@ object RateLimited {
 
   /** Admit the first `max` events per key in `seq` order. Works on a
     * stream (cross-batch counter state) and, via the same call, on a
-    * batch Dataset (single "batch" = the whole input). */
-  def admitFirst(events: Dataset[AdmitEvent], max: Int): Dataset[Admitted] = {
+    * batch Dataset (single "batch" = the whole input).
+    *
+    * `ttl` (default NONE = retain forever, the parity contract): a
+    * key's admission counter not refreshed within the duration is
+    * evicted, after which the key's quota RESETS — the retention
+    * trade documented on [[StateTtl]]. */
+  def admitFirst(events: Dataset[AdmitEvent], max: Int,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[Admitted] = {
     val spark: SparkSession = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_.key).transformWithState(new RateLimitProcessor(max),
-      TimeMode.None(), OutputMode.Append())
+    events.groupByKey(_.key).transformWithState(new RateLimitProcessor(max, ttl),
+      StateTtl.timeMode(ttl), OutputMode.Append())
   }
 }

@@ -35,12 +35,12 @@ object SlidingAgg {
   case class SlideAgg(key: String, eventId: Long, n: Long, sumCents: Long)
   private case class BufEntry(tsUs: Long, cents: Long)
 
-  private class SlidingProcessor(spanUs: Long)
+  private class SlidingProcessor(spanUs: Long, ttl: TTLConfig)
       extends StatefulProcessor[String, SlideEvent, SlideAgg] {
     @transient private var buf: ListState[BufEntry] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       buf = getHandle.getListState[BufEntry]("buf",
-        Encoders.product[BufEntry], TTLConfig.NONE)
+        Encoders.product[BufEntry], ttl)
 
     override def handleInputRows(key: String, rows: Iterator[SlideEvent],
         timerValues: TimerValues): Iterator[SlideAgg] = {
@@ -91,10 +91,11 @@ object SlidingAgg {
   /** Rolling (count, sum-of-cents) over the trailing `spanUs` per key.
     * Works on a stream (buffer state crosses micro-batches) and, via the
     * same call, on a batch Dataset. */
-  def rolling(events: Dataset[SlideEvent], spanUs: Long): Dataset[SlideAgg] = {
+  def rolling(events: Dataset[SlideEvent], spanUs: Long,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[SlideAgg] = {
     val spark: SparkSession = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_.key).transformWithState(new SlidingProcessor(spanUs),
-      TimeMode.None(), OutputMode.Append())
+    events.groupByKey(_.key).transformWithState(new SlidingProcessor(spanUs, ttl),
+      StateTtl.timeMode(ttl), OutputMode.Append())
   }
 }

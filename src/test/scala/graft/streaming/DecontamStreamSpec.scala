@@ -115,4 +115,49 @@ class DecontamStreamSpec extends SparkTestBase {
       ()
     }
   }
+
+  test("streamed split probe equals batch contamination_split on both sides of the gate (VERDICT r13 #8)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val trainProbe = DecontamStream.trainProbeOf(docs, "doc_id", "text").cache()
+    // the REAL batch query is the oracle-checked contract — the stream
+    // twin must reproduce it bit-for-bit for every eval doc
+    val expected = graft.queries.Pipeline.contaminationSplit(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .sorted.toSeq
+    assert(expected.nonEmpty && expected.exists(_._5 == 1),
+      "fixture must contain leaked eval docs")
+
+    val feed = docs.orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val chunks = feed.grouped(feed.length / 3 + 1).toSeq
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def runStream(cap: Long, name: String): Seq[(Long, String, Long, Long, Int)] = {
+      val input = MemoryStream[(Long, String)]
+      val out = DecontamStream.splitFlaggedCounts(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", trainProbe,
+        w = 4, maxBroadcastProbe = cap)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        chunks.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+          .sorted.toSeq
+      } finally {
+        q.stop()
+        spark.sql(s"DROP VIEW IF EXISTS $name")
+        ()
+      }
+    }
+    try {
+      assert(runStream(DecontamStream.MaxBroadcastProbeRows,
+        "decontam_split_b") === expected)
+      assert(runStream(0L, "decontam_split_s") === expected)
+    } finally {
+      trainProbe.unpersist()
+      ()
+    }
+  }
 }

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, TTLConfig}
+
+/** Retention contracts for the `transformWithState` twins (VERDICT r13
+  * Missing #2): expired state must ACTUALLY evict — the key restarts as
+  * first-seen — while every answer inside the retained horizon is
+  * bit-identical to the retain-forever default. Two mechanisms, one
+  * spec: the processing-time [[TTLConfig]] threaded through the
+  * TimeMode.None twins ([[StateTtl]]) and the event-time eviction timer
+  * of the watermark-driven [[GapFillStream]]. */
+class StateTtlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+  private val rocks =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withRocks[A](body: => A): A = {
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocks)
+    try body finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("rate-limiter TTL: quota state evicts after the horizon, in-horizon admission unchanged") {
+    withRocks {
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      // NOT processAllAvailable / AvailableNow: in TimeMode.ProcessingTime
+      // the stateful operator requests a batch per trigger to advance the
+      // TTL clock, so "all available" never settles. The query runs
+      // continuously and each phase POLLS the sink for a sentinel row
+      // that proves its input drained.
+      val input = MemoryStream[RateLimited.AdmitEvent]
+      def rows(): Set[(String, Long, Int)] =
+        spark.table("ttl_rate").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      def pollUntil(what: String)(pred: => Boolean): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (!pred) {
+          assert(System.nanoTime() < deadline, s"timed out waiting for $what: ${rows()}")
+          Thread.sleep(100)
+        }
+      }
+      val q = RateLimited.admitFirst(input.toDS(), max = 1,
+          ttl = TTLConfig(java.time.Duration.ofSeconds(10)))
+        .writeStream.format("memory").queryName("ttl_rate")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // phase 1: quota admits seq 1 only — the IN-HORIZON answer is
+        // exactly the no-TTL twin's (seq 2 rejected in the same batch)
+        input.addData(Seq(RateLimited.AdmitEvent("k", 1L),
+          RateLimited.AdmitEvent("k", 2L)))
+        pollUntil("phase-1 admission")(rows().contains(("k", 1L, 1)))
+        // phase 2, still inside the 10 s horizon: quota must hold — the
+        // sentinel key proves the batch drained before we assert absence
+        input.addData(Seq(RateLimited.AdmitEvent("k", 3L),
+          RateLimited.AdmitEvent("s1", 100L)))
+        pollUntil("phase-2 sentinel")(rows().contains(("s1", 100L, 1)))
+        assert(rows() === Set(("k", 1L, 1), ("s1", 100L, 1)),
+          s"in-horizon admission must match the retain-forever twin: ${rows()}")
+
+        // idle past the TTL: the counter evicts, the key restarts
+        // first-seen and the quota RESETS (rn restarts at 1)
+        Thread.sleep(12000)
+        input.addData(Seq(RateLimited.AdmitEvent("k", 4L)))
+        pollUntil("post-TTL re-admission")(rows().contains(("k", 4L, 1)))
+        assert(rows() === Set(("k", 1L, 1), ("s1", 100L, 1), ("k", 4L, 1)),
+          s"expired quota state must evict and re-admit: ${rows()}")
+      } finally {
+        q.stop()
+        spark.sql("DROP VIEW IF EXISTS ttl_rate")
+        ()
+      }
+    }
+  }
+
+  test("gap-fill event-time eviction: carry drops after the horizon, retained grid unchanged") {
+    withRocks {
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val hourUs = GapFillStream.HourUs
+      def evAt(user: Long, eid: Long, tsUs: Long, cents: Long) =
+        GapFillStream.GapEvent(user, eid, tsUs, cents,
+          new java.sql.Timestamp(tsUs / 1000L))
+      def run(evict: Long, name: String,
+          feeds: Seq[Seq[GapFillStream.GapEvent]]): Set[(Long, Long, Long, Long)] = {
+        val input = MemoryStream[GapFillStream.GapEvent]
+        val q = GapFillStream.gapFill(
+            input.toDS().withWatermark("ts", "0 seconds"), evictAfterHours = evict)
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+        try {
+          feeds.foreach { f => input.addData(f); q.processAllAvailable() }
+          spark.table(name).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+            .filter(_._1 == 1L).toSet
+        } finally {
+          q.stop()
+          spark.sql(s"DROP VIEW IF EXISTS $name")
+          ()
+        }
+      }
+      // user 1 active in hour 0; watermark sentinel closes it (arming the
+      // eviction timer at hour 3); a later sentinel passes hour 3 → evict;
+      // user 1 returns in hour 6; final sentinel closes hour 6
+      val feeds = Seq(
+        Seq(evAt(1L, 1L, hourUs / 2, 100L)),
+        Seq(evAt(99L, 2L, hourUs + hourUs / 4, 0L)),   // closes hour 0
+        Seq(evAt(99L, 3L, 5L * hourUs, 0L)),           // passes the hour-3 eviction timer
+        Seq(evAt(1L, 4L, 6L * hourUs + 1L, 200L)),     // user 1 returns
+        Seq(evAt(99L, 5L, 9L * hourUs, 0L)))           // closes hour 6
+      val evicted = run(2L, "ttl_gap_evict", feeds)
+      val retained = run(0L, "ttl_gap_keep", feeds)
+
+      // retain-forever: the full forward-filled grid bridges the quiet
+      // hours 1..5 with the carry value
+      val grid0to6 = Set((1L, 0L, 1L, 100L)) ++
+        (1L to 5L).map(h => (1L, h, 0L, 100L)) ++ Set((1L, 6L, 1L, 200L))
+      assert(retained === grid0to6, s"control grid mismatch: $retained")
+
+      // evicted: hour 0 (closed INSIDE the horizon) is bit-identical to
+      // the control — and the carry is gone, so no gap rows bridge the
+      // eviction; user 1 restarts first-seen at hour 6
+      assert(evicted === Set((1L, 0L, 1L, 100L), (1L, 6L, 1L, 200L)),
+        s"evicted grid mismatch: $evicted")
+    }
+  }
+}

@@ -99,6 +99,76 @@ class StreamRestartSpec extends SparkTestBase {
     }
   }
 
+  test("gap-fill twin re-arms its in-flight close timer across a restart (VERDICT r13 #4)") {
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocks)
+    val base = java.nio.file.Files.createTempDirectory("graft_restart_gf").toString
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"
+    try {
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val hourUs = GapFillStream.HourUs
+      def evAt(user: Long, eid: Long, tsUs: Long, cents: Long) =
+        GapFillStream.GapEvent(user, eid, tsUs, cents,
+          new java.sql.Timestamp(tsUs / 1000L))
+      val input = MemoryStream[GapFillStream.GapEvent]
+      def start() = GapFillStream.gapFill(
+          input.toDS().withWatermark("ts", "0 seconds"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+
+      // run 1: user 1's hour 0 opens and its close timer ARMS (watermark
+      // is still mid-hour, so nothing emits) — then the query stops with
+      // the timer in flight
+      val q1 = start()
+      input.addData(Seq(evAt(1L, 1L, hourUs / 2, 100L)))
+      q1.processAllAvailable()
+      q1.stop()
+      val afterRun1 =
+        if (new java.io.File(out).exists) spark.read.parquet(out).count() else 0L
+      assert(afterRun1 === 0L, "hour 0 must still be open at the stop")
+
+      // run 2 (same checkpoint): only a watermark-advancing sentinel —
+      // hour 0 can close ONLY if the restored state re-armed the
+      // event-time timer from the checkpoint
+      val q2 = start()
+      input.addData(Seq(evAt(99L, 2L, 10L * hourUs, 0L)))
+      q2.processAllAvailable()
+
+      // still run 2: a much later event for user 1 — the forward-fill
+      // carry must resume from the timer-closed hour (gap rows 1..11
+      // carry 100), and hour 0 must NOT re-emit
+      input.addData(Seq(evAt(1L, 3L, 12L * hourUs + 1L, 200L)))
+      q2.processAllAvailable()
+      // close hour 12 via a further sentinel hour
+      input.addData(Seq(evAt(99L, 4L, 20L * hourUs, 0L)))
+      q2.processAllAvailable()
+      q2.stop()
+
+      val rows = spark.read.parquet(out)
+        .select(col("userId"), col("hour"), col("nEvents"), col("vFillCents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 == 1L)
+      // exactly-once grid: hour 0 closed by the RESUMED timer, gaps
+      // 1..11 forward-fill the carry, hour 12 closes normally
+      val expected =
+        Seq((1L, 0L, 1L, 100L)) ++
+        (1L to 11L).map(h => (1L, h, 0L, 100L)) ++
+        Seq((1L, 12L, 1L, 200L))
+      assert(rows.sortBy(_._2).toSeq === expected,
+        s"grid mismatch: ${rows.sortBy(_._2).toSeq}")
+      assert(rows.count(_._2 == 0L) === 1, "hour 0 must emit exactly once")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      ()
+    }
+  }
+
   test("near-dup twin's bucket representatives survive a query restart") {
     val prev = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey, rocks)
