@@ -53,11 +53,18 @@ object Bench {
     * are only comparable if their isolation steps are identical. */
   private[graft] def timeOne(spark: SparkSession, sfDir: String, runs: Int,
       name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-      errors: scala.collection.mutable.Map[String, String]): (Double, Double) = {
+      errors: scala.collection.mutable.Map[String, String],
+      metrics: scala.collection.mutable.Map[String, String] = null): (Double, Double) = {
     // Isolate from the previous query: drop cached plans/broadcasts and
     // drain GC + ContextCleaner debt outside the timing window.
     spark.catalog.clearCache()
     System.gc()
+    // resource attribution (VERDICT r13 #1): GC/spill deltas across the
+    // timed window + a post-query lingering-cache check, so an in-suite
+    // collapse like r13's pipeline_keep 16× is attributable from the
+    // bench record alone
+    val probe = BenchMetrics.ensure(spark)
+    val (g0, ms0, ds0, t0s) = BenchMetrics.edge(spark, probe)
     val times = (1 to runs).flatMap { _ =>
       val t0 = System.nanoTime()
       try { runQuery(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
@@ -68,6 +75,14 @@ object Bench {
           None
       }
     }
+    val (g1, ms1, ds1, t1s) = BenchMetrics.edge(spark, probe)
+    val (cachedRdds, cachedMem) = BenchMetrics.storageAfter(spark.sparkContext)
+    if (metrics != null)
+      metrics(name) = BenchMetrics.json(g1 - g0, ms1 - ms0, ds1 - ds0,
+        t1s - t0s, cachedRdds, cachedMem)
+    if (cachedRdds > 0)
+      errors(s"cache_leak:$name") =
+        s"$cachedRdds cached RDDs ($cachedMem B) linger after the query"
     if (times.isEmpty) (-1.0, -1.0)
     else (times.sorted.apply(times.size / 2), times.min)
   }
@@ -165,12 +180,13 @@ object Bench {
     // Optional comma-separated query filter for isolated probing.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val qMetrics = scala.collection.mutable.LinkedHashMap[String, String]()
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     def timeQueries(qs: Seq[(String, (SparkSession, String) =>
         org.apache.spark.sql.DataFrame)]): Seq[(String, Double, Double)] =
       qs.map { case (name, fn) =>
-        val (median, minT) = Bench.timeOne(spark, sfDir, runs, name, fn, errors)
+        val (median, minT) = Bench.timeOne(spark, sfDir, runs, name, fn, errors, qMetrics)
         (name, median, minT)
       }
     // Sentinel probes before / between / after the suite (VERDICT r6 #1):
@@ -329,6 +345,7 @@ object Bench {
     val qsIso = "\"queries_forked\":(\\{[^}]*\\})".r
       .findFirstMatchIn(forkedQueries).map(_.group(1)).getOrElse("{}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
+    val qMetricsJson = qMetrics.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     // forked runs verbatim; the in-process fallback appears here only when
     // no fork at all succeeded (it IS the only sample then)
@@ -336,7 +353,7 @@ object Bench {
       if (forkedEngineRuns.nonEmpty) forkedEngineRuns
       else Seq(engineJson).filterNot(_ == "null")
     val engineRunsJson = engineRunsAll.mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_isolated":$qsIso,"sentinel":${Sentinel.json(sentinels)},"forked":$forkedQueries,"engine":$engineJson,"engine_runs":$engineRunsJson,"errors":$errJson,"runs":$runs,"action":"noop_write","sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_isolated":$qsIso,"query_metrics":$qMetricsJson,"sentinel":${Sentinel.json(sentinels)},"forked":$forkedQueries,"engine":$engineJson,"engine_runs":$engineRunsJson,"errors":$errJson,"runs":$runs,"action":"noop_write","sf":"$sfDir"}"""
     println(full)
     // The driver captures a bounded TAIL of stdout: r6/r7 both landed with
     // `parsed: null` and the alphabetically-first per-query minima cut off
@@ -479,8 +496,18 @@ object Bench {
       ("\"" + k + "\":(-?[0-9][0-9.eE+-]*)").r.findFirstMatchIn(engineJson)
         .map(m => "\"" + k + "\":" + m.group(1))
     } ++ minRunFields).mkString("{", ",", "}")
+    // resource-attribution aggregates (VERDICT r13 #1): the compact line
+    // alone must say whether a slow round was GC-bound, spilling, or
+    // leaking cached blocks
+    def metricSum(key: String): Long = qMetrics.values.flatMap(v =>
+      ("\"" + key + "\":(-?\\d+)").r.findFirstMatchIn(v).map(_.group(1).toLong)).sum
+    val gcTotal = metricSum("gc_ms")
+    val spillTotal = metricSum("spill_mem") + metricSum("spill_disk")
+    val cacheLeaks = errors.keys.count(_.startsWith("cache_leak:"))
     println(s"""{"metric":"headline","value":$total,"unit":"sec",""" +
       s""""queries_n":${results.size},"errors_n":${errors.size},""" +
+      s""""gc_ms_total":$gcTotal,"spill_bytes_total":$spillTotal,""" +
+      s""""cache_leaks":$cacheLeaks,""" +
       s""""queries_min_sum":${fmt(minSum)},""" +
       s""""queries_min_norm":${norm(minSum, parentMidCpu)},""" +
       s""""queries_min_sum_r9set":${fmt(r9MinSum)},""" +

@@ -33,6 +33,7 @@ object QueryBench {
     spark.sparkContext.setLogLevel("WARN")
     Bench.warmUp(spark) // identical to the parent suite's warmup by construction
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val qMetrics = scala.collection.mutable.LinkedHashMap[String, String]()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     // guarded like the parent suite (ADVICE r7): a sentinel failure (e.g. a
     // partial sfDir without lineitem.parquet) must degrade to (-1,-1)
@@ -45,7 +46,7 @@ object QueryBench {
       half.map { case (name, fn) =>
         // shared timing loop (Bench.timeOne): in-suite vs forked numbers
         // are only comparable if the isolation steps stay identical
-        name -> Bench.timeOne(spark, sfDir, runs, name, fn, errors)._2
+        name -> Bench.timeOne(spark, sfDir, runs, name, fn, errors, qMetrics)._2
       }
     val r1 = runHalf(firstHalf)
     val sentinelMid = Bench.safeSentinel(spark, sfDir, runs, errors)
@@ -54,7 +55,9 @@ object QueryBench {
     spark.stop()
     val qs = (r1 ++ r2).map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
+    val qMetricsJson = qMetrics.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"queries_forked":$qs,""" +
+      s""""query_metrics":$qMetricsJson,""" +
       s""""sentinel":${Sentinel.json(Seq(sentinelPre, sentinelMid, sentinelPost))},""" +
       s""""errors":$errJson}""")
     if (errors.nonEmpty) sys.exit(1)

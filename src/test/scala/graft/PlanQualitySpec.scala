@@ -261,8 +261,32 @@ class PlanQualitySpec extends SparkTestBase {
     } finally {
       spark.conf.set(bcastKey, prevBcast)
       val tag = java.lang.Integer.toHexString(dir.hashCode)
-      spark.sql(s"DROP TABLE IF EXISTS graft_q19_li_$tag")
-      spark.sql(s"DROP TABLE IF EXISTS graft_q19_o_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS graft_fact_li_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS graft_fact_o_$tag")
+      ()
+    }
+  }
+
+  test("q3 reuses the shared bucketed facts: zero join-key exchanges on the fact join") {
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevBcast = spark.conf.get(bcastKey)
+    spark.conf.set(bcastKey, "-1")
+    try {
+      // VERDICT r13 #7: the SAME bucket layout q19 writes serves q3's
+      // lineitem⋈orders — the fact join must not re-shuffle either side
+      // on the key; the only keyed exchanges left belong to the
+      // customer join and the nation rollup
+      val p = plan("q3_join_agg")
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(o_orderkey"),
+        s"q3's fact join must read the bucketed layout exchange-free:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast fact join:\n$p")
+    } finally {
+      spark.conf.set(bcastKey, prevBcast)
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      spark.sql(s"DROP TABLE IF EXISTS graft_fact_li_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS graft_fact_o_$tag")
       ()
     }
   }
