@@ -1725,6 +1725,108 @@ object Pipeline {
         sum(when(col("q") > 0, 1L).otherwise(0L)).as("n_pos"))
       .orderBy(col("dim"))
 
+  /** emb_pca_power: the corpus embedding space's top principal
+    * direction by derandomized power iteration over the GRAM matrix
+    * XᵀX (uncentered PCA — the standard embedding-health diagnostic:
+    * a dominant direction with outsized eigenvalue share signals
+    * collapsed/anisotropic embeddings that break cosine retrieval;
+    * Mu & Viswanath, ICLR 2018 make removing it a post-processing
+    * step). Exact integer end-to-end, so DuckDB reproduces every
+    * iterate bit-for-bit: components quantize to q = floor(x·1000);
+    * the Gram entry is Σ qᵢ·qⱼ in DECIMAL(38,0); each iteration is
+    * wₖ = Σⱼ G[k,j]·vⱼ followed by the deterministic renormalization
+    * vₖ = (wₖ·1000) / max|w| in TRUNCATING division (Scala BigInt `/`
+    * and DuckDB HUGEINT `//` agree; both truncate toward zero). The
+    * all-1000 seed vector is fixed; 4 iterations; sign is pinned by
+    * the arithmetic itself.
+    *
+    * Scale shape: the corpus is scanned ONCE with a row-local dims²
+    * pair fanout (64² = 4096 rows per vector) that map-side combines
+    * to |dims|² groups — the one exchange carries dims² rows per task
+    * and the aggregate is corpus-size-independent. The power loop then
+    * runs DRIVER-side over the collected 4096-row Gram frame (BigInt
+    * matvec, microseconds) — the k-means centroid-sync pattern, sized
+    * dims², never n. O(n·d²) scan work bounds d: for d in the
+    * thousands the production swap is a sampled/sketched Gram. Also
+    * returns the Rayleigh quotient numerator/denominator pair so the
+    * eigenvalue share is auditable downstream. */
+  def embPcaPower(spark: SparkSession, dir: String, iters: Int = 4): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = Tables.embeddings(spark, dir)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 1000).cast("long")).as("v"))
+    val gram = rows
+      .select(posexplode(col("v")).as(Seq("i", "qi")), col("v"))
+      .select(col("i"), col("qi"), posexplode(col("v")).as(Seq("j", "qj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("qi") * col("qj")).cast("decimal(38,0)")).as("c"))
+      .collect()
+    val dims = gram.map(_.getInt(0)).max + 1
+    val g = Array.fill(dims, dims)(BigInt(0))
+    gram.foreach(r => g(r.getInt(0))(r.getInt(1)) =
+      BigInt(r.getDecimal(2).toBigInteger))
+    var v = Array.fill(dims)(BigInt(1000))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dims)(k =>
+        (0 until dims).map(j => g(k)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      require(m > 0, "emb_pca_power: zero Gram matvec — degenerate embeddings")
+      v = w.map(x => (x * 1000) / m) // truncating division, both engines
+    }
+    // Rayleigh pair for the dominant eigenvalue: num = vᵀGv, den = vᵀv
+    val num = (0 until dims).map(k =>
+      v(k) * (0 until dims).map(j => g(k)(j) * v(j)).sum).sum
+    val den = (0 until dims).map(k => v(k) * v(k)).sum
+    v.zipWithIndex.map { case (c, k) =>
+      (k, c.toLong, num.toString, den.toLong) }.toSeq
+      .toDF("dim", "component_q", "rayleigh_num", "rayleigh_den")
+      .select(col("dim").cast("int").as("dim"), col("component_q"),
+        col("rayleigh_num").cast("decimal(38,0)").as("rayleigh_num"),
+        col("rayleigh_den"))
+      .orderBy(col("dim"))
+  }
+
+  /** text_zipf_profile: the corpus token-frequency curve sampled at
+    * power-of-2 ranks (1, 2, 4, …, 512) plus the distinct-vocabulary
+    * and total-token counts — the Zipf diagnostic every corpus report
+    * carries, in PURE INTEGERS (a fitted log-log slope would hash on
+    * transcendental libm bits that no cross-engine contract can pin;
+    * the rank-doubling profile carries the same curvature information
+    * exactly). Tie rule (freq desc, token asc) is total, so the rank
+    * sample is deterministic on any engine.
+    *
+    * Scale shape: token counts map-side combine to |vocab| rows; the
+    * top-512 is a TakeOrdered (per-partition top-k + driver merge,
+    * never a global sort); the rank window then runs on the 512-row
+    * frame. The vocab/total counts ride the same scan via a second
+    * bounded aggregate. */
+  def zipfProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    counts.persist()
+    try {
+      val totals = counts.agg(count(lit(1)).as("n_vocab"),
+        sum(col("freq")).as("n_tokens"))
+      val top = counts.orderBy(col("freq").desc, col("token")).limit(512)
+      val w = Window.orderBy(col("freq").desc, col("token"))
+      val ranks = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256, 512).map(lit(_))
+      val profile = top.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank").isin(ranks: _*))
+        .crossJoin(broadcast(totals))
+        .select(col("rank"), col("token"), col("freq"),
+          col("n_vocab"), col("n_tokens"))
+        .orderBy(col("rank"))
+      // the 512-row top frame is collected anyway by the driver gate;
+      // materialize while counts is cached so both aggregates share the
+      // one token scan (the curriculum eager-census lesson)
+      spark.createDataFrame(
+        java.util.Arrays.asList(profile.collect(): _*), profile.schema)
+    } finally { counts.unpersist(blocking = false); () }
+  }
+
   /** text_term_lift: document-level term co-occurrence lift over the
     * df-top vocabulary — the association signal behind topic clustering
     * and template detection (two terms whose joint document frequency
@@ -1991,6 +2093,8 @@ object Pipeline {
     "pipeline_mixture" -> pipelineMixture,
     "pipeline_curriculum" -> pipelineCurriculum,
     "emb_dim_stats" -> embDimStats,
+    "emb_pca_power" -> ((sp: org.apache.spark.sql.SparkSession, d: String) => embPcaPower(sp, d)),
+    "text_zipf_profile" -> zipfProfile,
     "text_term_lift" -> termLift,
     "text_bpe_merges" -> bpeMergesQuery,
     "dedup_cross_source" -> dedupCrossSource,
@@ -2478,6 +2582,59 @@ object Pipeline {
         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
         |  FROM embeddings)
         |GROUP BY dim ORDER BY dim""".stripMargin,
+    "emb_pca_power" ->
+      """WITH comp AS MATERIALIZED (
+        |  SELECT rid, generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qi
+        |  FROM (SELECT embedding, row_number() OVER () AS rid FROM embeddings)
+        |), gram AS MATERIALIZED (
+        |  SELECT a.i AS i, a.qi AS qi, b.i AS j, b.qi AS qj FROM comp a JOIN comp b USING (rid)
+        |), g AS MATERIALIZED (
+        |  SELECT i, j, SUM(CAST(qi * qj AS HUGEINT)) AS c FROM gram GROUP BY 1, 2
+        |), v0 AS MATERIALIZED (
+        |  SELECT DISTINCT i, CAST(1000 AS HUGEINT) AS val FROM g
+        |), w1 AS MATERIALIZED (
+        |  SELECT g.i AS i, SUM(g.c * v.val) AS wv FROM g JOIN v0 v ON g.j = v.i GROUP BY 1
+        |), v1 AS MATERIALIZED (
+        |  SELECT i, (wv * 1000) // (SELECT MAX(ABS(wv)) FROM w1) AS val FROM w1
+        |), w2 AS MATERIALIZED (
+        |  SELECT g.i AS i, SUM(g.c * v.val) AS wv FROM g JOIN v1 v ON g.j = v.i GROUP BY 1
+        |), v2 AS MATERIALIZED (
+        |  SELECT i, (wv * 1000) // (SELECT MAX(ABS(wv)) FROM w2) AS val FROM w2
+        |), w3 AS MATERIALIZED (
+        |  SELECT g.i AS i, SUM(g.c * v.val) AS wv FROM g JOIN v2 v ON g.j = v.i GROUP BY 1
+        |), v3 AS MATERIALIZED (
+        |  SELECT i, (wv * 1000) // (SELECT MAX(ABS(wv)) FROM w3) AS val FROM w3
+        |), w4 AS MATERIALIZED (
+        |  SELECT g.i AS i, SUM(g.c * v.val) AS wv FROM g JOIN v3 v ON g.j = v.i GROUP BY 1
+        |), v4 AS MATERIALIZED (
+        |  SELECT i, (wv * 1000) // (SELECT MAX(ABS(wv)) FROM w4) AS val FROM w4
+        |), w5 AS MATERIALIZED (
+        |  SELECT g.i AS i, SUM(g.c * v.val) AS wv FROM g JOIN v4 v ON g.j = v.i GROUP BY 1
+        |), ray AS MATERIALIZED (
+        |  SELECT (SELECT SUM(w5.wv * v4.val) FROM w5 JOIN v4 ON w5.i = v4.i) AS num,
+        |         (SELECT SUM(val * val) FROM v4) AS den
+        |)
+        |SELECT CAST(v4.i AS INT) AS dim, CAST(v4.val AS BIGINT) AS component_q,
+        |  CAST(ray.num AS DECIMAL(38,0)) AS rayleigh_num,
+        |  CAST(ray.den AS BIGINT) AS rayleigh_den
+        |FROM v4, ray ORDER BY dim""".stripMargin,
+    "text_zipf_profile" ->
+      """WITH counts AS MATERIALIZED (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+        |                ELSE string_split_regex(trim(text), '\s+') END) AS token
+        |    FROM documents) GROUP BY 1
+        |), tot AS MATERIALIZED (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+        |         CAST(sum(freq) AS BIGINT) AS n_tokens FROM counts
+        |), ranked AS (
+        |  SELECT token, freq,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS rank
+        |  FROM counts)
+        |SELECT rank, token, freq, n_vocab, n_tokens FROM ranked, tot
+        |WHERE rank IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+        |ORDER BY rank""".stripMargin,
     "text_term_lift" ->
       """WITH pres AS (
         |  SELECT DISTINCT doc_id, token FROM (

@@ -33,9 +33,10 @@ object SlidingAgg {
     * batch operator's DECIMAL(18,2) sum in integer form). */
   case class SlideEvent(key: String, eventId: Long, tsUs: Long, cents: Long)
   case class SlideAgg(key: String, eventId: Long, n: Long, sumCents: Long)
-  private case class BufEntry(tsUs: Long, cents: Long)
+  private case class BufEntry(tsUs: Long, cents: Long, eventId: Long)
 
-  private class SlidingProcessor(spanUs: Long, ttl: TTLConfig)
+  private class SlidingProcessor(spanUs: Long, ttl: TTLConfig,
+      acceptEqualTs: Boolean)
       extends StatefulProcessor[String, SlideEvent, SlideAgg] {
     @transient private var buf: ListState[BufEntry] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -59,13 +60,26 @@ object SlidingAgg {
       // in-order feed contract: every stored entry's ts < the incoming
       // batch's min ts, or emission silently diverges from the batch
       // RANGE-frame answer — fail fast on violation instead (ADVICE r11).
-      // STRICT >: an incoming ts EQUAL to the stored max is always a
+      // STRICT > by default: an incoming ts EQUAL to the stored max is a
       // cross-batch peer split (the stored peers at that ts were already
       // emitted without seeing the newcomer), exactly the divergence the
-      // guard exists to catch (ADVICE r12)
-      require(window.isEmpty || batch.isEmpty || batch(0).tsUs > window.last.tsUs,
+      // guard exists to catch (ADVICE r12). With `acceptEqualTs` the
+      // split is ACCEPTED instead (VERDICT r13 #9, for feeds that
+      // legitimately chunk inside a peer group): the stored peers at the
+      // boundary ts RE-EMIT with the recomputed aggregate, so a
+      // last-write-wins consumer keyed on (key, eventId) converges to
+      // the exact batch RANGE-frame answer.
+      require(window.isEmpty || batch.isEmpty ||
+        (if (acceptEqualTs) batch(0).tsUs >= window.last.tsUs
+         else batch(0).tsUs > window.last.tsUs),
         s"out-of-order micro-batch for key $key: incoming min ts ${batch(0).tsUs} " +
           s"<= stored max ts ${window.last.tsUs} (equal ts across batches splits a peer group)")
+      val reEmit: Seq[Long] =
+        if (acceptEqualTs && window.nonEmpty && batch.nonEmpty &&
+            batch(0).tsUs == window.last.tsUs)
+          window.filter(_.tsUs == batch(0).tsUs).map(_.eventId).toSeq
+        else Seq.empty
+      var first = true
       var i = 0
       while (i < batch.length) {
         // peer group: every event sharing this ts enters the window FIRST
@@ -73,13 +87,16 @@ object SlidingAgg {
         val t = batch(i).tsUs
         var j = i
         while (j < batch.length && batch(j).tsUs == t) {
-          window.append(BufEntry(t, batch(j).cents))
+          window.append(BufEntry(t, batch(j).cents, batch(j).eventId))
           j += 1
         }
         while (window.nonEmpty && window.head.tsUs <= t - spanUs)
           window.removeHead()
         val n = window.length.toLong
         val s = window.foldLeft(0L)(_ + _.cents)
+        // corrected rows for the previously-emitted boundary peers: they
+        // now see the newcomers, so their (n, sum) is this group's
+        if (first) { reEmit.foreach(eid => out += SlideAgg(key, eid, n, s)); first = false }
         while (i < j) { out += SlideAgg(key, batch(i).eventId, n, s); i += 1 }
       }
       buf.clear()
@@ -92,10 +109,12 @@ object SlidingAgg {
     * Works on a stream (buffer state crosses micro-batches) and, via the
     * same call, on a batch Dataset. */
   def rolling(events: Dataset[SlideEvent], spanUs: Long,
-      ttl: TTLConfig = TTLConfig.NONE): Dataset[SlideAgg] = {
+      ttl: TTLConfig = TTLConfig.NONE,
+      acceptEqualTs: Boolean = false): Dataset[SlideAgg] = {
     val spark: SparkSession = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_.key).transformWithState(new SlidingProcessor(spanUs, ttl),
+    events.groupByKey(_.key).transformWithState(
+      new SlidingProcessor(spanUs, ttl, acceptEqualTs),
       StateTtl.timeMode(ttl), OutputMode.Append())
   }
 }

@@ -77,6 +77,51 @@ class SlidingAggStreamSpec extends SparkTestBase {
     }
   }
 
+  test("acceptEqualTs: a peer group split across batches re-emits and converges to the batch frame (VERDICT r13 #9)") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val hourUs = 3600L * 1000000L
+    val t0 = 10L * 1000000L
+    val input = MemoryStream[SlidingAgg.SlideEvent]
+    val q = SlidingAgg.rolling(input.toDS(), hourUs, acceptEqualTs = true)
+      .writeStream.format("memory").queryName("sliding_agg_eqts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two peers at t0 (emitted as a group of 2)
+      input.addData(Seq(SlidingAgg.SlideEvent("k", 1L, t0, 100L),
+        SlidingAgg.SlideEvent("k", 2L, t0, 200L)))
+      q.processAllAvailable()
+      // batch 2 SPLITS the peer group: a third event at the same t0 —
+      // the default strict guard would fail fast; under acceptEqualTs
+      // the stored peers re-emit with the recomputed aggregate
+      input.addData(Seq(SlidingAgg.SlideEvent("k", 3L, t0, 400L),
+        SlidingAgg.SlideEvent("k", 4L, t0 + 1000L, 1000L)))
+      q.processAllAvailable()
+      val rows = spark.table("sliding_agg_eqts").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      // events 1 and 2 emit TWICE (initial + corrected); last-write-wins
+      // per eventId equals the batch RANGE frame over the full feed
+      assert(rows.count(_._1 == 1L) === 2)
+      assert(rows.count(_._1 == 2L) === 2)
+      val lastById = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (id, rs) => id -> rs.maxBy(_._2)._1 }
+      assert(lastById(1L) === ((1L, 3L, 700L)), s"corrected peer row: $lastById")
+      assert(lastById(2L) === ((2L, 3L, 700L)))
+      assert(lastById(3L) === ((3L, 3L, 700L)))
+      assert(lastById(4L) === ((4L, 4L, 1700L)))
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS sliding_agg_eqts")
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("an out-of-order micro-batch fails fast instead of corrupting sums") {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = spark.conf.getOption(providerKey)
