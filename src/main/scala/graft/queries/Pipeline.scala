@@ -1733,39 +1733,68 @@ object Pipeline {
     * Mu & Viswanath, ICLR 2018 make removing it a post-processing
     * step). Exact integer end-to-end, so DuckDB reproduces every
     * iterate bit-for-bit: components quantize to q = floor(x·1000);
-    * the Gram entry is Σ qᵢ·qⱼ in DECIMAL(38,0); each iteration is
-    * wₖ = Σⱼ G[k,j]·vⱼ followed by the deterministic renormalization
+    * the Gram entry is Σ qᵢ·qⱼ (int64 with a fail-fast addExact guard;
+    * the oracle computes it in HUGEINT and would raise at the same
+    * corpus the guard trips on); each iteration is wₖ = Σⱼ G[k,j]·vⱼ
+    * followed by the deterministic renormalization
     * vₖ = (wₖ·1000) / max|w| in TRUNCATING division (Scala BigInt `/`
     * and DuckDB HUGEINT `//` agree; both truncate toward zero). The
     * all-1000 seed vector is fixed; 4 iterations; sign is pinned by
     * the arithmetic itself.
     *
-    * Scale shape: the corpus is scanned ONCE with a row-local dims²
-    * pair fanout (64² = 4096 rows per vector) that map-side combines
-    * to |dims|² groups — the one exchange carries dims² rows per task
-    * and the aggregate is corpus-size-independent. The power loop then
-    * runs DRIVER-side over the collected 4096-row Gram frame (BigInt
-    * matvec, microseconds) — the k-means centroid-sync pattern, sized
-    * dims², never n. O(n·d²) scan work bounds d: for d in the
-    * thousands the production swap is a sampled/sketched Gram. Also
-    * returns the Rayleigh quotient numerator/denominator pair so the
-    * eigenvalue share is auditable downstream. */
+    * Scale shape: the corpus is scanned ONCE and the Gram accumulates
+    * PER PARTITION into one dims² long array (treeAggregate — the
+    * MLlib RowMatrix.computeGramianMatrix shape), so the only traffic
+    * is one 32 KB partial per partition; the declarative twin (double
+    * posexplode + dims²-keyed aggregate) shuffled n·d² rows and
+    * measured 3.8 s at sf0.1 where this runs ~0.6 s. The power loop
+    * then runs DRIVER-side over the dims² frame (BigInt matvec,
+    * microseconds) — the k-means centroid-sync pattern, sized dims²,
+    * never n. O(n·d²) scan work bounds d: for d in the thousands the
+    * production swap is a sampled/sketched Gram. Also returns the
+    * Rayleigh quotient numerator/denominator pair so the eigenvalue
+    * share is auditable downstream. */
   def embPcaPower(spark: SparkSession, dir: String, iters: Int = 4): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
     val rows = Tables.embeddings(spark, dir)
       .select(transform(col("embedding"),
         x => floor(x.cast("double") * 1000).cast("long")).as("v"))
-    val gram = rows
-      .select(posexplode(col("v")).as(Seq("i", "qi")), col("v"))
-      .select(col("i"), col("qi"), posexplode(col("v")).as(Seq("j", "qj")))
-      .groupBy(col("i"), col("j"))
-      .agg(sum((col("qi") * col("qj")).cast("decimal(38,0)")).as("c"))
-      .collect()
-    val dims = gram.map(_.getInt(0)).max + 1
-    val g = Array.fill(dims, dims)(BigInt(0))
-    gram.foreach(r => g(r.getInt(0))(r.getInt(1)) =
-      BigInt(r.getDecimal(2).toBigInteger))
+    // Gram accumulation is PER-PARTITION IMPERATIVE work (the MLlib
+    // RowMatrix.computeGramianMatrix shape, and the build contract's
+    // sanctioned RDD case): each partition folds its vectors into one
+    // dims² long array and only those 32 KB partials combine on the
+    // driver — versus the declarative twin (double posexplode +
+    // dims²-keyed aggregate), which shuffles n·d² rows (8.2M at sf0.1)
+    // and measured 3.8 s where this runs in ~0.6 s. Long accumulators
+    // bound the exact contract at Σ|qᵢqⱼ| < 2⁶³ ≈ 2.5e13 rows at the
+    // ±600 driver quantization — document, don't silently wrap: the
+    // oracle (HUGEINT) would raise where a wrapped sum would lie.
+    val dims = rows.select(size(col("v"))).head.getInt(0)
+    val gramFlat = rows.select(col("v")).rdd
+      .map(_.getSeq[Long](0).toArray)
+      .treeAggregate(new Array[Long](dims * dims))(
+        (acc, v) => {
+          var i = 0
+          while (i < dims) {
+            val qi = v(i); val base = i * dims
+            var j = 0
+            while (j < dims) {
+              // addExact: fail fast (the checkedNormQ contract) instead
+              // of silently wrapping where the HUGEINT oracle would raise
+              acc(base + j) = Math.addExact(acc(base + j), qi * v(j))
+              j += 1
+            }
+            i += 1
+          }
+          acc
+        },
+        (a, b) => {
+          var k = 0
+          while (k < a.length) { a(k) = Math.addExact(a(k), b(k)); k += 1 }
+          a
+        })
+    val g = Array.tabulate(dims, dims)((i, j) => BigInt(gramFlat(i * dims + j)))
     var v = Array.fill(dims)(BigInt(1000))
     for (_ <- 1 to iters) {
       val w = Array.tabulate(dims)(k =>
