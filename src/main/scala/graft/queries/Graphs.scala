@@ -87,11 +87,81 @@ object Graphs {
     } finally release()
   }
 
+  /** graph_triangles: per-node triangle counts over the co-supply
+    * graph — suppliers are adjacent when they supply a common
+    * low-quantity part (the unipartite projection of the [[graph]]
+    * relation; the bipartite graph itself is triangle-free by
+    * construction). Triangle participation is the local clustering
+    * signal community detection and fraud scoring start from.
+    *
+    * Scale shape: the standard DEGREE ORIENTATION bound — every edge
+    * orients from its lexicographically-smaller (degree, id) endpoint,
+    * so each triangle is enumerated exactly once from its
+    * lowest-degree corner and wedge work is Σ out-deg² = O(m^{3/2})
+    * instead of the naive Σ deg² that a hub node explodes (the oracle
+    * runs the orientation-free a<b<c 3-join — orientation must be
+    * invisible to the answer). Degrees broadcast (|suppliers| rows);
+    * the wedge join and the closing semi-join shuffle on edge keys
+    * only. The per-part pair fanout is C(k, 2) over the ≤ handful of
+    * suppliers sharing a part — never all-pairs over suppliers. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") <= 3)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val e = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("u"), col("y.s").as("v"))
+      .distinct()
+    val deg = e.select(col("u").as("n"))
+      .unionByName(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient u—v from the smaller (d, n): carry the head's (d, n) so the
+    // wedge join can order its two spokes without a third lookup
+    val oriented = e
+      .join(broadcast(deg).withColumnRenamed("n", "u").withColumnRenamed("d", "du"), Seq("u"))
+      .join(broadcast(deg).withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), Seq("v"))
+      .select(
+        struct(col("du").as("d"), col("u").as("n")).as("ou"),
+        struct(col("dv").as("d"), col("v").as("n")).as("ov"))
+      .select(
+        when(col("ou") < col("ov"), col("ou.n")).otherwise(col("ov.n")).as("x"),
+        when(col("ou") < col("ov"), col("ov.n")).otherwise(col("ou.n")).as("y"),
+        when(col("ou") < col("ov"), col("ov")).otherwise(col("ou")).as("oy"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.x") === col("e2.x") && col("e1.oy") < col("e2.oy"))
+      .select(col("e1.x").as("a"), col("e1.y").as("b"), col("e2.y").as("c"))
+    val tri = wedges.join(oriented.select(col("x").as("b"), col("y").as("c")),
+      Seq("b", "c"), "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("suppkey"))
+      .groupBy(col("suppkey")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("suppkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_khop" -> kHop,
-    "graph_reach_conv" -> reachConverged)
+    "graph_reach_conv" -> reachConverged,
+    "graph_triangles" -> triangles)
 
   def oracleSql: Map[String, String] = Map(
+    "graph_triangles" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |  FROM lineitem WHERE l_quantity <= 3
+        |), e AS (
+        |  SELECT DISTINCT a.s AS u, b.s AS v
+        |  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        |), tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |), nodes AS (
+        |  SELECT a AS suppkey FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri
+        |)
+        |SELECT suppkey, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM nodes GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_khop" ->
       """WITH RECURSIVE base AS (
         |  SELECT 'p' || l_partkey AS a, 's' || l_suppkey AS b

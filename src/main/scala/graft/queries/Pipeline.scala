@@ -1856,6 +1856,34 @@ object Pipeline {
     } finally { counts.unpersist(blocking = false); () }
   }
 
+  /** text_ngram_novelty: per-document novelty ratio in crawl order —
+    * the fraction of a doc's distinct 4-token windows whose FIRST
+    * corpus occurrence (min doc_id) is this doc. The incremental-value
+    * signal dedup-aware data curation ranks new crawl snapshots by: a
+    * doc full of already-seen windows adds nothing even when no single
+    * document duplicates it (the gap between exact/near dedup and
+    * n-gram-level saturation). novelty_ppm = (n_novel·10⁶) div
+    * n_windows is exact integer arithmetic.
+    *
+    * Scale shape: the dedup_paragraph lesson applied to windows —
+    * first occurrence is a map-side-combinable `min(doc_id)` over the
+    * window hash (a boilerplate window repeated 10⁹ times collapses in
+    * partial agg, never a rank window), joined back on the window key
+    * and rolled up on the uniform doc key. Two keyed exchanges total. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val w = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(Text.shingles(col("text"), 4))).as("w"))
+    val first = w.groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+    w.join(first, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm",
+        expr("(n_novel * 1000000L) div n_windows"))
+      .orderBy(col("doc_id"))
+  }
+
   /** text_term_lift: document-level term co-occurrence lift over the
     * df-top vocabulary — the association signal behind topic clustering
     * and template detection (two terms whose joint document frequency
@@ -2122,6 +2150,7 @@ object Pipeline {
     "pipeline_mixture" -> pipelineMixture,
     "pipeline_curriculum" -> pipelineCurriculum,
     "emb_dim_stats" -> embDimStats,
+    "text_ngram_novelty" -> ngramNovelty,
     "emb_pca_power" -> ((sp: org.apache.spark.sql.SparkSession, d: String) => embPcaPower(sp, d)),
     "text_zipf_profile" -> zipfProfile,
     "text_term_lift" -> termLift,
@@ -2611,6 +2640,27 @@ object Pipeline {
         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
         |  FROM embeddings)
         |GROUP BY dim ORDER BY dim""".stripMargin,
+    "text_ngram_novelty" ->
+      """WITH sh0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         WHEN len(string_split_regex(trim(text), '\s+')) < 4
+        |           THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+        |         ELSE [array_to_string(string_split_regex(trim(text), '\s+')[i:i+3], ' ')
+        |               FOR i IN range(1, len(string_split_regex(trim(text), '\s+')) - 2)]
+        |    END AS shl
+        |  FROM documents
+        |), ds AS (
+        |  SELECT DISTINCT doc_id, unnest(shl) AS w FROM sh0
+        |), fo AS (
+        |  SELECT w, min(doc_id) AS first_doc FROM ds GROUP BY 1
+        |)
+        |SELECT ds.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN fo.first_doc = ds.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN fo.first_doc = ds.doc_id THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS novelty_ppm
+        |FROM ds JOIN fo USING (w) GROUP BY 1 ORDER BY 1""".stripMargin,
     "emb_pca_power" ->
       """WITH comp AS MATERIALIZED (
         |  SELECT rid, generate_subscripts(embedding, 1) - 1 AS i,
