@@ -291,6 +291,22 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("triangle counting: oriented equi-joins only, degree frames broadcast") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct"),
+      s"wedge enumeration must stay equi-keyed:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |suppliers|-row degree frames must broadcast:\n$p")
+  }
+
+  test("ngram novelty: first occurrence is a map-side min over the window key, no rank window") {
+    val p = plan("text_ngram_novelty")
+    assert(!p.contains("Window"),
+      s"first occurrence must not be a rank window (the dedup_paragraph skew class):\n$p")
+    assert(p.contains("partial_min"),
+      s"min(doc_id) must partial-aggregate map-side:\n$p")
+  }
+
   test("semdedup pairs only inside clusters; dominance agg map-side combines") {
     val p = plan("pipeline_semdedup")
     assert(!p.contains("CartesianProduct"),
