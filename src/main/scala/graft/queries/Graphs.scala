@@ -113,6 +113,15 @@ object Graphs {
         col("x.p") === col("y.p") && col("x.s") < col("y.s"))
       .select(col("x.s").as("u"), col("y.s").as("v"))
       .distinct()
+    triangleCounts(e)
+  }
+
+  /** The degree-oriented per-node triangle count over an undirected
+    * edge frame (columns `u` < `v`, distinct) — factored from
+    * [[triangles]] so TrianglesSpec can drive random graphs through the
+    * SAME orientation path the query uses (degree TIES are where a
+    * broken total order double- or zero-counts). */
+  private[graft] def triangleCounts(e: DataFrame): DataFrame = {
     val deg = e.select(col("u").as("n"))
       .unionByName(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))

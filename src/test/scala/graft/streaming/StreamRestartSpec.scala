@@ -169,6 +169,95 @@ class StreamRestartSpec extends SparkTestBase {
     }
   }
 
+  test("sliding-agg twin's window BUFFER (list state) survives a query restart") {
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocks)
+    val base = java.nio.file.Files.createTempDirectory("graft_restart_sa").toString
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"
+    try {
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val hourUs = 3600L * 1000000L
+      val input = MemoryStream[SlidingAgg.SlideEvent]
+      def start() = SlidingAgg.rolling(input.toDS(), hourUs)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+
+      // run 1: two events 30 min apart — both in each other's window
+      val q1 = start()
+      input.addData(Seq(SlidingAgg.SlideEvent("k", 1L, 0L, 100L),
+        SlidingAgg.SlideEvent("k", 2L, hourUs / 2, 200L)))
+      q1.processAllAvailable()
+      q1.stop()
+
+      // run 2 (same checkpoint): an event 50 min after the second — its
+      // trailing hour still contains event 2 but not event 1, which only
+      // a RECOVERED buffer (not a fresh one) can know
+      val q2 = start()
+      input.addData(Seq(
+        SlidingAgg.SlideEvent("k", 3L, hourUs / 2 + 50L * 60L * 1000000L, 400L)))
+      q2.processAllAvailable()
+      q2.stop()
+
+      val rows = spark.read.parquet(out)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows === Set((1L, 1L, 100L), (2L, 2L, 300L), (3L, 2L, 600L)),
+        s"window buffer must recover across the restart: $rows")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      ()
+    }
+  }
+
+  test("cohort twin keeps the ORIGINAL cohort week across a restart") {
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocks)
+    val base = java.nio.file.Files.createTempDirectory("graft_restart_co").toString
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"
+    try {
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val weekUs = CohortStream.WeekUs
+      val input = MemoryStream[CohortStream.CohortEvent]
+      def start() = CohortStream.weekHits(input.toDS())
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+
+      // run 1: user 7 first active in week 2
+      val q1 = start()
+      input.addData(Seq(CohortStream.CohortEvent(7L, 2L * weekUs + 5L)))
+      q1.processAllAvailable()
+      q1.stop()
+
+      // run 2: activity in weeks 2 (already emitted — must not re-emit)
+      // and 5 — the week-5 hit must carry cohort week 2, which only the
+      // recovered state knows (fresh state would call week 5 the cohort)
+      val q2 = start()
+      input.addData(Seq(CohortStream.CohortEvent(7L, 2L * weekUs + 9L),
+        CohortStream.CohortEvent(7L, 5L * weekUs + 1L)))
+      q2.processAllAvailable()
+      q2.stop()
+
+      val rows = spark.read.parquet(out)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows === Set((7L, 2L, 2L), (7L, 2L, 5L)),
+        s"cohort week must survive the restart and week 2 must not double-emit: $rows")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      ()
+    }
+  }
+
   test("near-dup twin's bucket representatives survive a query restart") {
     val prev = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey, rocks)
