@@ -422,6 +422,91 @@ object EventFold {
     typeTransitionsOf(Tables.events(spark, dir))
       .orderBy(col("prev_type"), col("event_type"))
 
+  /** evt_anomaly_mad: robust per-type anomaly screening — median /
+    * median-absolute-deviation outlier counts per event type, the
+    * heavy-tail-immune sibling of [[outliers]]' mean test (one whale
+    * purchase drags a mean past every normal event; the median ignores
+    * it). med and MAD are EXACT quantiles from TWO
+    * [[Relational.quantilesExactOf]] passes (the same rank convention
+    * the oracle mirrors: r = max(1, ceil(n·q/10⁶)), boundary = min
+    * value with cum ≥ r); the outlier test |cents − med| > 3·mad is
+    * exact integer arithmetic.
+    *
+    * Scale shape: every aggregate map-side combines over
+    * (type, cents) / (type, bucket) keys; driver syncs are bounded at
+    * one row per (type, quantile); med/mad join back as broadcast
+    * |types|-row literal frames. The cents frame persists across the
+    * two quantile passes + the final census (the curriculum lesson). */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type").as("grp"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    ev.persist()
+    try {
+      val med = Relational.quantilesExactOf(spark, ev, Seq(500000L))
+        .select(col("grp"), col("q_cents")).as[(String, Long)].collect()
+      val medDf = med.toSeq.toDF("grp", "med")
+      val dev = ev.join(broadcast(medDf), Seq("grp"))
+        .select(col("grp"), abs(col("cents") - col("med")).as("cents"))
+      val mad = Relational.quantilesExactOf(spark, dev, Seq(500000L))
+        .select(col("grp"), col("q_cents")).as[(String, Long)].collect()
+      val madDf = mad.toSeq.toDF("grp", "mad")
+      val census = ev.join(broadcast(medDf), Seq("grp"))
+        .join(broadcast(madDf), Seq("grp"))
+        .groupBy(col("grp").as("event_type"), col("med").as("med_cents"),
+          col("mad").as("mad_cents"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(abs(col("cents") - col("med")) > col("mad") * 3, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select(col("event_type"), col("n_events"), col("med_cents"),
+          col("mad_cents"), col("n_outliers"))
+        .orderBy(col("event_type"))
+      // eager while the cents frame is cached (the curriculum lesson);
+      // |types| rows
+      spark.createDataFrame(
+        java.util.Arrays.asList(census.collect(): _*), census.schema)
+    } finally { ev.unpersist(blocking = false); () }
+  }
+
+  /** evt_attribution: last-touch conversion attribution — every
+    * `purchase` credits the user's most recent PRECEDING `click`/`view`
+    * within a 7-day lookback ("none" when the purchase is cold), rolled
+    * up per touch type with the conversion count and exact value sum.
+    * The marketing-attribution primitive every event warehouse serves,
+    * and the one window shape not yet in the suite: `last(..., ignore
+    * nulls)` over an UNBOUNDED-PRECEDING-to-−1 row frame.
+    *
+    * Scale shape: ONE keyed window on the uniform user key (running
+    * last-touch carry, no self-join against the touch stream — the
+    * join formulation would shuffle touches × conversions); the rollup
+    * is ≤ 3 rows. Value sums ride the DECIMAL(18,2)-cents exact-integer
+    * convention. Ordering (ts_us, event_id) is total per user, so the
+    * carried touch is deterministic on any engine. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val lookbackUs = 7L * 86400L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("dv"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("touch",
+        last(when(col("event_type").isin("click", "view"),
+          struct(col("ts_us").as("t"), col("event_type").as("ty"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("touch_type",
+        when(col("touch").isNotNull &&
+          col("ts_us") - col("touch.t") <= lookbackUs, col("touch.ty"))
+          .otherwise(lit("none")))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("dv")).cast("double").as("sum_value"))
+      .orderBy(col("touch_type"))
+  }
+
   /** Core over any `(event_id, user_id, event_type)` frame — split out
     * so the bigram rules (per-user streams don't bleed into each other;
     * each user's first event starts no transition) are property-testable
@@ -528,9 +613,65 @@ object EventFold {
     "evt_json_extract" -> jsonExtract,
     "evt_rate_limit" -> rateLimit,
     "evt_funnel" -> funnel,
-    "evt_type_markov" -> typeTransitions)
+    "evt_type_markov" -> typeTransitions,
+    "evt_attribution" -> attribution,
+    "evt_anomaly_mad" -> anomalyMad)
 
   val oracleSql: Map[String, String] = Map(
+    "evt_anomaly_mad" ->
+      """WITH base AS (
+        |  SELECT event_type AS grp,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |), mc AS (
+        |  SELECT grp, cents, count(*) AS c FROM base GROUP BY 1, 2
+        |), mr AS (
+        |  SELECT grp, cents, c,
+        |    sum(c) OVER (PARTITION BY grp) AS n,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY cents) AS cum
+        |  FROM mc
+        |), med AS (
+        |  SELECT grp, min(cents) AS med FROM mr
+        |  WHERE cum >= greatest(1, (n * 500000 + 999999) // 1000000)
+        |  GROUP BY 1
+        |), dev AS (
+        |  SELECT b.grp, abs(b.cents - m.med) AS cents
+        |  FROM base b JOIN med m USING (grp)
+        |), dc AS (
+        |  SELECT grp, cents, count(*) AS c FROM dev GROUP BY 1, 2
+        |), dr AS (
+        |  SELECT grp, cents, c,
+        |    sum(c) OVER (PARTITION BY grp) AS n,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY cents) AS cum
+        |  FROM dc
+        |), mad AS (
+        |  SELECT grp, min(cents) AS mad FROM dr
+        |  WHERE cum >= greatest(1, (n * 500000 + 999999) // 1000000)
+        |  GROUP BY 1
+        |)
+        |SELECT b.grp AS event_type,
+        |  count(*) AS n_events, m.med AS med_cents, d.mad AS mad_cents,
+        |  CAST(sum(CASE WHEN abs(b.cents - m.med) > 3 * d.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM base b JOIN med m USING (grp) JOIN mad d USING (grp)
+        |GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin,
+    "evt_attribution" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS dv
+        |  FROM events
+        |), t AS (
+        |  SELECT *, last_value(CASE WHEN event_type IN ('click', 'view')
+        |      THEN struct_pack(t := ts_us, ty := event_type) END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM base
+        |)
+        |SELECT CASE WHEN touch IS NOT NULL AND ts_us - touch.t <= 604800000000
+        |         THEN touch.ty ELSE 'none' END AS touch_type,
+        |  count(*) AS n_conversions,
+        |  CAST(sum(dv) AS DOUBLE) AS sum_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_outliers" ->
       """WITH c AS (
         |  SELECT user_id,
