@@ -291,6 +291,19 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("attribution: one keyed window carry, never a touches-by-conversions self-join") {
+    val p = plan("evt_attribution")
+    // the join formulation would re-shuffle touches against conversions;
+    // the carry is a single user-keyed window over the one event scan
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") || l.contains("Scan parquet"))
+    assert(scans <= 1, s"attribution must scan events exactly once, got $scans:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"expected the running last-touch window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no self-join on the event stream:\n$p")
+  }
+
   test("triangle counting: oriented equi-joins only, degree frames broadcast") {
     val p = plan("graph_triangles")
     assert(!p.contains("CartesianProduct"),
