@@ -25,6 +25,21 @@ def norm_df(df: pd.DataFrame) -> pd.DataFrame:
                               type(v).__name__ == 'ndarray' else v)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
+def col_kind(s: pd.Series) -> str:
+    """Classify a column the way the driver's canonical-string hash sees it.
+    DECIMAL round-trips differently per engine (DuckDB hands pandas float64,
+    Spark parquet hands object(Decimal)) — surface that as a kind mismatch
+    instead of letting a float-tolerant value compare mask it (r14's
+    emb_pca_power escape)."""
+    if s.dtype == object:
+        nn = s.dropna()
+        if len(nn) and type(nn.iloc[0]).__name__ == 'Decimal':
+            return 'decimal'
+        return 'o'
+    if s.dtype.kind in ('i', 'u'):
+        return 'i'
+    return s.dtype.kind
+
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame):
     a, b = norm_df(spark_df), norm_df(oracle_df)
     if list(a.columns) != list(b.columns):
@@ -33,6 +48,11 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame):
         return f"ROWS mismatch: spark={len(a)} oracle={len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
+        ka, kb = col_kind(av), col_kind(bv)
+        if ka != kb and not (len(a) == 0):
+            return (f"DTYPE mismatch col={c}: spark kind={ka} oracle kind={kb} "
+                    f"— the driver's canonical-string hash rejects this even "
+                    f"when float-tolerant values agree; align output types")
         try:
             if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
                 ok = ((av.isna() & bv.isna()) | (av == bv)).all()

@@ -1770,11 +1770,18 @@ object Pipeline {
     // bound the exact contract at Σ|qᵢqⱼ| < 2⁶³ ≈ 2.5e13 rows at the
     // ±600 driver quantization — document, don't silently wrap: the
     // oracle (HUGEINT) would raise where a wrapped sum would lie.
-    val dims = rows.select(size(col("v"))).head.getInt(0)
+    val dimRows = rows.select(size(col("v"))).limit(1).collect()
+    require(dimRows.nonEmpty, "emb_pca_power: empty embeddings table")
+    val dims = dimRows(0).getInt(0)
     val gramFlat = rows.select(col("v")).rdd
       .map(_.getSeq[Long](0).toArray)
       .treeAggregate(new Array[Long](dims * dims))(
         (acc, v) => {
+          // uniform-dims guard: a ragged vector would otherwise surface as
+          // an ArrayIndexOutOfBounds deep in the fold (sibling kernels
+          // compare over the common prefix; the Gram contract cannot)
+          require(v.length == dims,
+            s"emb_pca_power: ragged embedding — expected $dims dims, got ${v.length}")
           var i = 0
           while (i < dims) {
             val qi = v(i); val base = i * dims
@@ -1807,12 +1814,19 @@ object Pipeline {
     val num = (0 until dims).map(k =>
       v(k) * (0 until dims).map(j => g(k)(j) * v(j)).sum).sum
     val den = (0 until dims).map(k => v(k) * v(k)).sum
+    // BIGINT output on both sides: the suite's hash canonicalizes int64
+    // exactly, while a DECIMAL(38,0) column round-trips through DuckDB's
+    // comparison layer as float64 and hash-mismatches (r14's only fail).
+    // num ≈ λ·den with den ≤ dims·10⁶ and λ ≤ trace(G) — orders of
+    // magnitude inside int64 at any tested SF; fail fast if a future
+    // corpus pushes the exact value out of range rather than truncate.
+    require(num.isValidLong,
+      s"emb_pca_power: rayleigh_num $num exceeds int64 — widen the contract")
     v.zipWithIndex.map { case (c, k) =>
-      (k, c.toLong, num.toString, den.toLong) }.toSeq
+      (k, c.toLong, num.toLong, den.toLong) }.toSeq
       .toDF("dim", "component_q", "rayleigh_num", "rayleigh_den")
       .select(col("dim").cast("int").as("dim"), col("component_q"),
-        col("rayleigh_num").cast("decimal(38,0)").as("rayleigh_num"),
-        col("rayleigh_den"))
+        col("rayleigh_num"), col("rayleigh_den"))
       .orderBy(col("dim"))
   }
 
@@ -2695,7 +2709,7 @@ object Pipeline {
         |         (SELECT SUM(val * val) FROM v4) AS den
         |)
         |SELECT CAST(v4.i AS INT) AS dim, CAST(v4.val AS BIGINT) AS component_q,
-        |  CAST(ray.num AS DECIMAL(38,0)) AS rayleigh_num,
+        |  CAST(ray.num AS BIGINT) AS rayleigh_num,
         |  CAST(ray.den AS BIGINT) AS rayleigh_den
         |FROM v4, ray ORDER BY dim""".stripMargin,
     "text_zipf_profile" ->
