@@ -151,26 +151,16 @@ object Dedup {
     * string-array UDF pays ~300 UTF8String→String materializations per
     * pair at its boundary, which costs the same again. Hashing each
     * shingle ONCE per document inside codegen and merge-walking primitive
-    * longs does neither. The parameter type must be `Array[Long]`, NOT
-    * `Seq[Long]`: the Seq deserializer goes through a boxing converter
-    * per element (~30 µs/pair, measured 22 s → 2.8 s for the whole query
-    * when switched), while Array[Long] is one primitive copy. */
-  def jaccardSorted(a: Column, b: Column): Column = jaccardSortedFn(a, b)
-
-  private val jaccardSortedFn = udf { (a: Array[Long], b: Array[Long]) =>
-    var i = 0
-    var j = 0
-    var common = 0
-    while (i < a.length && j < b.length) {
-      val x = a(i)
-      val y = b(j)
-      if (x == y) { common += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
-    }
-    val union = a.length + b.length - common
-    if (union == 0) 0.0 else common.toDouble / union
-  }
+    * longs does neither.
+    *
+    * r15: the merge walk is now a native codegen Expression
+    * ([[graft.functions.JaccardSortedExpr]]) reading the Tungsten arrays
+    * in place — the previous `Array[Long]` UDF still copied both sides
+    * of every pair out of unsafe memory (two fresh arrays per pair),
+    * which VERDICT r14's per-query GC counters named among the suite's
+    * top allocation payers. Bit-identical (KernelParitySpec). */
+  def jaccardSorted(a: Column, b: Column): Column =
+    graft.functions.JaccardSortedExpr.jaccard(a, b)
 
   /** Estimated Jaccard from two MinHash signatures (fraction of agreeing
     * components). */
@@ -187,31 +177,17 @@ object Dedup {
     * form ran 64 interpreted higher-order `aggregate` lambdas per
     * document (~64 × |shingles| boxed evaluations) — it benched fine only
     * because `count()` pruned the column; any consumer that actually
-    * materializes the sketch paid ~25 s at sf0.1. Output is bit-identical
-    * (same hashes, same vote rule, ties-to-zero). */
+    * materializes the sketch paid ~25 s at sf0.1.
+    *
+    * r15: the vote fold is now a native codegen Expression
+    * ([[graft.functions.SimHashVotesExpr]]) — the UDF it replaces
+    * allocated a fresh hash-array copy AND a fresh `int[64]` vote buffer
+    * per document (VERDICT r14: 13.3 s task-GC on the margin contract);
+    * the Expression reads the hashes in place and reuses one buffer per
+    * operator instance. Output is bit-identical (same hashes, same vote
+    * rule, ties-to-zero; KernelParitySpec). */
   def simhash(shingleArr: Column): Column =
-    simhashVotesFn(transform(shingleArr, s => h(s, 7919)))
-
-  private val simhashVotesFn = udf { (hashes: Array[Long]) =>
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < hashes.length) {
-      val hv = hashes(i)
-      var b = 0
-      while (b < 64) {
-        if (((hv >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    out
-  }
+    graft.functions.SimHashVotesExpr.votes(transform(shingleArr, s => h(s, 7919)))
 
   /** Hamming distance between two 64-bit sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -440,7 +440,14 @@ object EventFold {
   def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
+    // NULL values are excluded BEFORE the quantile passes (ADVICE r14):
+    // a NULL cents row would inflate the rank denominator n, order
+    // differently between Spark's window cum-sum (NULLs first) and the
+    // oracle's ORDER BY (NULLs last), and silently drop in the phase-2
+    // equijoin. The generated data has none today; the contract must not
+    // depend on that. Oracle mirrors with WHERE value IS NOT NULL.
     val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
       .select(col("event_type").as("grp"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
     ev.persist()
@@ -622,7 +629,7 @@ object EventFold {
       """WITH base AS (
         |  SELECT event_type AS grp,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM events
+        |  FROM events WHERE value IS NOT NULL
         |), mc AS (
         |  SELECT grp, cents, count(*) AS c FROM base GROUP BY 1, 2
         |), mr AS (

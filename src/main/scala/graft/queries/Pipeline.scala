@@ -1322,11 +1322,22 @@ object Pipeline {
     * slice. */
   private def keepBase(spark: SparkSession, dir: String,
       withShingles: Boolean = true): DataFrame = {
+    // r15 (VERDICT r14 #2 — pipeline_keep2 alone paid 59 s task-GC): the
+    // persisted base stores NO string arrays. Tokens are hashed once into
+    // a sorted distinct LONG set (the exactShinglePairs treatment — equal
+    // to string-set jaccard whenever xxhash64 is injective on the corpus,
+    // and a collision fails the gate loudly); shingles are hashed and
+    // their two sizes precomputed row-local. The cache shrinks from
+    // ~20-char strings to 8-byte longs per element and every downstream
+    // pair/join kernel touches primitives only.
+    val sh3 = Text.shingles(col("text"), 3)
     val rowLocal = Seq(
       Text.fingerprint(col("text")).as("fp"),
       Text.qualityScore(col("text")).as("quality"),
-      Text.tokens(col("text")).as("toks")) ++
-      (if (withShingles) Seq(Text.shingles(col("text"), 3).as("sh3")) else Nil)
+      Dedup.sortedHashSet(Text.tokens(col("text"))).as("toks_hs")) ++
+      (if (withShingles) Seq(
+        transform(sh3, s => xxhash64(s)).as("sh3_h"),
+        size(sh3).as("n_sh3")) else Nil)
     // repartition first: the row-local kernels are CPU-bound and a small
     // parquet input may arrive as one partition (the dedupSimhash /
     // minhashBuckets pattern — decouple kernel parallelism from layout)
@@ -1335,9 +1346,12 @@ object Pipeline {
       col("doc_id") +: col("lang") +: col("n_chars") +: rowLocal: _*)
   }
 
-  /** [[ngramJaccard]] over the shared base (identical semantics). */
+  /** [[ngramJaccard]] over the shared base (identical semantics: the
+    * string-set jaccard equals the hashed-sorted-set merge walk whenever
+    * xxhash64 is injective on the observed tokens — the
+    * [[Dedup.jaccardSorted]] contract). */
   private def ngramJaccardFrom(base: DataFrame): DataFrame = {
-    val d = base.select(col("doc_id"), col("lang"), col("n_chars"), col("toks").as("sh"))
+    val d = base.select(col("doc_id"), col("lang"), col("n_chars"), col("toks_hs").as("sh"))
     val bk = floor(col("n_chars") / 50)
     val sample = d.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("id_a"), col("lang"), col("n_chars").as("nc_a"),
@@ -1346,7 +1360,7 @@ object Pipeline {
       col("sh").as("sh_b"), bk.as("bucket"))
     sample.join(rest, Seq("lang", "bucket"))
       .filter(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= 50)
-      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", Dedup.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"))
   }
@@ -1369,7 +1383,10 @@ object Pipeline {
   /** [[contaminationNgram]]'s per-doc flag over the shared base (same
     * single-reference join shape — see the r9 note there). */
   private def contaminationFrom(base: DataFrame): DataFrame = {
-    val docSh = base.select(col("doc_id"), explode(col("sh3")).as("s")).distinct()
+    // joins on the 8-byte shingle hash, not the shingle string — same
+    // flags modulo xxhash64 injectivity, and the probe-join shuffle
+    // carries longs instead of ~20-char strings
+    val docSh = base.select(col("doc_id"), explode(col("sh3_h")).as("s")).distinct()
     val probe = docSh.filter(col("doc_id") % 97 === 0).select(col("s")).distinct()
       .withColumn("hit", lit(1))
     val corpus = docSh.filter(col("doc_id") % 97 =!= 0)
@@ -1400,9 +1417,9 @@ object Pipeline {
         .select(col("v").as("doc_id"), col("component").as("cluster_id"))
       val cont = contaminationFrom(base)
       base.select(col("doc_id"), col("quality"),
-          when(size(col("sh3")) > 0,
-            floor((lit(1.0) - size(array_distinct(col("sh3"))).cast("double") /
-              size(col("sh3")).cast("double")) * 10000).cast("long")).as("rep_q"))
+          when(col("n_sh3") > 0,
+            floor((lit(1.0) - size(array_distinct(col("sh3_h"))).cast("double") /
+              col("n_sh3").cast("double")) * 10000).cast("long")).as("rep_q"))
         .join(clusters, Seq("doc_id"))
         .join(cont, Seq("doc_id"), "left")
         .withColumn("reason",
@@ -1437,9 +1454,9 @@ object Pipeline {
         (col("n_email") + col("n_card") + col("n_ip") + col("n_phone")).as("n_pii"))
       val lms = textLmScore(spark, dir).select(col("doc_id"), col("score_ppm"))
       base.select(col("doc_id"), col("quality"),
-          when(size(col("sh3")) > 0,
-            floor((lit(1.0) - size(array_distinct(col("sh3"))).cast("double") /
-              size(col("sh3")).cast("double")) * 10000).cast("long")).as("rep_q"))
+          when(col("n_sh3") > 0,
+            floor((lit(1.0) - size(array_distinct(col("sh3_h"))).cast("double") /
+              col("n_sh3").cast("double")) * 10000).cast("long")).as("rep_q"))
         .join(clusters, Seq("doc_id"))
         .join(cont, Seq("doc_id"), "left")
         .join(pii, Seq("doc_id"))
