@@ -134,6 +134,22 @@ class KmeansSpec extends SparkTestBase {
     assert(round.head().getStruct(0).getLong(0) >= 0L)
   }
 
+  test("the Lloyd assignment scan carries no UDF (VERDICT r14 #3)") {
+    // a real (parquet) scan, as in the seeding plan test — a local
+    // relation would be constant-folded and hide the kernel
+    val tmp = java.nio.file.Files.createTempDirectory("kmeans_assign_plan").toString
+    points.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(tmp)
+    val out = Vectors.kmeansQuantized(spark.read.parquet(tmp),
+      "vec_id", "embedding", k = 3, iters = 2)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("kmeans_assign"),
+      s"assignment must be the codegen'd centroid-block argmin kernel:\n$p")
+    assert(!p.toLowerCase.contains("udf"),
+      s"no interpreted UDF may fence the Lloyd assignment scan:\n$p")
+  }
+
   test("a packed key that would overflow fails fast instead of wrapping (ADVICE r11)") {
     import spark.implicits._
     // the 4 seed centroids sit near zero; the outlier's quantized
