@@ -22,11 +22,13 @@ import org.apache.spark.sql.SparkSession
   *                  operator failed to free (would squeeze later
   *                  queries' execution pool).
   *
-  * A query that lingers blocks past a 2 s non-blocking-unpersist grace
-  * poll is flagged into the bench `errors` map (exit 1) — the runtime
-  * twin of CacheHygieneSpec's per-operator release pins. Deltas are
-  * exact at the window edges: the listener bus is drained
-  * ([[org.apache.spark.GraftListenerBridge]]) before reading.
+  * A query that lingers blocks past the non-blocking-unpersist grace
+  * poll (10 s — ADVICE r14: a loaded host's async block removal can
+  * exceed a tight grace) surfaces as `cached_rdds_after` > 0 in its
+  * metrics and in the headline `cache_leaks` count — a WARNING, never
+  * an exit-1 error; CacheHygieneSpec pins per-operator release
+  * correctness. Deltas are exact at the window edges: the listener bus
+  * is drained ([[org.apache.spark.GraftListenerBridge]]) before reading.
   */
 object BenchMetrics {
 
