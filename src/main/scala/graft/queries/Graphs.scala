@@ -100,7 +100,8 @@ object Graphs {
     * lowest-degree corner and wedge work is Σ out-deg² = O(m^{3/2})
     * instead of the naive Σ deg² that a hub node explodes (the oracle
     * runs the orientation-free a<b<c 3-join — orientation must be
-    * invisible to the answer). Degrees broadcast (|suppliers| rows);
+    * invisible to the answer). Degrees broadcast (|suppliers| rows)
+    * under [[MaxBroadcastDegreeRows]], shuffled equi-join above it;
     * the wedge join and the closing semi-join shuffle on edge keys
     * only. The per-part pair fanout is C(k, 2) over the ≤ handful of
     * suppliers sharing a part — never all-pairs over suppliers. */
@@ -116,20 +117,38 @@ object Graphs {
     triangleCounts(e)
   }
 
+  /** Degree rows a pinned broadcast will accept before the orientation
+    * joins fall back to shuffled equi-joins: ~16 B/row (two longs) ⇒
+    * ≈ 80 MB build side at the cap — comfortably inside executor
+    * memory; a node set past it is a web-scale graph whose degree
+    * attachment should shuffle like any other fact join. */
+  val MaxBroadcastDegreeRows = 5000000L
+
   /** The degree-oriented per-node triangle count over an undirected
     * edge frame (columns `u` < `v`, distinct) — factored from
     * [[triangles]] so TrianglesSpec can drive random graphs through the
     * SAME orientation path the query uses (degree TIES are where a
     * broken total order double- or zero-counts). */
-  private[graft] def triangleCounts(e: DataFrame): DataFrame = {
+  private[graft] def triangleCounts(e: DataFrame,
+      maxBroadcastNodes: Long = MaxBroadcastDegreeRows): DataFrame = {
     val deg = e.select(col("u").as("n"))
       .unionByName(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // Size gate on the degree broadcast (VERDICT r14 #8, the
+    // DecontamStream idiom): correct at |suppliers| but a driver OOM at
+    // a 10⁸-node graph. One bounded probe decides at plan-build time
+    // (limit cap+1 stops the count early); above the cap the two degree
+    // attachments fall back to shuffled equi-joins on the edge endpoints
+    // — the documented scale path. Tests force it with 0 and assert
+    // identical counts.
+    val bcast = deg.select(col("n")).limit(
+      math.min(maxBroadcastNodes, Int.MaxValue - 1L).toInt + 1).count() <= maxBroadcastNodes
+    def sized(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     // orient u—v from the smaller (d, n): carry the head's (d, n) so the
     // wedge join can order its two spokes without a third lookup
     val oriented = e
-      .join(broadcast(deg).withColumnRenamed("n", "u").withColumnRenamed("d", "du"), Seq("u"))
-      .join(broadcast(deg).withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), Seq("v"))
+      .join(sized(deg).withColumnRenamed("n", "u").withColumnRenamed("d", "du"), Seq("u"))
+      .join(sized(deg).withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), Seq("v"))
       .select(
         struct(col("du").as("d"), col("u").as("n")).as("ou"),
         struct(col("dv").as("d"), col("v").as("n")).as("ov"))

@@ -182,9 +182,13 @@ object Relational {
     * machinery never alters the answer.
     */
   def q12BloomSemi(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val hi = Tables.orders(spark, dir)
-      .filter(col("o_totalprice") > 400000.0).select(col("o_orderkey"))
+    // the THIRD bucketedFacts consumer (VERDICT r14 #7): both the
+    // prefiltered fact side and the high-value key side read the shared
+    // bucket-aligned layout, so the exact semi join runs exchange-free
+    // on the key (plan-pinned) — the bloom prefilter and the totalprice
+    // predicate are filters, which preserve the bucket distribution
+    val (li, o) = bucketedFacts(spark, dir)
+    val hi = o.filter(col("o_totalprice") > 400000.0).select(col("o_orderkey"))
     graft.ops.BloomPrune.semiJoin(li, hi, "l_orderkey", "o_orderkey",
         expectedItems = 1L << 20)
       .groupBy(col("l_returnflag"))
@@ -395,8 +399,9 @@ object Relational {
     * bucket reuse across queries, not one dedicated showcase): lineitem
     * and orders hash-bucketed on the join key into the same bucket
     * count, carrying the union of the columns every bucketed consumer
-    * needs (q19's rollup set + q3's o_custkey dimension key + the
-    * return flag). Written ONCE per (session, sf) — the first consumer
+    * needs (q19's rollup set + q3's o_custkey dimension key + q12's
+    * o_totalprice predicate + the return flag). Written ONCE per
+    * (session, sf) — the first consumer
     * pays the bucketing shuffle, every later fact⋈fact query in the
     * session joins exchange-free on the key — and re-created by a fresh
     * session (in-memory catalog), so stale cross-generation data can
@@ -415,7 +420,7 @@ object Relational {
     if (!spark.catalog.tableExists(oT)) {
       graft.sinks.BucketedWrite.writeBucketed(
         Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"),
-          col("o_custkey")),
+          col("o_custkey"), col("o_totalprice")),
         oT, s"$base/o", "o_orderkey", nBuckets = 32, sortCols = Seq("o_orderkey"))
     }
     (spark.table(liT), spark.table(oT))

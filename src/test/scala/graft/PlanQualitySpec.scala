@@ -291,6 +291,32 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q12 reuses the shared bucketed facts: zero join-key exchanges on the semi join") {
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevBcast = spark.conf.get(bcastKey)
+    spark.conf.set(bcastKey, "-1")
+    try {
+      // VERDICT r14 #7: the third bucketedFacts consumer — the bloom
+      // prefilter and the totalprice predicate are filters (bucket
+      // distribution preserved), so the exact semi join must not
+      // re-shuffle either side on the key; the only keyed exchange left
+      // is the returnflag aggregate
+      val p = plan("q12_bloom_semi")
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(o_orderkey"),
+        s"q12's semi join must read the bucketed layout exchange-free:\n$p")
+      assert(p.contains("LeftSemi"), s"expected the exact semi join:\n$p")
+      assert(p.contains("might_contain") || p.contains("bloom"),
+        s"expected the bloom prefilter on the fact side:\n$p")
+    } finally {
+      spark.conf.set(bcastKey, prevBcast)
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      spark.sql(s"DROP TABLE IF EXISTS graft_fact_li_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS graft_fact_o_$tag")
+      ()
+    }
+  }
+
   test("attribution: one keyed window carry, never a touches-by-conversions self-join") {
     val p = plan("evt_attribution")
     // the join formulation would re-shuffle touches against conversions;

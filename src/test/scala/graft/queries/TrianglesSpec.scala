@@ -53,6 +53,20 @@ class TrianglesSpec extends SparkTestBase {
     assert(got === (0L until 8L).map(_ -> 21L).toMap)
   }
 
+  test("above the degree-broadcast gate the shuffled fallback counts identically (VERDICT r14 #8)") {
+    val rnd = new scala.util.Random(23)
+    val edges = (for {
+      a <- 0L until 40L
+      b <- (a + 1) until 40L
+      if rnd.nextInt(10) < 3
+    } yield (a, b)).toSeq
+    // cap 0 forces every degree attachment through the shuffled path
+    val shuffled = Graphs.triangleCounts(edges.toDF("u", "v"), maxBroadcastNodes = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled === naive(edges))
+    assert(shuffled === run(edges))
+  }
+
   test("triangle-free and star graphs count zero") {
     // 6-cycle: no triangles
     val cycle = (0L until 6L).map(i => (math.min(i, (i + 1) % 6), math.max(i, (i + 1) % 6)))
