@@ -192,3 +192,82 @@ object JaccardSortedExpr {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   }
 }
+
+/** |A∩B| of two SORTED ARRAY<BIGINT> hash sets as BIGINT — the same
+  * in-place merge walk as [[JaccardSortedExpr]] returning the raw common
+  * count instead of the ratio, for contracts that need EXACT INTEGER
+  * ratio arithmetic downstream (containment `common·10⁴ div min(|A|,|B|)`
+  * — a double ratio would reintroduce the float-hashing hazard the
+  * integer contracts exist to avoid). Zero allocation per pair. */
+case class CommonCountSortedExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two ARRAY<BIGINT> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "common_count_sorted"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements()
+    val nb = y.numElements()
+    var i = 0
+    var j = 0
+    var common = 0L
+    while (i < na && j < nb) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { common += 1L; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    common
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val common = ctx.freshName("common")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0;
+         |int $j = 0;
+         |long $common = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x == $y) { $common++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; }
+         |  else { $j++; }
+         |}
+         |${ev.value} = $common;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CommonCountSortedExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object CommonCountSortedExpr {
+  def commonCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(CommonCountSortedExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+}

@@ -68,19 +68,27 @@ object Pipeline {
     *     one extra linear pass, not a leak).
     */
   private[graft] def minhashVerified(spark: SparkSession, dir: String,
-      maxBroadcast: Long = MaxBroadcastCandidatePairs): DataFrame =
+      maxBroadcast: Long = MaxBroadcastCandidatePairs): DataFrame = {
+    val sh = Text.shingles(col("text"), 3)
     minhashVerifiedFrom(spark,
       Tables.documents(spark, dir)
-        .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh")),
+        .select(col("doc_id"), Dedup.baseHashes(sh).as("h1"),
+          Dedup.sortedHashSet(sh).as("hs")),
       maxBroadcast)
+  }
 
-  /** [[minhashVerified]] over a caller-supplied `(doc_id, sh)` frame, so
+  /** [[minhashVerified]] over a caller-supplied `(doc_id, h1, hs)` frame
+    * (h1 = per-shingle base hashes, hs = sorted distinct hash set), so
     * [[dedupMinhashRecall]] can feed both of its pipelines from ONE cached
-    * shingle scan (VERDICT r7 #3). [[dedupMinhash]] keeps the fresh-scan
-    * form above. */
+    * shingle scan (VERDICT r7 #3) — and so the cached/verified columns are
+    * all LONGS (r15: the string form cached the corpus's shingle strings
+    * and rebuilt a string hash table per verified pair — the suite's
+    * largest remaining GC payer). Verification jaccard over the hashed
+    * sets equals the string-set jaccard whenever xxhash64 is injective on
+    * the observed shingles (the [[Dedup.jaccardSorted]] contract). */
   private def minhashVerifiedFrom(spark: SparkSession, d: DataFrame,
       maxBroadcast: Long): DataFrame = {
-    val cand = Dedup.candidatesFromBuckets(Dedup.minhashBuckets(d, "doc_id", "sh"))
+    val cand = Dedup.candidatesFromBuckets(Dedup.minhashBucketsFromH1(d, "doc_id", "h1"))
     import spark.implicits._
     val capped: Array[(Long, Long)] = cand
       .limit(math.min(maxBroadcast, Int.MaxValue - 1L).toInt + 1)
@@ -88,23 +96,23 @@ object Pipeline {
     val joined =
       if (capped.length <= maxBroadcast) {
         val local = spark.createDataset(capped.toSeq).toDF("id_a", "id_b")
-        // only docs that appear in a candidate pair need their shingles
+        // only docs that appear in a candidate pair need their hash sets
         // recomputed for verification — push the (driver-known) id set
         // into the scan when it is IN-set sized, so the verify side reads
         // ~candidate docs instead of re-shingling the whole corpus twice
         val ids = capped.iterator.flatMap(t => Iterator(t._1, t._2)).toArray.distinct.toSeq
         val dd = if (ids.size <= 100000) d.filter(col("doc_id").isin(ids: _*)) else d
-        val a = dd.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-        val b = dd.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        val a = dd.select(col("doc_id").as("id_a"), col("hs").as("sh_a"))
+        val b = dd.select(col("doc_id").as("id_b"), col("hs").as("sh_b"))
         broadcast(local).join(a, Seq("id_a")).join(b, Seq("id_b"))
       } else {
-        val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-        val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        val a = d.select(col("doc_id").as("id_a"), col("hs").as("sh_a"))
+        val b = d.select(col("doc_id").as("id_b"), col("hs").as("sh_b"))
         cand.join(a.hint("shuffle_hash"), Seq("id_a"))
           .join(b.hint("shuffle_hash"), Seq("id_b"))
       }
     joined
-      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", Dedup.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"),
         floor(col("jaccard") * 10000).cast("long").as("jaccard_q"))
@@ -184,18 +192,23 @@ object Pipeline {
     // persist → eager compute → release before returning — bounded by
     // construction, it is literally one row) and returned local.
     val par = spark.sparkContext.defaultParallelism
+    // the persisted base holds LONGS only (r15): base hashes for the
+    // signature path + the sorted distinct set for both jaccard sides —
+    // the shingle STRINGS are hashed once in this projection and never
+    // cached or rebuilt
+    val sh0 = Text.shingles(col("text"), 3)
     val base = Tables.documents(spark, dir)
       .repartition(par, col("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        Text.shingles(col("text"), 3).as("sh0"))
-      .withColumn("shs", Dedup.sortedHashSet(col("sh0")))
+        Dedup.baseHashes(sh0).as("h1"), Dedup.sortedHashSet(sh0).as("shs"))
       .persist()
     try {
       val exact = exactShinglePairsFrom(
         base.select(col("doc_id"), col("lang"), col("n_chars"),
           col("shs").as("sh")), 0.5)
       val found = minhashVerifiedFrom(spark,
-        base.select(col("doc_id"), col("sh0").as("sh")), MaxBroadcastCandidatePairs)
+        base.select(col("doc_id"), col("h1"), col("shs").as("hs")),
+        MaxBroadcastCandidatePairs)
         .select(col("id_a"), col("id_b"), lit(1).as("hit"))
       val agg = exact.join(found, Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).cast("long").as("n_true_pairs"),
@@ -289,6 +302,89 @@ object Pipeline {
       .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), floor(col("jaccard") * 10000).cast("long").as("jaccard_q"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** dedup_containment: asymmetric near-SUPERSET detection — pairs where
+    * the smaller document's distinct-token set (≥ 30 tokens) is ≥ 90%
+    * contained in the larger's (`|A∩B|·10⁴ div min(|A|,|B|) ≥ 9000`,
+    * exact integer arithmetic; thresholds are corpus-measured — see the
+    * selectivity note in the body). The duplication mode a symmetric
+    * Jaccard threshold
+    * systematically misses: a paragraph quoted inside a much longer
+    * page has containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, and the
+    * ±50-char length-band blocking of [[ngramJaccard]] would never even
+    * pair them.
+    *
+    * Scale shape — PREFIX FILTERING over an inverted index (the
+    * PPJoin-family candidate bound, the standard way containment joins
+    * survive corpus scale): order every document's distinct tokens by
+    * ascending GLOBAL document frequency (rarest first, ties by token —
+    * a deterministic total order both engines reproduce exactly, unlike
+    * a hash order the oracle cannot see); if A is ≥ 90% contained in B
+    * then among A's first `|A| − ⌈0.9·|A|⌉ + 1` rarest tokens at least
+    * one must hit B (pigeonhole), so candidate pairs = prefix-token
+    * postings ⋈ full-token postings — and because prefixes hold the
+    * RAREST tokens, posting lists are short and the candidate set stays
+    * near-linear where a naive all-pairs-per-language join is quadratic.
+    * Verification is one in-place merge walk per candidate
+    * ([[graft.functions.CommonCountSortedExpr]]) over the xxhash64
+    * sorted sets — counts equal the string-set counts whenever the hash
+    * is injective on the corpus (the [[Dedup.jaccardSorted]] contract). */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val par = spark.sparkContext.defaultParallelism
+    val docs = Tables.documents(spark, dir)
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    // token strings are hashed ONCE here and the whole candidate stage
+    // (df aggregate, window rank, postings joins) runs on 8-byte longs.
+    // The Spark-side prefix order is therefore (df, tokenHash) while the
+    // oracle's is (df, token) — BOTH are valid prefix orders (the
+    // pigeonhole bound holds for ANY prefLen-subset), so the candidate
+    // sets may differ between engines but the verified OUTPUT cannot;
+    // ContainmentSpec pins completeness against the naive all-pairs model
+    val dt0 = docs.select(col("doc_id"), explode(col("toks")).as("tok")).distinct()
+      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+    // global document frequency over the FULL corpus (the rarity order
+    // must not depend on the size floor), then restrict both pair sides
+    // to docs with ≥ 30 distinct tokens: measured at sf0.01, threshold
+    // 0.8 with no floor admits 101,612 pairs (40% of all ordered pairs —
+    // tiny common-token sets are "contained" everywhere and the contract
+    // discriminates nothing), while 0.9 with the ≥ 30 floor admits 496 —
+    // actual boilerplate/quotation structure
+    val dfreq = dt0.groupBy(col("th")).agg(count(lit(1)).as("df"))
+    val sz = dt0.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") >= 30)
+    val dt = dt0.join(sz.select(col("doc_id")), Seq("doc_id"))
+    // rarest-first rank within each doc; prefix length = sz − ⌈0.9·sz⌉ + 1
+    // (⌈0.9·sz⌉ = (9·sz + 9) div 10 — integer on both engines)
+    val pr = dt.join(dfreq, Seq("th"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("th"))))
+    val prefix = pr.join(sz, Seq("doc_id"))
+      .filter(col("rn") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
+      .select(col("doc_id"), col("th"))
+    // candidates: prefix postings ⋈ full postings, ordered (sz, doc_id)
+    // so each unordered pair is generated once with A the smaller side
+    val cand = prefix.select(col("doc_id").as("id_a"), col("th"))
+      .join(dt.select(col("doc_id").as("id_b"), col("th")), Seq("th"))
+      .join(sz.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sz.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .filter(col("sz_a") < col("sz_b") ||
+        (col("sz_a") === col("sz_b") && col("id_a") < col("id_b")))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .distinct()
+    val hs = docs.select(col("doc_id"), Dedup.sortedHashSet(col("toks")).as("hs"))
+    cand
+      .join(hs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(hs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("n_common",
+        graft.functions.CommonCountSortedExpr.commonCount(col("hs_a"), col("hs_b")))
+      .filter(expr("(n_common * 10000) div sz_a") >= 9000)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        expr("(n_common * 10000) div sz_a").as("containment_q"),
+        expr("(n_common * 10000) div (sz_a + sz_b - n_common)").as("jaccard_q"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -2215,6 +2311,7 @@ object Pipeline {
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_margin" -> dedupSimhashMargin,
     "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_containment" -> containment,
     "dedup_editdist" -> editDistance,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
@@ -3238,6 +3335,49 @@ object Pipeline {
          |SELECT id_a, id_b, CAST(floor(jaccard * 10000) AS BIGINT) AS jaccard_q
          |FROM pairs WHERE jaccard >= 0.5""".stripMargin
     },
+    "dedup_containment" ->
+      """WITH dt0 AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN length(trim(text)) = 0 THEN []
+        |           ELSE string_split_regex(trim(text), '\s+') END) AS tok
+        |  FROM documents
+        |), dfreq AS MATERIALIZED (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt0 GROUP BY 1
+        |), sz AS MATERIALIZED (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dt0 GROUP BY 1
+        |  HAVING count(*) >= 30
+        |), dt AS MATERIALIZED (
+        |  SELECT dt0.doc_id, dt0.tok FROM dt0 JOIN sz USING (doc_id)
+        |), pr AS MATERIALIZED (
+        |  SELECT dt.doc_id, dt.tok,
+        |    row_number() OVER (PARTITION BY dt.doc_id
+        |                       ORDER BY dfreq.df, dt.tok) AS rn
+        |  FROM dt JOIN dfreq USING (tok)
+        |), prefix AS MATERIALIZED (
+        |  SELECT pr.doc_id, pr.tok
+        |  FROM pr JOIN sz USING (doc_id)
+        |  WHERE pr.rn <= sz.sz - ((9 * sz.sz + 9) // 10) + 1
+        |), cand AS MATERIALIZED (
+        |  SELECT DISTINCT p.doc_id AS id_a, d.doc_id AS id_b,
+        |    sa.sz AS sz_a, sb.sz AS sz_b
+        |  FROM prefix p JOIN dt d USING (tok)
+        |    JOIN sz sa ON sa.doc_id = p.doc_id
+        |    JOIN sz sb ON sb.doc_id = d.doc_id
+        |  WHERE sa.sz < sb.sz OR (sa.sz = sb.sz AND p.doc_id < d.doc_id)
+        |), sets AS MATERIALIZED (
+        |  SELECT doc_id, list(tok) AS s FROM dt GROUP BY 1
+        |), ver AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS n_common,
+        |    c.sz_a, c.sz_b
+        |  FROM cand c JOIN sets x ON x.doc_id = c.id_a
+        |    JOIN sets y ON y.doc_id = c.id_b
+        |)
+        |SELECT id_a, id_b, n_common,
+        |  CAST((n_common * 10000) // sz_a AS BIGINT) AS containment_q,
+        |  CAST((n_common * 10000) // (sz_a + sz_b - n_common) AS BIGINT) AS jaccard_q
+        |FROM ver WHERE (n_common * 10000) // sz_a >= 9000
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_editdist" ->
       """WITH pk AS (
         |  SELECT doc_id, lang, n_chars,
