@@ -492,10 +492,24 @@ object EventFold {
     * convention. Ordering (ts_us, event_id) is total per user, so the
     * carried touch is deterministic on any engine. */
   def attribution(spark: SparkSession, dir: String): DataFrame = {
-    val lookbackUs = 7L * 86400L * 1000000L
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"),
         col("value").cast("decimal(18,2)").as("dv"))
+    attributionCreditsOf(ev)
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("dv")).cast("double").as("sum_value"))
+      .orderBy(col("touch_type"))
+  }
+
+  /** The per-PURCHASE credit frame under [[attribution]]'s rollup —
+    * factored out so the streaming twin
+    * ([[graft.streaming.AttributionStream]]) can pin parity against the
+    * exact window-carry semantics, per purchase, before the ≤3-row
+    * rollup hides per-row differences. Input needs (user_id, event_id,
+    * ts_us, event_type, dv); output keeps those plus `touch_type`. */
+  private[graft] def attributionCreditsOf(ev: DataFrame): DataFrame = {
+    val lookbackUs = 7L * 86400L * 1000000L
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -508,10 +522,8 @@ object EventFold {
         when(col("touch").isNotNull &&
           col("ts_us") - col("touch.t") <= lookbackUs, col("touch.ty"))
           .otherwise(lit("none")))
-      .groupBy(col("touch_type"))
-      .agg(count(lit(1)).as("n_conversions"),
-        sum(col("dv")).cast("double").as("sum_value"))
-      .orderBy(col("touch_type"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("touch_type"), col("dv"))
   }
 
   /** Core over any `(event_id, user_id, event_type)` frame — split out

@@ -442,6 +442,55 @@ class StreamRestartSpec extends SparkTestBase {
     }
   }
 
+  test("attribution twin credits a post-restart purchase from the recovered touch") {
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocks)
+    val base = java.nio.file.Files.createTempDirectory("graft_restart_attr").toString
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"
+    val day = 86400L * 1000000L
+    try {
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[AttributionStream.TouchEvent]
+      def start() = AttributionStream.credits(input.toDS())
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+
+      // run 1: u1 clicks (no conversion yet); u2 clicks long ago
+      val q1 = start()
+      input.addData(
+        AttributionStream.TouchEvent(1L, 10L, day, "click", 0L),
+        AttributionStream.TouchEvent(2L, 20L, day, "view", 0L))
+      q1.processAllAvailable()
+      q1.stop()
+
+      // run 2 (same checkpoint): u1's purchase 2 days later must credit
+      // the RECOVERED click (fresh state would read "none"); u2's
+      // purchase 9 days later is past the recovered touch's lookback —
+      // "none" only if the recovered timestamp is right
+      val q2 = start()
+      input.addData(
+        AttributionStream.TouchEvent(1L, 11L, 3L * day, "purchase", 700L),
+        AttributionStream.TouchEvent(2L, 21L, 10L * day, "purchase", 900L))
+      q2.processAllAvailable()
+      q2.stop()
+
+      val got = spark.read.parquet(out)
+        .select(col("userId"), col("eventId"), col("touchType"), col("valueCents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(got === Set((1L, 11L, "click", 700L), (2L, 21L, "none", 900L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      ()
+    }
+  }
+
   test("decontam twin resumes doc aggregates and re-broadcasts the static probe after restart") {
     val prev = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey, rocks)
