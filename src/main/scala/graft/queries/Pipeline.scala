@@ -1571,6 +1571,39 @@ object Pipeline {
     } finally { base.unpersist(blocking = false); () }
   }
 
+  /** pipeline_dataset_card: the per-source DATASHEET a training-data
+    * pipeline ships with every corpus snapshot — doc/token/char volume,
+    * language breadth, empty-doc and exact-duplicate counts, and the
+    * mean quality score — composed from the suite's own row-local
+    * kernels (fingerprint, tokenCount, qualityScore) in ONE scan and one
+    * hash aggregate keyed by source. The "datasheets for datasets"
+    * reporting primitive, and the rollup every mixture/curriculum
+    * decision starts from.
+    *
+    * Scale shape: a single scan → map-side-combinable aggregate over
+    * |sources| groups; the two count-distincts (lang, fingerprint) are
+    * the only expand — both keyed by source, no window, no join. Mean
+    * quality rides as Σ floor(q·10⁴) div n (exact integer; per-doc
+    * quantized quality is the hash-matched text_quality contract). */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("text"),
+        Text.fingerprint(col("text")).as("fp"),
+        Text.tokenCount(col("text")).cast("long").as("n_toks"),
+        floor(Text.qualityScore(col("text")) * 10000).cast("long").as("q_q"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        when(length(trim(col("text"))) === 0, 1L).otherwise(0L).as("is_empty"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars_actual")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("is_empty")).as("n_empty"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dup_docs"),
+        expr("sum(q_q) div count(1)").as("mean_quality_q"))
+      .orderBy(col("source"))
+  }
+
   /** dedup_best_rep: representative selection per duplicate cluster — the
     * policy knob on top of [[dedupClusters]]: instead of keeping the min
     * doc id, keep the highest-QUALITY member (ties → smallest id) — the
@@ -2312,6 +2345,7 @@ object Pipeline {
     "dedup_simhash_margin" -> dedupSimhashMargin,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_containment" -> containment,
+    "pipeline_dataset_card" -> datasetCard,
     "dedup_editdist" -> editDistance,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
@@ -3035,6 +3069,30 @@ object Pipeline {
         |  FROM s
         |)
         |SELECT doc_id, token, tf, df, score_q, rank FROM r WHERE rank <= 3""".stripMargin,
+    "pipeline_dataset_card" -> {
+      s"""WITH qual AS (
+         |$qualityOracle
+         |), d AS (
+         |  SELECT doc_id, source, lang,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |    CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE string_split_regex(trim(text), '\\s+') END) AS BIGINT) AS n_toks,
+         |    CAST(length(text) AS BIGINT) AS n_chars_actual,
+         |    CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END AS is_empty
+         |  FROM documents
+         |)
+         |SELECT d.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(d.n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(d.n_chars_actual) AS BIGINT) AS n_chars,
+         |  CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(d.is_empty) AS BIGINT) AS n_empty,
+         |  CAST(count(*) - count(DISTINCT d.fp) AS BIGINT) AS n_exact_dup_docs,
+         |  CAST(CAST(sum(CAST(floor(q.quality * 10000) AS BIGINT)) AS BIGINT)
+         |    // count(*) AS BIGINT) AS mean_quality_q
+         |FROM d JOIN qual q USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "text_quality_buckets" -> {
       s"""WITH qual AS (
          |$qualityOracle

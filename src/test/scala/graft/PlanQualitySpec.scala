@@ -317,6 +317,17 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("containment: inverted-index candidates, never a cartesian or per-language all-pairs") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct"),
+      s"containment must prefix-filter, never cross-join:\n$p")
+    assert(!p.toLowerCase.contains("udf"),
+      s"the merge-walk verification must be the codegen expression:\n$p")
+    // the candidate stage is posting-list equi-joins — every join keyed
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"no unkeyed join anywhere in the candidate or verify stages:\n$p")
+  }
+
   test("attribution: one keyed window carry, never a touches-by-conversions self-join") {
     val p = plan("evt_attribution")
     // the join formulation would re-shuffle touches against conversions;
