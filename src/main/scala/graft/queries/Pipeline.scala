@@ -1191,6 +1191,45 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** emb_pq_codes: PRODUCT QUANTIZATION — the vector-compression
+    * backbone of billion-scale ANN (Jégou et al., PAMI 2011): the
+    * 64-dim embedding splits into 4 sub-vector blocks, each block gets
+    * its own exact-integer k-means codebook (k = 8, 2 Lloyd rounds —
+    * the [[annKmeans]] contract verbatim, per block), and every vector
+    * is encoded as its 4 per-block centroid ids (3 bits each — a 64-dim
+    * float vector compressed to 12 bits + the codebooks) with the exact
+    * quantized reconstruction error Σ block-dist. At 100 TB this is
+    * what makes re-ranking candidate sets memory-resident: scan the
+    * codes, not the vectors.
+    *
+    * Scale shape: 4 independent k-means over 16-dim sub-vectors —
+    * narrow row-local slices, each clustering exactly as scale-safe as
+    * [[annKmeans]] (gate-bounded seeding, codegen'd assignment);
+    * encoding is the same one-scan argmin; the 4 assignment frames join
+    * back on vec_id (co-keyed shuffles). The DuckDB oracle runs the
+    * SAME unrolled seed/assign/update chain four times over sliced
+    * lists, so codes AND the error are bit-exact. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dimRows = emb.select(size(col("embedding"))).limit(1).collect()
+    require(dimRows.nonEmpty, "emb_pq_codes: empty embeddings table")
+    val dims = dimRows(0).getInt(0)
+    val nBlocks = 4
+    require(dims % nBlocks == 0,
+      s"emb_pq_codes: dims $dims not divisible into $nBlocks blocks")
+    val sub = dims / nBlocks
+    val parts = (0 until nBlocks).map { b =>
+      val d = emb.select(col("vec_id"),
+        slice(col("embedding"), b * sub + 1, sub).as("subv"))
+      Vectors.kmeansQuantized(d, "vec_id", "subv", k = 8, iters = 2)
+        .select(col("vec_id"), col("cluster_id").as(s"c$b"), col("dist_q").as(s"d$b"))
+    }
+    parts.reduce((a, b) => a.join(b, Seq("vec_id")))
+      .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        (col("d0") + col("d1") + col("d2") + col("d3")).as("err_q"))
+      .orderBy(col("vec_id"))
+  }
+
   /** ann_kmeans: exact-integer Lloyd's clustering contract
     * ([[Vectors.kmeansQuantized]], VERDICT r10 #9) — per-cluster size and
     * quantized SSE after 2 iterations from a deterministic farthest-point
@@ -2337,6 +2376,7 @@ object Pipeline {
     "pipeline_url_canon" -> urlCanon,
     "pipeline_host_caps" -> hostCaps,
     "ann_kmeans" -> annKmeans,
+    "emb_pq_codes" -> pqCodes,
     "dedup_exact" -> dedupExact,
     "dedup_clusters" -> dedupClusters,
     "dedup_minhash_lsh" -> dedupMinhash,
@@ -2627,52 +2667,61 @@ object Pipeline {
     * elementwise means -> reassign. Ends at `a2(vec_id, cid, dmin)`;
     * `ann_kmeans` rolls it up per cluster, `pipeline_semdedup` joins the
     * assignments back to the vectors. */
-  private val kmeansAssignCtes: String = {
+  /** Parameterized form of the chain: `p` prefixes every CTE name (so
+    * several independent chains — emb_pq_codes runs FOUR, one per
+    * sub-vector block — compose in one WITH without collisions) and
+    * `vecExpr` is the raw vector expression to quantize (`embedding`,
+    * or a DuckDB slice `embedding[1:16]` for a PQ block). With
+    * `p = ""` and `vecExpr = "embedding"` the text is byte-identical
+    * to the chain ann_kmeans/pipeline_semdedup always used. */
+  private def kmeansAssignChain(p: String, vecExpr: String): String = {
     val steps = (1 until 8).map { j =>
-      s"""d$j AS MATERIALIZED (
+      s"""${p}d$j AS MATERIALIZED (
          |  SELECT q.vec_id, q.v,
          |    min(CAST(list_sum([ (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])
          |                        FOR i IN range(1, len(q.v) + 1) ]) AS BIGINT)) AS d
-         |  FROM q CROSS JOIN ch${j - 1} c
-         |  WHERE q.vec_id NOT IN (SELECT vec_id FROM ch${j - 1})
+         |  FROM ${p}q q CROSS JOIN ${p}ch${j - 1} c
+         |  WHERE q.vec_id NOT IN (SELECT vec_id FROM ${p}ch${j - 1})
          |  GROUP BY q.vec_id, q.v
-         |), ch$j AS MATERIALIZED (
-         |  SELECT vec_id, v, cid FROM ch${j - 1} UNION ALL
+         |), ${p}ch$j AS MATERIALIZED (
+         |  SELECT vec_id, v, cid FROM ${p}ch${j - 1} UNION ALL
          |  SELECT vec_id, v, $j AS cid
-         |  FROM (SELECT vec_id, v FROM d$j ORDER BY d DESC, vec_id LIMIT 1)
+         |  FROM (SELECT vec_id, v FROM ${p}d$j ORDER BY d DESC, vec_id LIMIT 1)
          |)""".stripMargin
     }.mkString(", ")
-    s"""q AS MATERIALIZED (
+    s"""${p}q AS MATERIALIZED (
        |  SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |    list_transform($vecExpr, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
        |  FROM embeddings
-       |), ch0 AS MATERIALIZED (
-       |  SELECT vec_id, v, 0 AS cid FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 1)
-       |), $steps, c0 AS MATERIALIZED (
-       |  SELECT CAST(cid AS BIGINT) AS cid, v FROM ch7
-       |), a1 AS MATERIALIZED (
+       |), ${p}ch0 AS MATERIALIZED (
+       |  SELECT vec_id, v, 0 AS cid FROM (SELECT vec_id, v FROM ${p}q ORDER BY vec_id LIMIT 1)
+       |), $steps, ${p}c0 AS MATERIALIZED (
+       |  SELECT CAST(cid AS BIGINT) AS cid, v FROM ${p}ch7
+       |), ${p}a1 AS MATERIALIZED (
        |  SELECT vec_id, v, arg_min(cid, d * 8 + cid) AS cid FROM (
        |    SELECT q.vec_id, q.v, c0.cid,
        |      CAST(list_sum([ (q.v[i] - c0.v[i]) * (q.v[i] - c0.v[i])
        |                      FOR i IN range(1, len(q.v) + 1) ]) AS BIGINT) AS d
-       |    FROM q CROSS JOIN c0)
+       |    FROM ${p}q q CROSS JOIN ${p}c0 c0)
        |  GROUP BY vec_id, v
-       |), c1sum AS (
+       |), ${p}c1sum AS (
        |  SELECT cid, idx, CAST(sum(val) AS BIGINT) AS s, count(*) AS cnt FROM (
-       |    SELECT cid, generate_subscripts(v, 1) AS idx, unnest(v) AS val FROM a1)
+       |    SELECT cid, generate_subscripts(v, 1) AS idx, unnest(v) AS val FROM ${p}a1)
        |  GROUP BY cid, idx
-       |), c1 AS MATERIALIZED (
+       |), ${p}c1 AS MATERIALIZED (
        |  SELECT cid, list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY idx) AS v
-       |  FROM c1sum GROUP BY cid
-       |), a2 AS MATERIALIZED (
+       |  FROM ${p}c1sum GROUP BY cid
+       |), ${p}a2 AS MATERIALIZED (
        |  SELECT vec_id, arg_min(cid, d * 8 + cid) AS cid, min(d) AS dmin FROM (
        |    SELECT q.vec_id, c1.cid,
        |      CAST(list_sum([ (q.v[i] - c1.v[i]) * (q.v[i] - c1.v[i])
        |                      FOR i IN range(1, len(q.v) + 1) ]) AS BIGINT) AS d
-       |    FROM q CROSS JOIN c1)
+       |    FROM ${p}q q CROSS JOIN ${p}c1 c1)
        |  GROUP BY vec_id
        |)""".stripMargin
   }
+
+  private val kmeansAssignCtes: String = kmeansAssignChain("", "embedding")
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_pii" -> piiOracle,
@@ -3226,6 +3275,22 @@ object Pipeline {
         |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_points,
         |  CAST(sum(dmin) AS BIGINT) AS sse_q
         |FROM a2 GROUP BY cid""".stripMargin,
+    "emb_pq_codes" -> {
+      // FOUR independent re-derivations of the Lloyd chain, one per
+      // 16-dim sub-vector block (the driver corpus is 64-dim; the Spark
+      // side derives dims/4 and fails fast on a non-divisible corpus)
+      val chains = (0 until 4).map(b =>
+        kmeansAssignChain(s"b${b}_", s"embedding[${b * 16 + 1}:${(b + 1) * 16}]"))
+        .mkString(", ")
+      s"""WITH $chains
+        |SELECT b0_a2.vec_id,
+        |  CAST(b0_a2.cid AS BIGINT) AS c0, CAST(b1_a2.cid AS BIGINT) AS c1,
+        |  CAST(b2_a2.cid AS BIGINT) AS c2, CAST(b3_a2.cid AS BIGINT) AS c3,
+        |  CAST(b0_a2.dmin + b1_a2.dmin + b2_a2.dmin + b3_a2.dmin AS BIGINT) AS err_q
+        |FROM b0_a2 JOIN b1_a2 USING (vec_id) JOIN b2_a2 USING (vec_id)
+        |  JOIN b3_a2 USING (vec_id)
+        |ORDER BY vec_id""".stripMargin
+    },
     "pipeline_semdedup" ->
       // kmeans assignment (shared CTE chain) -> within-cluster pair join
       // -> min-id dominance drop at quantized cosine >= 0.8

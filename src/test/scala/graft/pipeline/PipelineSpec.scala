@@ -19,6 +19,27 @@ class PipelineSpec extends SparkTestBase {
     (4L, "spark query engines process completely different documents")
   ).toDF("doc_id", "text")
 
+  test("pq codes: 3-bit codes per block, error is the sum of per-block kmeans distances") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.Pipeline.pqCodes(spark, dir).collect()
+      .map(r => (r.getLong(0), Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)),
+        r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, cs, err) =>
+      assert(cs.forall(c => c >= 0 && c < 8), s"vec $id code out of range: $cs")
+      assert(err >= 0L)
+    }
+    // block 0 codes/distances equal an independent kmeans over the slice
+    val b0 = Vectors.kmeansQuantized(
+        graft.Tables.embeddings(spark, dir)
+          .select(col("vec_id"), slice(col("embedding"), 1, 16).as("subv")),
+        "vec_id", "subv", k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, cs, _) =>
+      assert(cs.head === b0(id), s"vec $id block-0 code mismatch")
+    }
+  }
+
   test("sampling/packing/contamination invariants on the sf0.001 corpus") {
     val dir = "/root/testdata/sf0.001"
     val spark_ = spark
