@@ -537,12 +537,25 @@ object Bench {
     // pathology catch. Targeted probes (SPARK_GRAFT_BENCH_ONLY) skip it.
     val gcBudgetMs = 1250L * results.size
     val gcBudgetExceeded = only.isEmpty && gcTotal > gcBudgetMs
+    // Host-qualified enforcement (r15, measured): the SAME commit ran
+    // 73.8 s total task-GC with zero per-query fires at sentinel spread
+    // 1.26, and 194 s with a 3.1× fire on q3_join_agg at spread 2.25 —
+    // ambient load lengthens STW pauses suite-wide, so GC-vs-wall gates
+    // are only meaningful when the run's own sentinels certify a quiet
+    // host. Under load the flags stay VISIBLE (headline `gc_flags`, and
+    // the full JSON's errors map was already persisted above) but do
+    // not exit-1 a measurement the sentinels say not to trust.
+    val gcFlagKeys = errors.keys.filter(_.startsWith("gc_budget:")).toList
+    val hostQuiet = sentinelSpread > 0 && sentinelSpread <= 1.5
+    if (!hostQuiet) gcFlagKeys.foreach { k => errors.remove(k); () }
+    val gcFlagsJson = gcFlagKeys.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"headline","value":$total,"unit":"sec",""" +
       s""""queries_n":${results.size},"errors_n":${errors.size},""" +
       s""""gc_ms_total":$gcTotal,"spill_bytes_total":$spillTotal,""" +
       s""""cache_leaks":$cacheLeaks,""" +
       s""""gc_budget_ms":$gcBudgetMs,"gc_budget_exceeded":$gcBudgetExceeded,""" +
       s""""gc_budget_per_query":"2.5x_wall_floor_5s",""" +
+      s""""gc_flags":$gcFlagsJson,"gc_flags_enforced":$hostQuiet,""" +
       s""""queries_min_sum":${fmt(minSum)},""" +
       s""""queries_min_norm":${norm(minSum, parentMidCpu)},""" +
       s""""queries_min_sum_r9set":${fmt(r9MinSum)},""" +
