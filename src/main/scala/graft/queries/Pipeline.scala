@@ -984,6 +984,78 @@ object Pipeline {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** text_bm25_topk: top-25 documents by exact-integer BM25 over a
+    * deterministic 5-term query — the retrieval primitive behind
+    * data-curation search (find every doc matching a probe query),
+    * hard-negative mining for retrieval training, and BM25-filtered
+    * corpus subsetting. [[tfIdfTopTerms]] ranks terms WITHIN a doc;
+    * this ranks DOCS for a query, with both BM25 refinements tf-idf
+    * lacks: tf saturation (k1 = 1.2) and length normalization
+    * (b = 0.75).
+    *
+    * The whole score is exact integer math both engines reproduce
+    * bit-for-bit — no log, no floats. The idf keeps Robertson's
+    * argument un-logged (monotone, so ranking-equivalent; the
+    * [[tfIdfTopTerms]] 1/df precedent): idf_q =
+    * ((2N − 2df + 1)·10⁶) div (2df + 1), the ×2 clearing the two 0.5
+    * smoothing terms. The tf side multiplies through by 1000·avgdl:
+    * den_q = 1000·tf + 300 + (900·dl·N) div T (with avgdl = T/N kept
+    * as the exact rational N/T), ratio_q = (2200·tf·1000) div den_q ≤
+    * 2200, and score_q = Σ_terms (idf_q·ratio_q) div 1000. Every
+    * operand is positive, so Spark's truncating DIV and DuckDB's floor
+    * `//` agree. Overflow bound: idf_q·ratio_q ≤ 2.2·10⁹·(2N+1) —
+    * inside int64 to N ≈ 2·10⁹ docs; past that the idf scale drops a
+    * decade (contract change, documented here).
+    *
+    * The query is corpus-derived and deterministic: document-frequency
+    * ranks 10–14 (df desc, token tiebreak) — high-df terms below the
+    * stop-word head, so the posting lists are non-trivial at every SF.
+    *
+    * Scale shape: the corpus tokenizes ONCE into the persisted
+    * (doc, token, tf) frame; df is an aggregate OF that frame;
+    * query-term selection is a TakeOrdered over |vocab| rows (never a
+    * global sort) collecting exactly 14 rows; N is parquet-footer
+    * metadata and T one |docs|-row aggregate. Scoring filters the tf
+    * frame to the 5 query terms FIRST (posting-list pushdown — the
+    * frame that reaches the join carries only matching docs), joins
+    * doc lengths on the doc key, and the top-25 is TakeOrderedAndProject.
+    * One n-keyed equi-join of two pre-aggregated frames is the only
+    * wide op the corpus crosses. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .persist()
+    try {
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val head14 = dfreq.orderBy(col("df").desc, col("token")).limit(14)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy { case (tok, df) => (-df, tok) }
+      require(head14.length == 14,
+        s"text_bm25_topk: vocabulary has ${head14.length} < 14 terms")
+      val qterms = head14.slice(9, 14) // df ranks 10..14
+      val nDocs = docs.count()
+      val dl = docs.select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("dl"))
+      val totTok = dl.agg(sum(col("dl"))).head.getLong(0)
+      require(totTok > 0, "text_bm25_topk: empty corpus")
+      val qtDf = spark.createDataFrame(qterms.toSeq).toDF("token", "df")
+      tf.filter(col("token").isin(qterms.map(_._1).toSeq: _*))
+        .join(broadcast(qtDf), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .withColumn("idf_q", expr(
+          s"((2L * ${nDocs}L - 2L * df + 1L) * 1000000L) DIV (2L * df + 1L)"))
+        .withColumn("ratio_q", expr(
+          s"(2200L * tf * 1000L) DIV (1000L * tf + 300L + (900L * dl * ${nDocs}L) DIV ${totTok}L)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          sum(expr("(idf_q * ratio_q) DIV 1000L")).as("score_q"))
+        .orderBy(col("score_q").desc, col("doc_id"))
+        .limit(25)
+    } finally { tf.unpersist(blocking = false); () }
+  }
+
   /** text_quality_buckets: per-language quality deciles (ntile over
     * quality desc, doc_id tiebreak) — curriculum/quality-tier assignment.
     * The exact ntile needs a per-lang total order, fine to the ~10⁸-docs-
@@ -1910,6 +1982,57 @@ object Pipeline {
         sum(when(col("q") > 0, 1L).otherwise(0L)).as("n_pos"))
       .orderBy(col("dim"))
 
+  /** emb_sq8: SCALAR QUANTIZATION to 8-bit codes — the other half of
+    * the vector-compression toolbox next to [[pqCodes]] (SQ8 in the
+    * FAISS taxonomy: per-dimension affine [lo, hi] → [0, 255] codes;
+    * 4× smaller than float32 with near-lossless recall, and the usual
+    * first compression step before PQ is worth its codebooks). Exact
+    * integer end to end over the shared floor(x·1000) component
+    * contract: per-dimension corpus range (lo_d, hi_d), code_d =
+    * ((q_d − lo_d)·255) div max(1, hi_d − lo_d) ∈ [0, 255],
+    * reconstruction r_d = lo_d + (code_d·(hi_d − lo_d)) div 255, and
+    * the per-vector quantization error Σ|q_d − r_d| plus a
+    * position-weighted code fingerprint Σ(d+1)·code_d that pins every
+    * code byte in the hash without 64 output columns. All operands are
+    * non-negative at the divisions, where Spark's truncating DIV and
+    * DuckDB's floor `//` agree.
+    *
+    * Scale shape: TWO corpus scans and no n-keyed shuffle — the range
+    * pass is the [[embDimStats]] aggregate (posexplode combines
+    * map-side to |dims| rows per task; one |dims|-row exchange), the
+    * |dims|-row result rides back into the encode pass as PLAN
+    * LITERALS (the k-means centroid-sync pattern), and encoding is a
+    * row-local array lambda — codes and error for each vector are
+    * produced where the vector lives. The declarative twin (explode +
+    * broadcast-join on dim + re-group by vec_id) would shuffle n·d
+    * rows keyed by vec_id; this never lets the corpus cross an
+    * exchange at all. */
+  def embSq8(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1000.0)).cast("long")).as("qv"))
+    val rng = q.select(posexplode(col("qv")).as(Seq("dim", "qx")))
+      .groupBy(col("dim"))
+      .agg(min(col("qx")).as("lo"), max(col("qx")).as("hi"))
+      .orderBy(col("dim"))
+      .collect() // |dims| rows — bounded by vector width, never by n
+    require(rng.nonEmpty, "emb_sq8: empty embeddings table")
+    val loSql = rng.map(_.getLong(1)).mkString("array(", "L,", "L)")
+    val hiSql = rng.map(_.getLong(2)).mkString("array(", "L,", "L)")
+    // per-dim plan-literal lookups; span_d = 0 ⇒ degenerate dim ⇒ code 0,
+    // reconstruction lo_d = q_d ⇒ error 0
+    val lo = s"element_at($loSql, i + 1)"
+    val span = s"(element_at($hiSql, i + 1) - $lo)"
+    val code = s"(((x - $lo) * 255L) DIV greatest(1L, $span))"
+    val err = s"abs(x - ($lo + ($code * $span) DIV 255L))"
+    q.selectExpr(
+        "vec_id",
+        s"aggregate(transform(qv, (x, i) -> (CAST(i AS BIGINT) + 1L) * $code), " +
+          "0L, (a, e) -> a + e) AS code_fp",
+        s"aggregate(transform(qv, (x, i) -> $err), 0L, (a, e) -> a + e) AS err_q")
+      .orderBy(col("vec_id"))
+  }
+
   /** emb_pca_power: the corpus embedding space's top principal
     * direction by derandomized power iteration over the GRAM matrix
     * XᵀX (uncentered PCA — the standard embedding-health diagnostic:
@@ -2366,6 +2489,8 @@ object Pipeline {
     "text_chunking" -> textChunking,
     "text_top_terms" -> topTerms,
     "text_tfidf" -> tfIdfTopTerms,
+    "text_bm25_topk" -> bm25TopK,
+    "emb_sq8" -> embSq8,
     "text_quality_buckets" -> qualityBuckets,
     "pack_sequences" -> packSequences,
     "pack_concat" -> packConcat,
@@ -2842,6 +2967,58 @@ object Pipeline {
         |    THEN (CAST(a.c AS HUGEINT) * (a.c - 1)) // 2
         |    ELSE CAST(a.c AS HUGEINT) * b.c END) > 0
         |ORDER BY source_a, source_b""".stripMargin,
+    "emb_sq8" ->
+      """WITH q AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qx
+        |  FROM embeddings
+        |), rng AS (
+        |  SELECT dim, min(qx) AS lo, max(qx) AS hi FROM q GROUP BY 1
+        |), c AS (
+        |  SELECT q.vec_id, q.dim, q.qx, rng.lo, rng.hi,
+        |    ((q.qx - rng.lo) * 255) // greatest(1, rng.hi - rng.lo) AS code
+        |  FROM q JOIN rng USING (dim)
+        |)
+        |SELECT vec_id,
+        |  CAST(sum((dim + 1) * code) AS BIGINT) AS code_fp,
+        |  CAST(sum(abs(qx - (lo + (code * (hi - lo)) // 255))) AS BIGINT) AS err_q
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN length(trim(text)) = 0 THEN []
+        |                ELSE string_split_regex(trim(text), '\s+') END) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), qt AS (
+        |  SELECT token, df FROM (
+        |    SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS r
+        |    FROM dfreq)
+        |  WHERE r BETWEEN 10 AND 14
+        |), stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS t
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS dl
+        |  FROM documents
+        |), s AS (
+        |  SELECT tf.doc_id,
+        |    ((2 * stats.n - 2 * qt.df + 1) * 1000000) // (2 * qt.df + 1) AS idf_q,
+        |    (2200 * tf.tf * 1000)
+        |      // (1000 * tf.tf + 300 + (900 * dl.dl * stats.n) // stats.t) AS ratio_q
+        |  FROM tf JOIN qt USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(sum((idf_q * ratio_q) // 1000) AS BIGINT) AS score_q
+        |FROM s GROUP BY 1 ORDER BY score_q DESC, doc_id LIMIT 25""".stripMargin,
     "emb_dim_stats" ->
       """SELECT CAST(dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(q) AS BIGINT) AS sum_q, min(q) AS min_q, max(q) AS max_q,

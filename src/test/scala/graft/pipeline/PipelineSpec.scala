@@ -420,6 +420,68 @@ class PipelineSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("sq8 codes/error parity with a naive driver model on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 1000.0).toLong).toArray)
+    val dims = vecs.head._2.length
+    val lo = (0 until dims).map(d => vecs.map(_._2(d)).min).toArray
+    val hi = (0 until dims).map(d => vecs.map(_._2(d)).max).toArray
+    val expected = vecs.map { case (id, qv) =>
+      var fp = 0L; var err = 0L
+      var d = 0
+      while (d < dims) {
+        val span = hi(d) - lo(d)
+        val code = ((qv(d) - lo(d)) * 255L) / math.max(1L, span)
+        fp += (d + 1L) * code
+        err += math.abs(qv(d) - (lo(d) + (code * span) / 255L))
+        d += 1
+      }
+      (id, fp, err)
+    }.toSet
+    val got = graft.queries.Pipeline.embSq8(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // every code is a byte: fp ≤ Σ (d+1)·255
+    val fpMax = (1 to dims).map(_ * 255L).sum
+    got.foreach { case (id, fp, err) =>
+      assert(fp >= 0L && fp <= fpMax, s"vec $id fingerprint out of byte range")
+      assert(err >= 0L)
+    }
+  }
+
+  test("bm25 parity with a naive driver model on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val texts = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def toks(t: String): Seq[String] =
+      if (t.trim.isEmpty) Seq.empty else t.trim.split("\\s+").toSeq
+    val tf = texts.flatMap { case (id, t) => toks(t).map(id -> _) }
+      .groupBy(identity).map { case ((id, tok), g) => (id, tok, g.size.toLong) }
+    val df = tf.groupBy(_._2).map { case (tok, g) => tok -> g.size.toLong }
+    val qterms = df.toSeq.sortBy { case (tok, n) => (-n, tok) }.slice(9, 14).toMap
+    val n = texts.length.toLong
+    val dl = texts.map { case (id, t) => id -> toks(t).size.toLong }.toMap
+    val t = dl.values.sum
+    val expected = tf.filter(r => qterms.contains(r._2))
+      .groupBy(_._1).map { case (id, rows) =>
+        val score = rows.map { case (_, tok, f) =>
+          val dfv = qterms(tok)
+          val idfQ = ((2 * n - 2 * dfv + 1) * 1000000L) / (2 * dfv + 1)
+          val ratioQ = (2200L * f * 1000L) /
+            (1000L * f + 300L + (900L * dl(id) * n) / t)
+          (idfQ * ratioQ) / 1000L
+        }.sum
+        (id, rows.size.toLong, score)
+      }.toSeq.sortBy { case (id, _, s) => (-s, id) }.take(25)
+    val got = graft.queries.Pipeline.bm25TopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
   test("chunking parity with a naive sliding-window model") {
     val words = Vector("alpha", "beta", "gamma", "delta", "eps")
     // lengths straddling every boundary case: < width, == width, width+1,
