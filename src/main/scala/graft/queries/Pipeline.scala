@@ -1011,16 +1011,21 @@ object Pipeline {
     * ranks 10–14 (df desc, token tiebreak) — high-df terms below the
     * stop-word head, so the posting lists are non-trivial at every SF.
     *
-    * Scale shape: the corpus tokenizes ONCE into the persisted
-    * (doc, token, tf) frame; df is an aggregate OF that frame;
-    * query-term selection is a TakeOrdered over |vocab| rows (never a
-    * global sort) collecting exactly 14 rows; N is parquet-footer
-    * metadata and T one |docs|-row aggregate. Scoring filters the tf
-    * frame to the 5 query terms FIRST (posting-list pushdown — the
-    * frame that reaches the join carries only matching docs), joins
-    * doc lengths on the doc key, and the top-25 is TakeOrderedAndProject.
-    * One n-keyed equi-join of two pre-aggregated frames is the only
-    * wide op the corpus crosses. */
+    * Scale shape: the (doc, token, tf) frame persists for the two
+    * bounded statistics aggregates — df → query-term selection as a
+    * TakeOrdered over |vocab| rows (never a global sort) collecting
+    * exactly 14 rows, and T = Σtf as one scalar; N is parquet-footer
+    * metadata. The returned scoring frame re-derives tf (the cache is
+    * released before the caller executes it — the suite's
+    * zero-lingering-blocks contract), so the corpus tokenizes twice
+    * end-to-end; at 100 TB df/T are precomputed corpus metadata and
+    * only the scoring pass remains. Scoring filters tokens to the 5
+    * query terms BELOW the tf aggregate (posting-list pushdown — the
+    * plan prunes non-matching tokens before they are even counted),
+    * broadcasts the 5-row term frame, joins doc lengths on the doc
+    * key, and the top-25 is TakeOrderedAndProject. One n-keyed
+    * equi-join of two pre-aggregated frames is the only wide op the
+    * corpus crosses. */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tf = docs
@@ -1036,10 +1041,14 @@ object Pipeline {
         s"text_bm25_topk: vocabulary has ${head14.length} < 14 terms")
       val qterms = head14.slice(9, 14) // df ranks 10..14
       val nDocs = docs.count()
+      // T = Σ tf — read from the persisted tf frame (the second of the two
+      // bounded aggregates the cache exists for), not a third corpus scan
+      val totRow = tf.agg(sum(col("tf"))).head()
+      require(!totRow.isNullAt(0) && totRow.getLong(0) > 0,
+        "text_bm25_topk: empty corpus")
+      val totTok = totRow.getLong(0)
       val dl = docs.select(col("doc_id"),
         Text.tokenCount(col("text")).cast("long").as("dl"))
-      val totTok = dl.agg(sum(col("dl"))).head.getLong(0)
-      require(totTok > 0, "text_bm25_topk: empty corpus")
       val qtDf = spark.createDataFrame(qterms.toSeq).toDF("token", "df")
       tf.filter(col("token").isin(qterms.map(_._1).toSeq: _*))
         .join(broadcast(qtDf), Seq("token"))
@@ -2005,8 +2014,9 @@ object Pipeline {
     * row-local array lambda — codes and error for each vector are
     * produced where the vector lives. The declarative twin (explode +
     * broadcast-join on dim + re-group by vec_id) would shuffle n·d
-    * rows keyed by vec_id; this never lets the corpus cross an
-    * exchange at all. */
+    * rows keyed by vec_id; here the only exchange in the encode plan
+    * is the presentation sort's range partitioning (plan-pinned:
+    * no join, no aggregate, one Exchange). */
   def embSq8(spark: SparkSession, dir: String): DataFrame = {
     val q = Tables.embeddings(spark, dir).select(col("vec_id"),
       transform(col("embedding"),

@@ -507,4 +507,30 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Window"), s"tier assignment must be value-based, not rank-based:\n$p")
     assert(!p.contains("Exchange"), s"the local census must not shuffle:\n$p")
   }
+
+  test("bm25: posting-list filter below the tf aggregate, broadcast joins, TakeOrdered top-k") {
+    val p = plan("text_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-25 must never global-sort:\n$p")
+    assert(p.contains("partial_sum"), s"scores must combine map-side:\n$p")
+    // the 5-term IN filter must prune tokens BEFORE they are counted:
+    // below the (doc, token) aggregate, directly over the explode
+    val lines = p.linesIterator.toVector
+    val inIdx = lines.indexWhere(l => l.contains("Filter") && l.contains(" IN ("))
+    val genIdx = lines.indexWhere(_.contains("Generate explode"))
+    assert(inIdx >= 0 && genIdx > inIdx,
+      s"query-term IN filter must sit between the tf aggregate and the explode:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"term/doc-length joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no wide joins in the scoring plan:\n$p")
+  }
+
+  test("sq8: encode is row-local against plan literals — no join, no agg, one presentation exchange") {
+    val p = plan("emb_sq8")
+    assert(!p.contains("Join"), s"the range must ride as plan literals, not a dim join:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"codes/error must fold row-locally, never re-group by vec_id:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1 && p.contains("rangepartitioning"),
+      s"only the presentation sort may shuffle (found $exchanges exchanges):\n$p")
+  }
 }
