@@ -647,6 +647,42 @@ object Pipeline {
     annRecall(spark, dir, Vectors.ivfTopK(e, q => q % 100 === 0, 10), 0.25)
   }
 
+  /** emb_matryoshka: the dimension-truncation recall curve — per query,
+    * how many of the full-dimension exact top-10 survive when retrieval
+    * uses only the first 16 (and 32) of 64 components (Matryoshka
+    * representation learning, Kusupati et al., NeurIPS 2022: nested
+    * prefixes as cheaper retrieval vectors; ×4/×2 less dot-product work
+    * and vector memory when the curve holds). Unlike the seeded
+    * LSH/IVF recall contracts this is FULLY deterministic — every
+    * top-10 is an exact quantized-dot brute force, so the DuckDB oracle
+    * reproduces hits16/hits32 bit-for-bit rather than pinning a floor.
+    *
+    * Scale shape: three [[Vectors.bruteForceTopK]] kernels (full,
+    * prefix-16, prefix-32) — each a broadcast of the bounded query set
+    * against a repartitioned corpus scan, no n×n work; overlap is two
+    * left joins on (query, neighbor) frames of k·|queries| rows and one
+    * query-keyed aggregate. Prefix slicing happens BEFORE the kernel,
+    * so the 16-dim pass really does ship/evaluate 16-dim vectors. */
+  def embMatryoshka(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    def top(v: DataFrame): DataFrame =
+      Vectors.bruteForceTopK(v, q => q % 100 === 0, 10)
+        .select(col("query_id"), col("neighbor_id"))
+    val full = top(e)
+    def prefix(d: Int): DataFrame =
+      e.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+    full
+      .join(top(prefix(16)).withColumn("h16", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .join(top(prefix(32)).withColumn("h32", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"),
+        coalesce(sum(col("h16")), lit(0L)).as("hits16"),
+        coalesce(sum(col("h32")), lit(0L)).as("hits32"))
+      .orderBy(col("query_id"))
+  }
+
   /** dedup_embedding_cosine: embedding-space near-dup pairs — multi-band
     * LSH candidates ([[Vectors.embeddingCandidates]]: bucket width scales
     * with corpus size, recall recovered by independent bands) verified by
@@ -1946,6 +1982,41 @@ object Pipeline {
       .orderBy(col("label"))
   }
 
+  /** samp_temperature: temperature-scaled source sampling weights at
+    * T = 2 — the multilingual mixing rule (mT5 / XLM-R style: sample
+    * source i with probability ∝ n_i^(1/T), flattening the head without
+    * the hard uniform cap of [[pipelineMixture]]). T = 2 makes the
+    * weight an integer square root, which both engines compute EXACTLY:
+    * s0 = floor(sqrt(n)) from the IEEE-correctly-rounded double sqrt,
+    * then a ±1 correction ((s0+1)² ≤ n → +1; s0² > n → −1) makes w_q =
+    * isqrt(n_tokens) independent of any libm rounding convention —
+    * no transcendental in the contract, same idiom as the un-logged
+    * BM25 idf. share_ppm = (w_q·10⁶) div Σw and the expected draw from
+    * a budget of half the corpus token mass, all truncating integer
+    * division over non-negative operands (Spark DIV ≡ DuckDB `//`).
+    *
+    * Scale shape: ONE corpus scan combining map-side to |sources| rows;
+    * the 1-row (Σw, Σtokens) frame broadcasts back — the
+    * [[pipelineMixture]] plan with a different weight law. */
+  def sampTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), Text.tokenCount(col("text")).cast("long").as("__n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+      .withColumn("__s0",
+        expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w_q", expr(
+        "__s0 + (CASE WHEN (__s0 + 1) * (__s0 + 1) <= n_tokens THEN 1 " +
+          "WHEN __s0 * __s0 > n_tokens THEN -1 ELSE 0 END)"))
+    val tot = per.agg(sum(col("w_q")).as("__sw"), sum(col("n_tokens")).as("__st"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("(w_q * 1000000L) DIV __sw"))
+      .withColumn("draw_tokens", expr("((__st DIV 2L) * w_q) DIV __sw"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w_q"),
+        col("share_ppm"), col("draw_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** pipeline_mixture: per-source sampling rates toward a uniform token
     * mixture — the data-mixing step that decides how much of each source
     * enters the training run. `rate_ppm = min(10^6, target·10^6 div
@@ -2501,6 +2572,8 @@ object Pipeline {
     "text_tfidf" -> tfIdfTopTerms,
     "text_bm25_topk" -> bm25TopK,
     "emb_sq8" -> embSq8,
+    "samp_temperature" -> sampTemperature,
+    "emb_matryoshka" -> embMatryoshka,
     "text_quality_buckets" -> qualityBuckets,
     "pack_sequences" -> packSequences,
     "pack_concat" -> packConcat,
@@ -2977,6 +3050,60 @@ object Pipeline {
         |    THEN (CAST(a.c AS HUGEINT) * (a.c - 1)) // 2
         |    ELSE CAST(a.c AS HUGEINT) * b.c END) > 0
         |ORDER BY source_a, source_b""".stripMargin,
+    "samp_temperature" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
+        |  FROM per
+        |), wc AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN 1
+        |          WHEN s0 * s0 > n_tokens THEN -1 ELSE 0 END) AS w_q
+        |  FROM w
+        |), tot AS (
+        |  SELECT sum(w_q) AS sw, sum(n_tokens) AS st FROM wc
+        |)
+        |SELECT source, n_docs, n_tokens, CAST(w_q AS BIGINT) AS w_q,
+        |  CAST((w_q * 1000000) // sw AS BIGINT) AS share_ppm,
+        |  CAST(((st // 2) * w_q) // sw AS BIGINT) AS draw_tokens
+        |FROM wc CROSS JOIN tot ORDER BY source""".stripMargin,
+    "emb_matryoshka" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id % 100 = 0
+        |), c AS (
+        |  SELECT vec_id AS neighbor_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
+        |  FROM embeddings
+        |), full10 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2])) DESC, neighbor_id) AS r
+        |    FROM q, c WHERE query_id <> neighbor_id) t WHERE r <= 10
+        |), p16 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_sum(list_transform(list_zip(qv[1:16], cv[1:16]), p -> p[1] * p[2])) DESC, neighbor_id) AS r
+        |    FROM q, c WHERE query_id <> neighbor_id) t WHERE r <= 10
+        |), p32 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_sum(list_transform(list_zip(qv[1:32], cv[1:32]), p -> p[1] * p[2])) DESC, neighbor_id) AS r
+        |    FROM q, c WHERE query_id <> neighbor_id) t WHERE r <= 10
+        |)
+        |SELECT f.query_id, CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(CASE WHEN p16.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits16,
+        |  CAST(sum(CASE WHEN p32.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits32
+        |FROM full10 f
+        |LEFT JOIN p16 USING (query_id, neighbor_id)
+        |LEFT JOIN p32 USING (query_id, neighbor_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "emb_sq8" ->
       """WITH q AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,

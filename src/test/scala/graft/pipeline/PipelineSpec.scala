@@ -482,6 +482,75 @@ class PipelineSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("temperature sampling: w_q is the exact integer sqrt, shares from a naive model") {
+    val dir = "/root/testdata/sf0.001"
+    // independent isqrt: binary search, no floating point at all
+    def isqrt(n: Long): Long = {
+      var lo = 0L; var hi = math.max(1L, n)
+      while (lo < hi) {
+        val mid = lo + (hi - lo + 1) / 2
+        if (mid <= n / mid && mid * mid <= n) lo = mid else hi = mid - 1
+      }
+      lo
+    }
+    val texts = graft.Tables.documents(spark, dir)
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    def ntok(t: String): Long =
+      if (t.trim.isEmpty) 0L else t.trim.split("\\s+").length.toLong
+    val per = texts.groupBy(_._1).map { case (src, rows) =>
+      (src, rows.length.toLong, rows.map(r => ntok(r._2)).sum)
+    }.toSeq
+    val sw = per.map(p => isqrt(p._3)).sum
+    val st = per.map(_._3).sum
+    val expected = per.map { case (src, nd, nt) =>
+      val w = isqrt(nt)
+      (src, nd, nt, w, (w * 1000000L) / sw, ((st / 2L) * w) / sw)
+    }.sortBy(_._1)
+    val got = graft.queries.Pipeline.sampTemperature(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+  }
+
+  test("isqrt correction survives perfect-square boundaries (k², k²±1)") {
+    // drive the exact SQL expression the query uses over the hard cases
+    val ks = Seq(1L, 2L, 3L, 1000L, 94906265L /* ~sqrt(2^53) */)
+    val ns = ks.flatMap(k => Seq(k * k - 1, k * k, k * k + 1)).filter(_ >= 0)
+    val rows = ns.toDF("n")
+      .withColumn("s0", expr("CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"))
+      .withColumn("s", expr(
+        "s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= n THEN 1 " +
+          "WHEN s0 * s0 > n THEN -1 ELSE 0 END)"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    rows.foreach { case (n, s) =>
+      assert(s * s <= n && (s + 1) * (s + 1) > n, s"isqrt($n) = $s is wrong")
+    }
+  }
+
+  test("matryoshka hits parity with a naive prefix-dot model on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 1000.0).toLong).toArray)
+    def top10(dims: Int, qid: Long): Seq[Long] = {
+      val q = vecs.find(_._1 == qid).get._2
+      vecs.filter(_._1 != qid).map { case (id, v) =>
+        id -> (0 until dims).map(d => q(d) * v(d)).sum
+      }.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+    }
+    val expected = vecs.map(_._1).filter(_ % 100 == 0).sorted.map { qid =>
+      val full = top10(vecs.head._2.length, qid)
+      val s16 = top10(16, qid).toSet
+      val s32 = top10(32, qid).toSet
+      (qid, full.size.toLong, full.count(s16).toLong, full.count(s32).toLong)
+    }.toSeq
+    val got = graft.queries.Pipeline.embMatryoshka(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
+
   test("chunking parity with a naive sliding-window model") {
     val words = Vector("alpha", "beta", "gamma", "delta", "eps")
     // lengths straddling every boundary case: < width, == width, width+1,
