@@ -186,7 +186,35 @@ object Sketches {
       .orderBy(col(keyCol))
   }
 
+  /** sketch_spacesaving: top-10 heaviest users by event count via the
+    * suite's own [[graft.functions.SpaceSavingAgg]] — a native Catalyst
+    * TypedImperativeAggregate with ≤ `capacity` counters per partial and
+    * a guarantee-preserving merge (see its scaladoc for the algorithm
+    * and the 100 TB rationale). Contract regime: the corpus's distinct
+    * user count (1.5k at sf0.1) sits far below the 8192-counter
+    * capacity, so no eviction ever fires, every count is EXACT, err = 0,
+    * and the result is bit-deterministic under any partitioning — the
+    * oracle is the exact top-10. Past capacity the operator degrades to
+    * the documented ε = 1/capacity overcount with its never-undercount
+    * and err-bound guarantees — property-tested in SpaceSavingSpec, not
+    * hash-gated (the sketch_cms precedent). */
+  def spaceSavingContract(spark: SparkSession, dir: String): DataFrame =
+    spaceSavingContractOf(
+      Tables.events(spark, dir).filter(col("user_id").isNotNull), 8192, 10)
+
+  /** Core over any frame with a BIGINT `user_id` — split out so the
+    * small-capacity guarantees are unit-testable on synthetic skew. */
+  private[graft] def spaceSavingContractOf(
+      ev: DataFrame, capacity: Int, k: Int): DataFrame =
+    ev.agg(graft.functions.SpaceSavingAgg
+        .heavyHitters(col("user_id"), capacity, k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.key").as("user_id"), col("e.cnt").as("n_events"),
+        col("e.err").as("err"))
+      .orderBy(col("n_events").desc, col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_spacesaving" -> spaceSavingContract,
     "sketch_distinct" -> distinctContract,
     "sketch_topk" -> topkContract,
     "sketch_cms" -> cmsContract,
@@ -194,6 +222,11 @@ object Sketches {
     "sketch_quantiles_grouped" -> quantilesGroupedContract)
 
   val oracleSql: Map[String, String] = Map(
+    "sketch_spacesaving" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(0 AS BIGINT) AS err
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
     "sketch_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
         |  TRUE AS approx_ok

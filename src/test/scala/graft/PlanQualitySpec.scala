@@ -524,6 +524,18 @@ class PlanQualitySpec extends SparkTestBase {
       s"no wide joins in the scoring plan:\n$p")
   }
 
+  test("spacesaving: map-side partial summaries — the exchange carries one sketch per task, not one row per key") {
+    val p = plan("sketch_spacesaving")
+    assert(p.contains("partial_space_saving"),
+      s"expected a map-side partial of the custom aggregate:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"TypedImperativeAggregate must plan as ObjectHashAggregate:\n$p")
+    assert(p.contains("Exchange SinglePartition"),
+      s"only the merged summaries may cross the wire:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(user_id)]"),
+      s"null filter must reach the parquet scan:\n$p")
+  }
+
   test("sq8: encode is row-local against plan literals — no join, no agg, one presentation exchange") {
     val p = plan("emb_sq8")
     assert(!p.contains("Join"), s"the range must ride as plan literals, not a dim join:\n$p")

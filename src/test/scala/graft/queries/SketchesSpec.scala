@@ -28,6 +28,47 @@ class SketchesSpec extends SparkTestBase {
     assert(out.forall(_._2), s"all rank contracts: $out")
   }
 
+  // deterministic zipf-ish skew: key k appears ~N/k times
+  private def skewedKeys(nKeys: Int, scale: Int): Seq[Long] =
+    (1 to nKeys).flatMap(k => Seq.fill(scale / k)(k.toLong))
+
+  test("spacesaving exact regime: counts exact, err 0, partitioning-independent") {
+    val keys = skewedKeys(40, 400)
+    val truth = keys.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    Seq(1, 7, 32).foreach { parts =>
+      val df = keys.toDF("user_id").repartition(parts)
+      val got = Sketches.spaceSavingContractOf(df, capacity = 64, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val expected = truth.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+        .map { case (k, c) => (k, c, 0L) }
+      assert(got.toSeq === expected, s"parts=$parts")
+    }
+  }
+
+  test("spacesaving guarantees under eviction pressure: never undercounts, err bounds, floor coverage") {
+    val keys = skewedKeys(200, 2000) // 200 distinct, capacity 16 → heavy eviction
+    val truth = keys.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val n = keys.size.toLong
+    Seq(1, 13).foreach { parts =>
+      val df = keys.toDF("user_id").repartition(parts)
+      val got = Sketches.spaceSavingContractOf(df, capacity = 16, k = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      got.foreach { case (k, est, err) =>
+        val t = truth.getOrElse(k, 0L)
+        assert(est >= t, s"parts=$parts key $k: est $est < true $t")
+        assert(est - err <= t, s"parts=$parts key $k: est-err ${est - err} > true $t")
+      }
+      // classic single-stream guarantee: every key heavier than N/capacity
+      // is tracked (single partition — the merge bound is the est/err pair)
+      if (parts == 1) {
+        val tracked = got.map(_._1).toSet
+        truth.filter(_._2 > n / 16).keys.foreach { k =>
+          assert(tracked(k), s"heavy key $k (${truth(k)} > ${n / 16}) not tracked")
+        }
+      }
+    }
+  }
+
   test("grouped rank contract holds per group, incl. a group with tie mass") {
     // group A: the global spec's 20%-tie-mass column; group B: all
     // distinct — per-group contracts must not leak across groups
