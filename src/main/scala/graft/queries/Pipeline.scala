@@ -1293,6 +1293,43 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** pipeline_skew_stats: join/shuffle-key skew diagnosis — for each
+    * candidate key column of the event stream, the key-frequency profile
+    * that decides whether a downstream keyed join or aggregation needs
+    * [[graft.ops.Salting]]: row/key counts, the heaviest key and its
+    * count, skew ×1000 (heaviest key's count over the mean key count),
+    * and the recommended salt fan-out `ceil(max_cnt · P / n_rows)` at
+    * the session's P = 32 shuffle partitions — exactly the `saltCount`
+    * argument `Salting.saltedJoin` takes: how many average-partition
+    * shares the heaviest key alone occupies. All exact integer math;
+    * top-key ties resolve to the LARGEST key string on both engines
+    * (max_by over (cnt, key) ≡ the oracle's ORDER BY cnt DESC, k DESC).
+    *
+    * Scale shape: per key column one map-side-combined count aggregate
+    * to |keys| rows, then a 1-row reduce (max_by/sum/count) — the
+    * corpus never crosses an exchange wider than its distinct-key
+    * frame. This is the profile a 100 TB pipeline runs BEFORE choosing
+    * a join strategy; AQE's runtime skew split covers sort-merge joins,
+    * but pre-chosen salt counts are what keep deliberately-partitioned
+    * pipelines (bucketed facts, pre-shuffled stores) skew-safe. */
+  def skewStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def statsFor(name: String, k: Column): DataFrame =
+      ev.filter(k.isNotNull).select(k.cast("string").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("cnt")).as("max_cnt"),
+          max_by(col("k"), struct(col("cnt"), col("k"))).as("top_key"))
+        .select(lit(name).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_cnt"), col("top_key"))
+        .withColumn("skew_x1000", expr("(max_cnt * 1000L * n_keys) DIV n_rows"))
+        .withColumn("salt_rec",
+          expr("greatest(1L, (max_cnt * 32L + n_rows - 1L) DIV n_rows)"))
+    statsFor("event_type", col("event_type"))
+      .unionByName(statsFor("user_id", col("user_id")))
+      .orderBy(col("key_col"))
+  }
+
   /** pipeline_host_caps: per-registrable-domain document cap — every
     * web-corpus pipeline's anti-domination filter (one host must not
     * dominate the training mix). ONE hash shuffle keyed on the domain;
@@ -2583,6 +2620,7 @@ object Pipeline {
     "text_inverted_index" -> invertedIndex,
     "pipeline_url_canon" -> urlCanon,
     "pipeline_host_caps" -> hostCaps,
+    "pipeline_skew_stats" -> skewStats,
     "ann_kmeans" -> annKmeans,
     "emb_pq_codes" -> pqCodes,
     "dedup_exact" -> dedupExact,
@@ -3050,6 +3088,28 @@ object Pipeline {
         |    THEN (CAST(a.c AS HUGEINT) * (a.c - 1)) // 2
         |    ELSE CAST(a.c AS HUGEINT) * b.c END) > 0
         |ORDER BY source_a, source_b""".stripMargin,
+    "pipeline_skew_stats" ->
+      """WITH ec AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1
+        |), uc AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |), e1 AS (
+        |  SELECT 'event_type' AS key_col, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys, CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |    (SELECT k FROM ec ORDER BY cnt DESC, k DESC LIMIT 1) AS top_key
+        |  FROM ec
+        |), u1 AS (
+        |  SELECT 'user_id' AS key_col, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys, CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |    (SELECT k FROM uc ORDER BY cnt DESC, k DESC LIMIT 1) AS top_key
+        |  FROM uc
+        |)
+        |SELECT key_col, n_rows, n_keys, max_cnt, top_key,
+        |  CAST((max_cnt * 1000 * n_keys) // n_rows AS BIGINT) AS skew_x1000,
+        |  CAST(greatest(1, (max_cnt * 32 + n_rows - 1) // n_rows) AS BIGINT) AS salt_rec
+        |FROM (SELECT * FROM e1 UNION ALL SELECT * FROM u1) ORDER BY key_col""".stripMargin,
     "samp_temperature" ->
       """WITH per AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

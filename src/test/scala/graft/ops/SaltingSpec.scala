@@ -24,6 +24,28 @@ class SaltingSpec extends SparkTestBase {
     assert(plain.nonEmpty)
   }
 
+  test("skew-stats recommendation feeds saltedJoin: result-identical, naive-model-exact") {
+    // the pipeline_skew_stats → Salting.saltedJoin handoff on the real
+    // event stream: compute the recommended fan-out for event_type, use
+    // it as the salt count, and pin result identity with the plain join
+    val dir = "/root/testdata/sf0.001"
+    val stats = graft.queries.Pipeline.skewStats(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(6))).toMap
+    val (nRows, nKeys, maxCnt, saltRec) = stats("event_type")
+    // naive model of the recommendation
+    assert(saltRec === math.max(1L, (maxCnt * 32L + nRows - 1L) / nRows))
+    assert(nKeys > 0 && maxCnt > 0)
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type").as("k"), col("event_id"))
+    val dim = ev.select($"k").distinct().withColumn("label", concat(lit("t:"), $"k"))
+    val plain = ev.join(dim, Seq("k")).select($"k", $"event_id", $"label")
+      .collect().map(_.toSeq).toSet
+    val salted = Salting.saltedJoin(ev, dim, "k", saltRec.toInt)
+      .select($"k", $"event_id", $"label").collect().map(_.toSeq).toSet
+    assert(salted === plain && plain.nonEmpty)
+  }
+
   test("salt values actually spread the hot key") {
     val fact = (1 to 500).map(i => (42L, s"v$i")).toDF("k", "payload")
     val salts = fact.withColumn("__salt",
