@@ -89,6 +89,34 @@ final class SpaceSavingBuffer(val capacity: Int) {
   }
 }
 
+object SpaceSavingBuffer {
+  /** Wire format shared by the batch aggregate's partial exchange and
+    * the streaming twin's state store: capacity, floor, n, then sorted
+    * (key, cnt, err) triples — sorted so identical summaries are
+    * byte-identical regardless of HashMap history. */
+  def toBytes(b: SpaceSavingBuffer): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + 8 + 4 + b.counters.size * 24)
+    buf.putInt(b.capacity); buf.putLong(b.floor); buf.putInt(b.counters.size)
+    b.sorted().foreach { case (k, c, e) =>
+      buf.putLong(k); buf.putLong(c); buf.putLong(e)
+    }
+    buf.array()
+  }
+
+  def fromBytes(bytes: Array[Byte]): SpaceSavingBuffer = {
+    val buf = ByteBuffer.wrap(bytes)
+    val b = new SpaceSavingBuffer(buf.getInt())
+    b.floor = buf.getLong()
+    val n = buf.getInt()
+    var i = 0
+    while (i < n) {
+      b.addEntry(buf.getLong(), buf.getLong(), buf.getLong())
+      i += 1
+    }
+    b
+  }
+}
+
 /** SpaceSaving heavy hitters (Metwally, Agrawal & El Abbadi, ICDT 2005)
   * as a native Catalyst [[TypedImperativeAggregate]] — the suite's
   * custom-AGGREGATE capability next to its custom scalar codegen
@@ -164,28 +192,11 @@ case class SpaceSavingAgg(
     }.asInstanceOf[Array[Any]])
   }
 
-  override def serialize(b: SpaceSavingBuffer): Array[Byte] = {
-    val buf = ByteBuffer.allocate(4 + 8 + 4 + b.counters.size * 24)
-    buf.putInt(b.capacity); buf.putLong(b.floor); buf.putInt(b.counters.size)
-    // serialize in sorted order so partial bytes are deterministic too
-    b.sorted().foreach { case (k, c, e) =>
-      buf.putLong(k); buf.putLong(c); buf.putLong(e)
-    }
-    buf.array()
-  }
+  override def serialize(b: SpaceSavingBuffer): Array[Byte] =
+    SpaceSavingBuffer.toBytes(b)
 
-  override def deserialize(bytes: Array[Byte]): SpaceSavingBuffer = {
-    val buf = ByteBuffer.wrap(bytes)
-    val b = new SpaceSavingBuffer(buf.getInt())
-    b.floor = buf.getLong()
-    val n = buf.getInt()
-    var i = 0
-    while (i < n) {
-      b.addEntry(buf.getLong(), buf.getLong(), buf.getLong())
-      i += 1
-    }
-    b
-  }
+  override def deserialize(bytes: Array[Byte]): SpaceSavingBuffer =
+    SpaceSavingBuffer.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingAgg =
     copy(mutableAggBufferOffset = newOffset)

@@ -544,4 +544,55 @@ class StreamRestartSpec extends SparkTestBase {
       ()
     }
   }
+
+  test("heavy-hitter twin's counters accumulate across a restart (exact regime ≡ batch)") {
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocks)
+    val base = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"
+    try {
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[HeavyHitterStream.KeyedEvent]
+      def start() = HeavyHitterStream.topK(input.toDS(), capacity = 32, k = 5)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+
+      def evs(ks: Long*): Seq[HeavyHitterStream.KeyedEvent] =
+        ks.map(HeavyHitterStream.KeyedEvent("g", _))
+
+      // run 1: key 7 leads with 3, key 9 has 2, key 1 has 1
+      val q1 = start()
+      input.addData(evs(7, 7, 9, 7, 9, 1))
+      q1.processAllAvailable()
+      q1.stop()
+
+      // run 2 (same checkpoint): key 9 gains 3 — it overtakes key 7 ONLY
+      // if run 1's counts survived (fresh state would read 9→3 < 7's lost 3;
+      // reprocessing would double-count run 1's feed)
+      val q2 = start()
+      input.addData(evs(9, 9, 9, 1))
+      q2.processAllAvailable()
+      q2.stop()
+
+      val rows = spark.read.parquet(out)
+        .select(col("key"), col("cnt"), col("err"), col("rank"), col("nSeen"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getLong(4)))
+      val lastN = rows.map(_._5).max
+      assert(lastN === 10L, s"counters must span the restart: nSeen $lastN != 10")
+      val finalTop = rows.filter(_._5 == lastN).sortBy(_._4)
+        .map(t => (t._1, t._2, t._3)).toSeq
+      assert(finalTop === Seq((9L, 5L, 0L), (7L, 3L, 0L), (1L, 2L, 0L)),
+        s"resumed summary wrong: $finalTop")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      ()
+    }
+  }
 }
