@@ -2324,6 +2324,32 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** text_hot_spans: the corpus's most-replicated 4-token spans — the
+    * boilerplate detector (navigation chrome, license headers, cookie
+    * banners) that precedes span-level dedup (the motivation of Lee et
+    * al., ACL 2022 "Deduplicating Training Data...": replicated spans
+    * get memorized). Dual of [[ngramNovelty]]: novelty aggregates the
+    * SAME (doc, shingle) facts per doc (how much of this doc is
+    * first-seen?); this aggregates them per shingle (which spans
+    * blanket the corpus?) — top-20 by document frequency with the
+    * earliest carrying doc, replicated-only (df ≥ 2).
+    *
+    * Scale shape: shingling is row-local; `array_distinct` bounds each
+    * doc's contribution before the explode; the (doc, shingle) facts
+    * combine MAP-SIDE to one (df, min doc) row per shingle (partial
+    * count/min — one keyed exchange of shingle-frame width); top-20 is
+    * TakeOrderedAndProject. Same exchange budget as novelty's first
+    * half, no join at all. */
+  def hotSpans(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(Text.shingles(col("text"), 4))).as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("first_doc"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("span"))
+      .limit(20)
+
   /** text_term_lift: document-level term co-occurrence lift over the
     * df-top vocabulary — the association signal behind topic clustering
     * and template detection (two terms whose joint document frequency
@@ -2594,6 +2620,7 @@ object Pipeline {
     "emb_pca_power" -> ((sp: org.apache.spark.sql.SparkSession, d: String) => embPcaPower(sp, d)),
     "text_zipf_profile" -> zipfProfile,
     "text_term_lift" -> termLift,
+    "text_hot_spans" -> hotSpans,
     "text_bpe_merges" -> bpeMergesQuery,
     "dedup_cross_source" -> dedupCrossSource,
     "samp_class_balance" -> classBalance,
@@ -3225,6 +3252,23 @@ object Pipeline {
         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
         |  FROM embeddings)
         |GROUP BY dim ORDER BY dim""".stripMargin,
+    "text_hot_spans" ->
+      """WITH sh0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         WHEN len(string_split_regex(trim(text), '\s+')) < 4
+        |           THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+        |         ELSE [array_to_string(string_split_regex(trim(text), '\s+')[i:i+3], ' ')
+        |               FOR i IN range(1, len(string_split_regex(trim(text), '\s+')) - 2)]
+        |    END AS shl
+        |  FROM documents
+        |), ds AS (
+        |  SELECT DISTINCT doc_id, unnest(shl) AS span FROM sh0
+        |)
+        |SELECT span, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM ds GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY df DESC, span LIMIT 20""".stripMargin,
     "text_ngram_novelty" ->
       """WITH sh0 AS (
         |  SELECT doc_id,

@@ -551,6 +551,26 @@ class PipelineSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("hot spans parity with a naive shingle model on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val texts = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingles(t: String): Seq[String] = {
+      val toks = if (t.trim.isEmpty) Vector.empty else t.trim.split("\\s+").toVector
+      if (toks.isEmpty) Seq.empty
+      else if (toks.size < 4) Seq(toks.mkString(" "))
+      else toks.sliding(4).map(_.mkString(" ")).toSeq
+    }
+    val expected = texts.flatMap { case (id, t) => shingles(t).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, g) => (s, g.length.toLong, g.map(_._2).min) }
+      .filter(_._2 >= 2L).toSeq
+      .sortBy { case (s, df, _) => (-df, s) }.take(20)
+    val got = graft.queries.Pipeline.hotSpans(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
   test("chunking parity with a naive sliding-window model") {
     val words = Vector("alpha", "beta", "gamma", "delta", "eps")
     // lengths straddling every boundary case: < width, == width, width+1,
