@@ -36,6 +36,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_quantized_dot(a, b) takes 2 arguments, got ${exprs.length}")
         QuantizedDotExpr(exprs(0), exprs(1))
       }))
+    // the custom AGGREGATE surfaces in SQL too: capacity/k must be
+    // foldable integer literals (they parameterize the buffer, not the
+    // per-row evaluation)
+    ext.injectFunction((
+      FunctionIdentifier("graft_space_saving"),
+      new ExpressionInfo(
+        classOf[graft.functions.SpaceSavingAgg].getName, "graft_space_saving"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"graft_space_saving(key, capacity, k) takes 3 arguments, got ${exprs.length}")
+        def intLit(e: Expression, name: String): Int = {
+          require(e.foldable, s"graft_space_saving: $name must be a literal")
+          e.eval(null) match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_space_saving: $name must be an integer literal, got $other")
+          }
+        }
+        graft.functions.SpaceSavingAgg(exprs(0),
+          intLit(exprs(1), "capacity"), intLit(exprs(2), "k"))
+          .toAggregateExpression()
+      }))
     ()
   }
 }

@@ -54,4 +54,24 @@ class GraftExtensionsSpec extends SparkTestBase {
       spark.sql("SELECT graft_quantized_dot(array(CAST(1.0 AS FLOAT)))").collect())
     assert(arity.getMessage.contains("2 arguments"), s"got: ${arity.getMessage}")
   }
+
+  test("extension-injected graft_space_saving aggregates in SQL") {
+    val registry = spark.sessionState.functionRegistry
+    registry.dropFunction(FunctionIdentifier("graft_space_saving"))
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyFunctions(ext, registry)
+
+    val rows = spark.sql(
+      """SELECT e.key AS k, e.cnt AS c, e.err AS er
+        |FROM (SELECT explode(hh) AS e FROM (
+        |  SELECT graft_space_saving(v, 16, 3) AS hh
+        |  FROM VALUES (7L),(7L),(9L),(7L),(9L),(1L) AS t(v)))""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq((7L, 3L, 0L), (9L, 2L, 0L), (1L, 1L, 0L)))
+
+    val nonLit = intercept[Exception](
+      spark.sql("SELECT graft_space_saving(v, v, 3) FROM VALUES (1L) AS t(v)").collect())
+    assert(nonLit.getMessage.contains("literal"), s"got: ${nonLit.getMessage}")
+  }
 }
