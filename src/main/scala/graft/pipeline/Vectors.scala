@@ -142,6 +142,99 @@ object Vectors {
       .filter(col("rank") <= k)
   }
 
+  /** Sign-threshold binary codes — each embedding collapses to
+    * ⌈dims/64⌉ packed longs with bit d set iff its quantized component
+    * exceeds the corpus mean of dimension d (binary/sign quantization:
+    * ×32 less vector memory than float32 and Hamming retrieval at one
+    * XOR+POPCNT per word — the cheapest rung of the compression ladder
+    * under [[graft.queries.Pipeline]]'s sq8/PQ/Matryoshka operators).
+    *
+    * Exact-integer contract: components quantize to floor(x·1000) (the
+    * suite-wide convention) and the threshold compare is
+    * `q_d · n > Σ_d` — a MULTIPLY, never a mean division, because Spark
+    * `div` truncates toward zero while DuckDB `//` floors, and per-dim
+    * sums of centered embeddings go negative. Strictly-greater, so a
+    * dimension exactly at its mean reads 0 on both engines.
+    *
+    * Scale shape: the per-dim sums accumulate like the PCA Gram — one
+    * corpus scan folding each partition into a single (dims+1)-long
+    * array (sums + row count), with only those ~8·dims-byte partials
+    * combining on the driver (`treeAggregate`); the packer is then one
+    * JIT'd pass per row with the sums hoisted into the closure (the
+    * hyperplaneBucket precedent). `addExact`/`multiplyExact` fail fast
+    * where the oracle's HUGEINT would keep counting — q ≤ ~2·10³ at the
+    * ×1000 quantization bounds both products inside int64 past 10¹⁵
+    * rows.
+    *
+    * @return (vec_id BIGINT, code ARRAY<BIGINT> of ⌈dims/64⌉ words)
+    */
+  def binaryCodes(emb: DataFrame): DataFrame = {
+    val qv = emb.select(col("vec_id"), transform(col("embedding"),
+      x => floor(x.cast("double") * 1000).cast("long")).as("qv"))
+    val dimRows = qv.select(size(col("qv"))).limit(1).collect()
+    require(dimRows.nonEmpty, "binaryCodes: empty embeddings table")
+    val dims = dimRows(0).getInt(0)
+    require(dims >= 1, s"binaryCodes: zero-length embedding")
+    val acc = qv.select(col("qv")).rdd
+      .map(_.getSeq[Long](0).toArray)
+      .treeAggregate(new Array[Long](dims + 1))(
+        (a, v) => {
+          require(v.length == dims,
+            s"binaryCodes: ragged embedding — expected $dims dims, got ${v.length}")
+          var i = 0
+          while (i < dims) { a(i) = Math.addExact(a(i), v(i)); i += 1 }
+          a(dims) += 1
+          a
+        },
+        (a, b) => {
+          var i = 0
+          while (i <= dims) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+          a
+        })
+    val n = acc(dims)
+    require(n > 0, "binaryCodes: empty embeddings table")
+    val sums = java.util.Arrays.copyOf(acc, dims)
+    val words = (dims + 63) / 64
+    val pack = udf { (v: Array[Long]) =>
+      require(v.length == dims,
+        s"binaryCodes: ragged embedding — expected $dims dims, got ${v.length}")
+      val w = new Array[Long](words)
+      var d = 0
+      while (d < dims) {
+        if (Math.multiplyExact(v(d), n) > sums(d)) w(d >> 6) |= 1L << (d & 63)
+        d += 1
+      }
+      w
+    }
+    qv.select(col("vec_id"), pack(col("qv")).as("code"))
+  }
+
+  /** Hamming top-k over [[binaryCodes]] output — the binary-embedding
+    * twin of [[bruteForceTopK]]: bounded query codes broadcast against
+    * the repartitioned corpus, distance via the codegen'd
+    * [[graft.functions.HammingDistExpr]] (one XOR+POPCNT per word inside
+    * whole-stage codegen), per-query top-k window ordered (hamming ASC,
+    * neighbor ASC) — ties total, so the ranking is engine-portable.
+    *
+    * @param codes (vec_id BIGINT, code ARRAY<BIGINT>) from [[binaryCodes]]
+    * @return (query_id, neighbor_id, hamming BIGINT, rank INT)
+    */
+  def hammingTopK(codes: DataFrame, isQuery: Column => Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = codes.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("code").as("qc"))
+    val corpus = codes
+      .repartition(codes.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("code").as("c"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.HammingDistExpr.hammingDist(col("qc"), col("c")).as("hamming"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Train `k` coarse-quantizer centroids with Lloyd's iterations over a
     * deterministic, bounded driver-side sample (every `sampleMod`-th
     * vec_id, ordered, capped at `maxSample`). This is standard IVF

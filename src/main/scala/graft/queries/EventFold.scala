@@ -477,6 +477,55 @@ object EventFold {
     } finally { ev.unpersist(blocking = false); () }
   }
 
+  /** evt_interarrival: per-type inter-arrival-gap profile — exact
+    * p50/p95/p99/max of the µs gap between consecutive events of a type
+    * in event-time order (ties broken by event_id, a total order). The
+    * burstiness diagnostic capacity planning and rate-limit/watermark
+    * sizing read before picking trigger intervals and token-bucket
+    * rates; p99 ≫ p50 is the bursty-traffic signature.
+    *
+    * Exactness: the same rank-quantile convention as
+    * [[Relational.quantilesExactOf]] (r = ⌈n·q/10⁶⌉, value at rank r
+    * ascending) — pure integers, no interpolation to disagree on.
+    *
+    * Scale shape: the lag window partitions by type — within a type the
+    * gap computation is inherently sequential in event-time (that IS
+    * the semantics), across types it parallelizes; the quantile passes
+    * then run on the persisted gaps frame with the usual two-phase
+    * bucket scheme (driver sync bounded at one row per (type,
+    * quantile)), and the report is a bounded |types|-row eager collect
+    * so the cached gaps release before return. */
+  def interArrival(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type").as("grp"),
+        (col("ts_us") - col("prev")).as("cents"))
+    gaps.persist()
+    try {
+      val qs = Relational
+        .quantilesExactOf(spark, gaps, Seq(500000L, 950000L, 990000L))
+        .groupBy(col("grp"))
+        .agg(
+          max(when(col("q_ppm") === 500000L, col("q_cents"))).as("p50_us"),
+          max(when(col("q_ppm") === 950000L, col("q_cents"))).as("p95_us"),
+          max(when(col("q_ppm") === 990000L, col("q_cents"))).as("p99_us"))
+      val census = gaps.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_gaps"), max(col("cents")).as("max_us"))
+      val out = census.join(qs, Seq("grp"))
+        .select(col("grp").as("event_type"), col("n_gaps"),
+          col("p50_us"), col("p95_us"), col("p99_us"), col("max_us"))
+        .orderBy(col("event_type"))
+      // eager while the gaps frame is cached; |types| rows
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { gaps.unpersist(blocking = false); () }
+  }
+
   /** evt_attribution: last-touch conversion attribution — every
     * `purchase` credits the user's most recent PRECEDING `click`/`view`
     * within a 7-day lookback ("none" when the purchase is cold), rolled
@@ -634,9 +683,38 @@ object EventFold {
     "evt_funnel" -> funnel,
     "evt_type_markov" -> typeTransitions,
     "evt_attribution" -> attribution,
-    "evt_anomaly_mad" -> anomalyMad)
+    "evt_anomaly_mad" -> anomalyMad,
+    "evt_interarrival" -> interArrival)
 
   val oracleSql: Map[String, String] = Map(
+    // Same rank-quantile convention as the MAD oracle below:
+    // r = ⌈n·q/10⁶⌉, value = min g with cum ≥ r over ascending gaps.
+    "evt_interarrival" ->
+      """WITH base AS (
+        |  SELECT event_type AS grp,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS g
+        |  FROM events
+        |), gaps AS (
+        |  SELECT grp, g FROM base WHERE g IS NOT NULL
+        |), gc AS (
+        |  SELECT grp, g, count(*) AS c FROM gaps GROUP BY 1, 2
+        |), gr AS (
+        |  SELECT grp, g, c,
+        |    sum(c) OVER (PARTITION BY grp) AS n,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY g) AS cum
+        |  FROM gc
+        |), q AS (
+        |  SELECT grp,
+        |    CAST(min(CASE WHEN cum >= greatest(1, (n * 500000 + 999999) // 1000000) THEN g END) AS BIGINT) AS p50_us,
+        |    CAST(min(CASE WHEN cum >= greatest(1, (n * 950000 + 999999) // 1000000) THEN g END) AS BIGINT) AS p95_us,
+        |    CAST(min(CASE WHEN cum >= greatest(1, (n * 990000 + 999999) // 1000000) THEN g END) AS BIGINT) AS p99_us
+        |  FROM gr GROUP BY 1
+        |)
+        |SELECT g.grp AS event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  q.p50_us, q.p95_us, q.p99_us, CAST(max(g.g) AS BIGINT) AS max_us
+        |FROM gaps g JOIN q USING (grp)
+        |GROUP BY 1, 3, 4, 5 ORDER BY 1""".stripMargin,
     "evt_anomaly_mad" ->
       """WITH base AS (
         |  SELECT event_type AS grp,

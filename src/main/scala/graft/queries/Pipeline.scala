@@ -683,6 +683,54 @@ object Pipeline {
       .orderBy(col("query_id"))
   }
 
+  /** ann_hamming_topk: top-10 neighbors by HAMMING DISTANCE over
+    * sign-quantized binary codes ([[Vectors.binaryCodes]] — bit d set
+    * iff the quantized component exceeds dimension d's corpus mean,
+    * packed to ⌈dims/64⌉ longs) — the cheapest rung of the embedding
+    * compression ladder (×32 memory vs float32 next to sq8's ×4 and
+    * PQ's codebooks) and the standard first-stage filter of
+    * billion-scale retrieval (binary codes rank candidates, full
+    * vectors re-rank survivors). Fully deterministic — no seed — so
+    * unlike the LSH/IVF top-k twins the DuckDB oracle reproduces the
+    * exact neighbor lists.
+    *
+    * Scale shape: one corpus scan folds the per-dim sums into a single
+    * (dims+1)-long partial per partition; packing is one JIT'd pass per
+    * row; distance is the codegen'd XOR+POPCNT kernel
+    * ([[graft.functions.HammingDistExpr]]) over the bounded broadcast
+    * query set — no n×n work, and the shipped corpus is ⌈dims/64⌉
+    * longs per row, not dims floats. */
+  def annHamming(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Vectors.hammingTopK(Vectors.binaryCodes(e), q => q % 100 === 0, 10)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** ann_hamming_recall: per-query overlap of [[annHamming]]'s binary
+    * top-10 with the exact quantized-dot top-10 — how much ranking
+    * signal survives 1-bit-per-dimension compression. Like
+    * emb_matryoshka (and unlike the seeded LSH/IVF floors) this is
+    * FULLY deterministic, so the oracle reproduces per-query hit counts
+    * bit-for-bit. Scale shape: both top-k frames are bounded
+    * |queries|×10; the overlap is one left join plus a query-keyed
+    * aggregate over them (a production run persists the codes frame;
+    * here the two kernels re-scan — the corpus scan is the cheap part
+    * of both plans). */
+  def annHammingRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val full = Vectors.bruteForceTopK(e, q => q % 100 === 0, 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val ham = Vectors.hammingTopK(Vectors.binaryCodes(e), q => q % 100 === 0, 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("h", lit(1L))
+    full.join(ham, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"),
+        coalesce(sum(col("h")), lit(0L)).as("hits"))
+      .orderBy(col("query_id"))
+  }
+
   /** dedup_embedding_cosine: embedding-space near-dup pairs — multi-band
     * LSH candidates ([[Vectors.embeddingCandidates]]: bucket width scales
     * with corpus size, recall recovered by independent bands) verified by
@@ -2671,6 +2719,8 @@ object Pipeline {
     "ann_ivf_topk" -> annIvf,
     "ann_lsh_recall" -> annLshRecall,
     "ann_ivf_recall" -> annIvfRecall,
+    "ann_hamming_topk" -> annHamming,
+    "ann_hamming_recall" -> annHammingRecall,
     "dedup_embedding_cosine" -> dedupEmbedding,
     "dedup_embedding_recall" -> dedupEmbeddingRecall,
     "mm_decode_meta" -> multimodalMeta,
@@ -3190,6 +3240,70 @@ object Pipeline {
         |FROM full10 f
         |LEFT JOIN p16 USING (query_id, neighbor_id)
         |LEFT JOIN p32 USING (query_id, neighbor_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Bit parity with the Spark packer: the threshold compare is
+    // q_d·n > Σ_d (multiply, never a mean division — Spark div truncates
+    // toward zero, DuckDB // floors, and centered per-dim sums go
+    // negative).
+    "ann_hamming_topk" ->
+      """WITH qv AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), stats AS MATERIALIZED (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    (SELECT list(s ORDER BY d) FROM (
+        |      SELECT d, CAST(sum(q) AS BIGINT) AS s FROM (
+        |        SELECT generate_subscripts(v, 1) AS d, unnest(v) AS q FROM qv) GROUP BY 1)) AS thr
+        |  FROM qv
+        |), bits AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(list_zip(v, thr), p -> CASE WHEN p[1] * n > p[2] THEN 1 ELSE 0 END) AS b
+        |  FROM qv, stats
+        |)
+        |SELECT query_id, neighbor_id, hamming, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(list_zip(q.b, c.b),
+        |      p -> CASE WHEN p[1] <> p[2] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(q.b, c.b),
+        |        p -> CASE WHEN p[1] <> p[2] THEN 1 ELSE 0 END)), c.vec_id) AS INT) AS rank
+        |  FROM bits q JOIN bits c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_hamming_recall" ->
+      """WITH qv AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), stats AS MATERIALIZED (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    (SELECT list(s ORDER BY d) FROM (
+        |      SELECT d, CAST(sum(q) AS BIGINT) AS s FROM (
+        |        SELECT generate_subscripts(v, 1) AS d, unnest(v) AS q FROM qv) GROUP BY 1)) AS thr
+        |  FROM qv
+        |), bits AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(list_zip(v, thr), p -> CASE WHEN p[1] * n > p[2] THEN 1 ELSE 0 END) AS b
+        |  FROM qv, stats
+        |), ham10 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.b, c.b),
+        |          p -> CASE WHEN p[1] <> p[2] THEN 1 ELSE 0 END)), c.vec_id) AS r
+        |    FROM bits q JOIN bits c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id) t
+        |  WHERE r <= 10
+        |), full10 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) DESC, c.vec_id) AS r
+        |    FROM qv q JOIN qv c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id) t
+        |  WHERE r <= 10
+        |)
+        |SELECT f.query_id, CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        |FROM full10 f LEFT JOIN ham10 h USING (query_id, neighbor_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "emb_sq8" ->
       """WITH q AS (
