@@ -579,6 +579,31 @@ object EventFold {
     * so the bigram rules (per-user streams don't bleed into each other;
     * each user's first event starts no transition) are property-testable
     * against a naive sliding-pair model. */
+  /** evt_top_paths: the 20 most-travelled 3-step event-type paths over
+    * per-user journeys — the trigram extension of [[typeTransitionsOf]]'
+    * first-order Markov table, and the session-mining/funnel-discovery
+    * primitive (a dominant view→view→purchase path IS the funnel worth
+    * instrumenting). Deterministic: journeys order by event_id within
+    * user, the top-20 ties break on the full (n DESC, t1, t2, t3) total
+    * order.
+    *
+    * Scale shape: the lead windows parallelize by user (the markov
+    * query's exchange, reused); path counts map-side combine over
+    * ≤ |types|³ keys; top-20 is a TakeOrdered, never a global sort. */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n_paths"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_paths").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
   private[graft] def typeTransitionsOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
@@ -684,7 +709,8 @@ object EventFold {
     "evt_type_markov" -> typeTransitions,
     "evt_attribution" -> attribution,
     "evt_anomaly_mad" -> anomalyMad,
-    "evt_interarrival" -> interArrival)
+    "evt_interarrival" -> interArrival,
+    "evt_top_paths" -> topPaths)
 
   val oracleSql: Map[String, String] = Map(
     // Same rank-quantile convention as the MAD oracle below:
@@ -996,5 +1022,16 @@ object EventFold {
         |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
         |  FROM events) t
         |WHERE prev_type IS NOT NULL
-        |GROUP BY prev_type, event_type""".stripMargin)
+        |GROUP BY prev_type, event_type""".stripMargin,
+    "evt_top_paths" ->
+      """SELECT t1, t2, t3, count(*) AS n_paths,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM (
+        |  SELECT user_id, event_type AS t1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS t2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS t3
+        |  FROM events) t
+        |WHERE t3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, t1, t2, t3 LIMIT 20""".stripMargin)
 }

@@ -238,13 +238,53 @@ object Graphs {
     }
   }
 
+  /** graph_degree_hist: power-of-2 degree histogram per bipartite side —
+    * the first profile any graph pipeline runs before choosing a join
+    * strategy (a heavy tail ⇒ salt the hub keys; see
+    * pipeline_skew_stats for the relational twin). The bucket is the
+    * BIT LENGTH of the degree — `length(bin(deg))` = ⌊log2 deg⌋ + 1,
+    * pure integer string length on both engines, so no libm log enters
+    * the hash contract.
+    *
+    * Scale shape: one keyed count per endpoint (the degree aggregate
+    * the triangle orientation already pays), then a ≤ 2·64-key rollup —
+    * map-side combinable everywhere, bounded output. */
+  def degreeHist(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, _) = graph(spark, dir)
+    val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    deg.select(
+      when(pmod(col("a"), lit(2)) === 0, lit("part"))
+        .otherwise(lit("supplier")).as("side"),
+        length(bin(col("deg"))).cast("int").as("bucket"),
+        col("deg"))
+      .groupBy(col("side"), col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+      .orderBy(col("side"), col("bucket"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_khop" -> kHop,
     "graph_reach_conv" -> reachConverged,
     "graph_pagerank" -> ((s, d) => pagerank(s, d)),
+    "graph_degree_hist" -> degreeHist,
     "graph_triangles" -> triangles)
 
   def oracleSql: Map[String, String] = Map(
+    "graph_degree_hist" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM lineitem WHERE l_quantity <= 3
+        |), e AS (
+        |  SELECT a, b FROM li UNION SELECT b, a FROM li
+        |), deg AS (
+        |  SELECT a, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+        |)
+        |SELECT CASE WHEN a % 2 = 0 THEN 'part' ELSE 'supplier' END AS side,
+        |  CAST(length(bin(deg)) AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  min(deg) AS min_deg, max(deg) AS max_deg
+        |FROM deg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "graph_triangles" ->
       """WITH ps AS (
         |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s

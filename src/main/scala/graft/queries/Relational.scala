@@ -400,7 +400,9 @@ object Relational {
     * and orders hash-bucketed on the join key into the same bucket
     * count, carrying the union of the columns every bucketed consumer
     * needs (q19's rollup set + q3's o_custkey dimension key + q12's
-    * o_totalprice predicate + the return flag). Written ONCE per
+    * o_totalprice predicate + the return flag + q21's supplier/date
+    * lateness columns — columnar storage means non-consumers never read
+    * the extras). Written ONCE per
     * (session, sf) — the first consumer
     * pays the bucketing shuffle, every later fact⋈fact query in the
     * session joins exchange-free on the key — and re-created by a fresh
@@ -414,13 +416,15 @@ object Relational {
     if (!spark.catalog.tableExists(liT)) {
       graft.sinks.BucketedWrite.writeBucketed(
         Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"),
-          col("l_extendedprice"), col("l_discount"), col("l_returnflag")),
+          col("l_extendedprice"), col("l_discount"), col("l_returnflag"),
+          col("l_suppkey"), col("l_shipdate")),
         liT, s"$base/li", "l_orderkey", nBuckets = 32, sortCols = Seq("l_orderkey"))
     }
     if (!spark.catalog.tableExists(oT)) {
       graft.sinks.BucketedWrite.writeBucketed(
         Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"),
-          col("o_custkey"), col("o_totalprice")),
+          col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderstatus")),
         oT, s"$base/o", "o_orderkey", nBuckets = 32, sortCols = Seq("o_orderkey"))
     }
     (spark.table(liT), spark.table(oT))
@@ -447,7 +451,53 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q21: "who kept the order waiting" — for each finished order
+    * (status F) with at least two distinct suppliers, if EXACTLY ONE
+    * supplier shipped late (> 90 days past the order date) that
+    * supplier takes the blame; output is the 20 most-blamed suppliers
+    * (ties → smaller suppkey). The TPC-H Q21 shape with its classic
+    * EXISTS / NOT-EXISTS pair REWRITTEN as one keyed aggregate: the
+    * textbook plan self-joins the fact table twice (exists another
+    * supplier on the order; not exists another LATE supplier) — three
+    * fact-table shuffles; here the order-keyed group-by computes
+    * (distinct suppliers, distinct late suppliers, the sole late
+    * supplier) per order in one pass and the blame test is a row
+    * predicate on that frame. The distinct-counting itself is CASCADED
+    * aggregation, not `countDistinct`: a multi-distinct aggregate plans
+    * an Expand (3× the rows, and ExpandExec reports
+    * UnknownPartitioning, so Spark re-shuffles BOTH aggregate levels —
+    * two extra fact-size exchanges, measured in the plan); grouping by
+    * (order, supplier) first and summing per-supplier late flags per
+    * order computes the same three numbers in two codegen
+    * HashAggregates whose keys are supersets/equal of the bucket key.
+    * The FOURTH [[bucketedFacts]] consumer: the join and BOTH
+    * order-keyed aggregates ride the shared bucket layout exchange-free
+    * (the status/date predicates are row filters — bucket distribution
+    * is preserved); the plan's only exchange is the bounded
+    * per-supplier rollup. At 100× the fact table that is one co-located
+    * scan versus three shuffles. */
+  def q21OnlyLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val (li, o) = bucketedFacts(spark, dir)
+    val j = li.join(o.filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1)
+          .otherwise(0).as("late"))
+    val perSupp = j.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("supp_late"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("supp_late")).as("n_late"),
+        min(when(col("supp_late") === 1, col("l_suppkey"))).as("only_late"))
+    perOrder.filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("only_late").as("suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("suppkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_only_late_supplier" -> q21OnlyLateSupplier,
     "q19_bucketed_join" -> q19BucketedJoin,
     "q20_quantile_profile" -> q20QuantileProfile,
     "q18_p99_exact" -> q18P99Exact,
@@ -471,7 +521,23 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     // deliberately the PLAIN join — the bucketed layout must be invisible
-    // to results
+    // to results (same rule as q19/q3/q12)
+    "q21_only_late_supplier" ->
+      """WITH j AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |         THEN 1 ELSE 0 END AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |), per_order AS (
+        |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late,
+        |    min(CASE WHEN late = 1 THEN l_suppkey END) AS only_late
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT only_late AS suppkey, count(*) AS numwait FROM per_order
+        |WHERE n_supp >= 2 AND n_late = 1
+        |GROUP BY 1 ORDER BY numwait DESC, suppkey LIMIT 20""".stripMargin,
     "q19_bucketed_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_revenue,

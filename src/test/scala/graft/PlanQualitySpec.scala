@@ -317,6 +317,41 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q21 reuses the shared bucketed facts: join AND per-order aggregate exchange-free") {
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevBcast = spark.conf.get(bcastKey)
+    spark.conf.set(bcastKey, "-1")
+    try {
+      // the fourth bucketedFacts consumer — the status/date predicates
+      // are row filters (bucket distribution preserved), and BOTH
+      // order-keyed aggregates (per-(order, supplier) dedup, per-order
+      // rollup) key on supersets/equal of the bucket key, so neither
+      // the join nor the group-bys may add a keyed exchange; the only
+      // one left belongs to the bounded per-supplier rollup. Also pins
+      // the cascaded-aggregate rewrite: countDistinct would plan an
+      // Expand (UnknownPartitioning → two extra fact-size exchanges).
+      val p = plan("q21_only_late_supplier")
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(o_orderkey"),
+        s"q21's fact join and per-order aggregates must ride the bucket layout:\n$p")
+      assert(!p.contains("Expand"),
+        s"distinct counting must cascade aggregates, not Expand:\n$p")
+      val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 1,
+        s"expected at most the per-supplier rollup exchange, got $exchanges:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast fact join:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"top-20 must be a TakeOrdered, not a global sort:\n$p")
+    } finally {
+      spark.conf.set(bcastKey, prevBcast)
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      spark.sql(s"DROP TABLE IF EXISTS graft_fact_li_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS graft_fact_o_$tag")
+      ()
+    }
+  }
+
   test("containment: inverted-index candidates, never a cartesian or per-language all-pairs") {
     val p = plan("dedup_containment")
     assert(!p.contains("CartesianProduct"),
