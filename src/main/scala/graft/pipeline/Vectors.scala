@@ -369,7 +369,28 @@ object Vectors {
 
   def kmeansQuantized(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, seeding: String = "farthest",
-      maxLocalSeedRows: Long = 100000L): DataFrame = {
+      maxLocalSeedRows: Long = 100000L): DataFrame =
+    kmeansQuantizedCore(
+      emb.select(col(idCol), transform(col(vecCol),
+        x => floor(x.cast("double") * lit(1000.0)).cast("long")).as("__v")),
+      idCol, k, iters, seeding, maxLocalSeedRows)._1
+
+  /** [[kmeansQuantized]] over PRE-QUANTIZED long vectors, also returning
+    * the final centroid block — the residual-quantization entry point
+    * (emb_rq_codes): RVQ's second level clusters integer residuals, and
+    * re-routing them through the float×1000 quantization would corrupt
+    * them (r/1000·1000 in doubles is not the identity). Same seeding,
+    * assignment, and floor-divided update as the float path — the ONLY
+    * difference is skipping the quantization projection. */
+  private[graft] def kmeansLongs(pre: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, seeding: String = "farthest",
+      maxLocalSeedRows: Long = 100000L): (DataFrame, Array[(Long, Array[Long])]) =
+    kmeansQuantizedCore(pre.select(col(idCol), col(vecCol).as("__v")),
+      idCol, k, iters, seeding, maxLocalSeedRows)
+
+  private def kmeansQuantizedCore(qIn: DataFrame, idCol: String,
+      k: Int, iters: Int, seeding: String,
+      maxLocalSeedRows: Long): (DataFrame, Array[(Long, Array[Long])]) = {
     // k ≤ 2^20 keeps the packed `d·k + cid` key inside a Long for any
     // quantized distance below 2^43 (≈8.8e12 — e.g. 8,800 dims of
     // full-range ±1.0 components at the ×1000 quantization). The
@@ -383,8 +404,7 @@ object Vectors {
     // at the default gate; the parameter exists so KmeansSpec can force
     // the distributed rounds on a small fixture
     require(maxLocalSeedRows >= 0, s"bad maxLocalSeedRows=$maxLocalSeedRows")
-    val q = emb.select(col(idCol),
-      transform(col(vecCol), x => floor(x.cast("double") * lit(1000.0)).cast("long")).as("__v"))
+    val q = qIn
     q.persist()
     try {
       // Deterministic seeding (VERDICT r12 #9). "farthest" (default) is
@@ -478,7 +498,7 @@ object Vectors {
           // round localCheckpoints (id, __v, __bestd): lineage stays one
           // node deep, and the previous round's blocks are released as
           // soon as the next is materialized.
-          val spark = emb.sparkSession
+          val spark = qIn.sparkSession
           val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
           val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
           val first = q.orderBy(col(idCol)).limit(1).collect().head
@@ -558,7 +578,8 @@ object Vectors {
           (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray)
         }
       }
-      assigned(centroids).select(col(idCol), col("cluster_id"), col("dist_q"))
+      (assigned(centroids).select(col(idCol), col("cluster_id"), col("dist_q")),
+        centroids)
     } finally {
       q.unpersist()
       ()

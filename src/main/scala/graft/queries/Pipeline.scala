@@ -1432,6 +1432,57 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** emb_rq_codes: RESIDUAL QUANTIZATION — the other axis of the
+    * codebook-compression family next to [[pqCodes]]' product split
+    * (and the shape neural-codec token stacks build on): level 1 runs
+    * the exact-integer k-means contract over the full vectors, level 2
+    * clusters the integer RESIDUALS q − c1(assigned), and each vector
+    * becomes (c1, c2) with the exact reconstruction error
+    * ‖q − c1 − c2‖² = level-2 dist_q. Where PQ cuts dimensions into
+    * independent blocks, RVQ refines the SAME space coarse-to-fine —
+    * err1_q vs err_q in the output is the audit of what the second
+    * stage bought.
+    *
+    * Exactness: residuals are already-quantized longs, so level 2
+    * enters through [[Vectors.kmeansLongs]] — re-routing them through
+    * the float×1000 quantization would corrupt them (r/1000·1000 in
+    * doubles is not the identity). Both levels share the
+    * farthest-point seeding, codegen'd assignment, and floor-divided
+    * update (floor, not truncate, so negative residual sums agree with
+    * the oracle's `//`); the DuckDB oracle runs the same unrolled chain
+    * twice with the level-2 source swapped to a residual CTE.
+    *
+    * Scale shape: two [[Vectors.kmeansLongs]] passes (each as
+    * scale-safe as ann_kmeans: gate-bounded seeding, codegen
+    * assignment), one residual projection (a JIT'd per-row subtract
+    * with the k·dim centroid block hoisted into the closure), joins
+    * keyed on vec_id. */
+  def rqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qv = emb.select(col("vec_id"), transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1000.0)).cast("long")).as("qv"))
+    val (a1, cents1) = Vectors.kmeansLongs(qv, "vec_id", "qv", k = 8, iters = 2)
+    val block = cents1.sortBy(_._1).map(_._2)
+    val resid = udf { (v: Array[Long], cid: Long) =>
+      val c = block(cid.toInt)
+      require(v.length == c.length,
+        s"emb_rq_codes: ragged embedding — expected ${c.length} dims, got ${v.length}")
+      Array.tabulate(v.length)(i => Math.subtractExact(v(i), c(i)))
+    }
+    val res = qv
+      .join(a1.withColumnRenamed("cluster_id", "c1")
+        .withColumnRenamed("dist_q", "err1_q"), Seq("vec_id"))
+      .select(col("vec_id"), col("c1"), col("err1_q"),
+        resid(col("qv"), col("c1")).as("rv"))
+    val (a2, _) = Vectors.kmeansLongs(res, "vec_id", "rv", k = 8, iters = 2)
+    res
+      .join(a2.withColumnRenamed("cluster_id", "c2")
+        .withColumnRenamed("dist_q", "err_q"), Seq("vec_id"))
+      .select(col("vec_id"), col("c1"), col("c2"),
+        col("err1_q"), col("err_q"))
+      .orderBy(col("vec_id"))
+  }
+
   /** ann_kmeans: exact-integer Lloyd's clustering contract
     * ([[Vectors.kmeansQuantized]], VERDICT r10 #9) — per-cluster size and
     * quantized SSE after 2 iterations from a deterministic farthest-point
@@ -2698,6 +2749,7 @@ object Pipeline {
     "pipeline_skew_stats" -> skewStats,
     "ann_kmeans" -> annKmeans,
     "emb_pq_codes" -> pqCodes,
+    "emb_rq_codes" -> rqCodes,
     "dedup_exact" -> dedupExact,
     "dedup_clusters" -> dedupClusters,
     "dedup_minhash_lsh" -> dedupMinhash,
@@ -2996,8 +3048,12 @@ object Pipeline {
     * `vecExpr` is the raw vector expression to quantize (`embedding`,
     * or a DuckDB slice `embedding[1:16]` for a PQ block). With
     * `p = ""` and `vecExpr = "embedding"` the text is byte-identical
-    * to the chain ann_kmeans/pipeline_semdedup always used. */
-  private def kmeansAssignChain(p: String, vecExpr: String): String = {
+    * to the chain ann_kmeans/pipeline_semdedup always used. `fromRel` /
+    * `preQuantized` swap the source: emb_rq_codes' level 2 reads
+    * already-quantized integer residuals from its own CTE, so the
+    * float×1000 quantization projection must be skipped. */
+  private def kmeansAssignChain(p: String, vecExpr: String,
+      fromRel: String = "embeddings", preQuantized: Boolean = false): String = {
     val steps = (1 until 8).map { j =>
       s"""${p}d$j AS MATERIALIZED (
          |  SELECT q.vec_id, q.v,
@@ -3012,10 +3068,14 @@ object Pipeline {
          |  FROM (SELECT vec_id, v FROM ${p}d$j ORDER BY d DESC, vec_id LIMIT 1)
          |)""".stripMargin
     }.mkString(", ")
+    val qBody =
+      if (preQuantized) s"SELECT vec_id, $vecExpr AS v FROM $fromRel"
+      else
+        s"""SELECT vec_id,
+           |    list_transform($vecExpr, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+           |  FROM $fromRel""".stripMargin
     s"""${p}q AS MATERIALIZED (
-       |  SELECT vec_id,
-       |    list_transform($vecExpr, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-       |  FROM embeddings
+       |  $qBody
        |), ${p}ch0 AS MATERIALIZED (
        |  SELECT vec_id, v, 0 AS cid FROM (SELECT vec_id, v FROM ${p}q ORDER BY vec_id LIMIT 1)
        |), $steps, ${p}c0 AS MATERIALIZED (
@@ -3821,6 +3881,25 @@ object Pipeline {
         |  CAST(b0_a2.dmin + b1_a2.dmin + b2_a2.dmin + b3_a2.dmin AS BIGINT) AS err_q
         |FROM b0_a2 JOIN b1_a2 USING (vec_id) JOIN b2_a2 USING (vec_id)
         |  JOIN b3_a2 USING (vec_id)
+        |ORDER BY vec_id""".stripMargin
+    },
+    "emb_rq_codes" -> {
+      // the SAME Lloyd chain twice: level 1 over the quantized
+      // embeddings, level 2 over the integer residuals q − c1(assigned)
+      // (preQuantized — no float re-quantization), stitched by one
+      // residual CTE. Level-1 assignments/centroids are a2/c1 of the
+      // first chain; the final error is level 2's dmin.
+      val level1 = kmeansAssignChain("", "embedding")
+      val level2 = kmeansAssignChain("r", "v", fromRel = "res", preQuantized = true)
+      s"""WITH $level1, res AS MATERIALIZED (
+        |  SELECT a2.vec_id,
+        |    [ q.v[i] - c1.v[i] FOR i IN range(1, len(q.v) + 1) ] AS v
+        |  FROM a2 JOIN q USING (vec_id) JOIN c1 ON a2.cid = c1.cid
+        |), $level2
+        |SELECT a2.vec_id,
+        |  CAST(a2.cid AS BIGINT) AS c1, CAST(ra2.cid AS BIGINT) AS c2,
+        |  CAST(a2.dmin AS BIGINT) AS err1_q, CAST(ra2.dmin AS BIGINT) AS err_q
+        |FROM a2 JOIN ra2 USING (vec_id)
         |ORDER BY vec_id""".stripMargin
     },
     "pipeline_semdedup" ->

@@ -77,6 +77,26 @@ class KmeansSpec extends SparkTestBase {
     assert(got === naive(3, 3))
   }
 
+  test("kmeansLongs over pre-quantized vectors matches the float path exactly") {
+    // the residual-quantization entry point must be the SAME algorithm
+    // minus the quantization projection: feeding floor(x·1000) longs
+    // directly must reproduce assignments, distances, AND the returned
+    // centroid block of the float path
+    val df = points.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val pre = points.map { case (id, v) =>
+      (id, v.map(x => math.floor(x.toDouble * 1000.0).toLong))
+    }.toDF("vec_id", "qv")
+    val viaFloat = Vectors.kmeansQuantized(df, "vec_id", "embedding", k = 3, iters = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val (aLongs, cents) = Vectors.kmeansLongs(pre, "vec_id", "qv", k = 3, iters = 3)
+    val viaLongs = aLongs
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(viaLongs === viaFloat)
+    assert(cents.length === 3)
+    assert(cents.map(_._1).toSeq === Seq(0L, 1L, 2L))
+  }
+
   test("SSE is non-increasing across Lloyd iterations on this data") {
     val df = points.toDF("vec_id", "embedding")
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))

@@ -155,6 +155,29 @@ class PipelineSpec extends SparkTestBase {
     assert(viaBroadcast.nonEmpty)
   }
 
+  test("rq codes: level-1 errors equal the ann_kmeans contract, level 2 refines") {
+    val dir = "/root/testdata/sf0.001"
+    val rq = graft.queries.Pipeline.rqCodes(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val emb = graft.Tables.embeddings(spark, dir)
+    assert(rq.length.toLong === emb.count())
+    assert(rq.forall(t => t._2 >= 0 && t._2 < 8 && t._3 >= 0 && t._3 < 8),
+      "codes must be 3-bit cluster ids on both levels")
+    // level 1 IS the ann_kmeans contract: per-vector err1_q must equal
+    // kmeansQuantized's dist_q verbatim
+    val km = Vectors.kmeansQuantized(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rq.foreach { case (id, c1, _, err1, _) =>
+      assert(km(id) === ((c1, err1)), s"level-1 mismatch for vec $id")
+    }
+    // the second stage must buy error: residual clustering strictly
+    // reduces TOTAL reconstruction error on this corpus (fixed data —
+    // not a theorem per vector, hence aggregate)
+    assert(rq.map(_._5).sum < rq.map(_._4).sum,
+      "RVQ level 2 failed to reduce total reconstruction error")
+  }
+
   test("LSH plane counts are capped to the band-id bit layout") {
     intercept[IllegalArgumentException] { Vectors.bandSignatures(col("embedding"), 4, 57) }
     intercept[IllegalArgumentException] { Vectors.bandSignatures(col("embedding"), 256, 8) }
