@@ -590,18 +590,28 @@ object EventFold {
     * Scale shape: the lead windows parallelize by user (the markov
     * query's exchange, reused); path counts map-side combine over
     * ≤ |types|³ keys; top-20 is a TakeOrdered, never a global sort. */
-  def topPaths(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-    Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"))
-      .withColumn("t2", lead(col("event_type"), 1).over(w))
-      .withColumn("t3", lead(col("event_type"), 2).over(w))
-      .filter(col("t3").isNotNull)
-      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+  def topPaths(spark: SparkSession, dir: String): DataFrame =
+    topPathTrigramsOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type")))
+      .groupBy(col("t1"), col("t2"), col("t3"))
       .agg(count(lit(1)).as("n_paths"),
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("n_paths").desc, col("t1"), col("t2"), col("t3"))
       .limit(20)
+
+  /** The per-user trigram frame under [[topPaths]] — (user_id,
+    * event_id of the COMPLETING event, t1, t2, t3), one row per
+    * 3-event window in event_id order. Factored so the streaming twin
+    * ([[graft.streaming.PathStream]]) pins parity against the exact
+    * frame the batch rollup consumes. */
+  private[graft] def topPathTrigramsOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    ev
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .filter(col("t1").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        col("t1"), col("t2"), col("event_type").as("t3"))
   }
 
   private[graft] def typeTransitionsOf(ev: DataFrame): DataFrame = {

@@ -595,4 +595,55 @@ class StreamRestartSpec extends SparkTestBase {
       ()
     }
   }
+
+  test("path twin completes a trigram from the (t-2, t-1) pair recovered across a restart") {
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocks)
+    val base = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"
+    try {
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[PathStream.PathEvent]
+      def start() = PathStream.trigrams(input.toDS())
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+
+      // run 1: u1 sees exactly two events — an in-flight (a, b) pair,
+      // nothing emitted yet; u2 completes one trigram before the restart
+      val q1 = start()
+      input.addData(Seq(
+        PathStream.PathEvent(1L, 10L, "a"), PathStream.PathEvent(1L, 11L, "b"),
+        PathStream.PathEvent(2L, 12L, "x"), PathStream.PathEvent(2L, 13L, "y"),
+        PathStream.PathEvent(2L, 14L, "z")))
+      q1.processAllAvailable()
+      q1.stop()
+
+      // run 2 (same checkpoint): u1's third event arrives — the trigram
+      // (a, b, c) exists ONLY if the two-event prefix survived the
+      // restart (fresh state would re-prime and emit nothing;
+      // reprocessing would double-emit u2's trigram)
+      val q2 = start()
+      input.addData(Seq(PathStream.PathEvent(1L, 15L, "c")))
+      q2.processAllAvailable()
+      q2.stop()
+
+      val rows = spark.read.parquet(out)
+        .select(col("userId"), col("eventId"), col("t1"), col("t2"), col("t3"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2), r.getString(3), r.getString(4))).toSeq
+      assert(rows.sortBy(_._2) === Seq(
+        (2L, 14L, "x", "y", "z"),
+        (1L, 15L, "a", "b", "c")),
+        s"recovered journey state wrong: $rows")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      ()
+    }
+  }
 }
