@@ -317,6 +317,19 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("hamming top-k: broadcast query codes, codegen distance kernel, no shuffle join") {
+    val p = plan("ann_hamming_topk")
+    assert(p.contains("hamming_dist"),
+      s"distance must run in the native HammingDistExpr kernel:\n$p")
+    // the query side is a bounded broadcast against the corpus scan —
+    // a non-equi condition (query_id =!= neighbor_id), so the right
+    // shape is a broadcast nested-loop, never a shuffled join
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query codes must broadcast against the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"hamming scoring must not shuffle or go cartesian:\n$p")
+  }
+
   test("q21 reuses the shared bucketed facts: join AND per-order aggregate exchange-free") {
     val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
     val prevBcast = spark.conf.get(bcastKey)

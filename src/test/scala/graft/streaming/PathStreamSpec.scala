@@ -79,6 +79,56 @@ class PathStreamSpec extends SparkTestBase {
     assert(got === Set((1L, 4L, "a", "b", "c")))
   } }
 
+  test("trigram stream feeds HeavyHitterStream: live top paths equal the batch rollup (exact regime)") { withRocks {
+    // the documented composition: PathStream extracts, SpaceSaving
+    // summarizes — keyed by the path string's hash (capacity ≥ distinct
+    // paths ⇒ exact counts, err 0, so the live top-k must equal the
+    // batch evt_top_paths rollup on the same feed)
+    val rnd = new scala.util.Random(97)
+    val types = Seq("click", "view", "purchase")
+    val evs = (1L to 240L).map { i =>
+      PathStream.PathEvent(rnd.nextInt(5).toLong, i, types(rnd.nextInt(types.size)))
+    }
+    def pathKey(t1: String, t2: String, t3: String): Long = {
+      // any injective path→long encoding works for the count contract;
+      // 3 types ⇒ base-4 digits are collision-free by construction
+      def d(t: String) = types.indexOf(t).toLong + 1L
+      (d(t1) * 16L + d(t2) * 4L + d(t3))
+    }
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[PathStream.PathEvent]
+    val hh = HeavyHitterStream.topK(
+      PathStream.trigrams(input.toDS())
+        .map(t => HeavyHitterStream.KeyedEvent("paths", pathKey(t.t1, t.t2, t.t3))),
+      capacity = 64, k = 10)
+    val q = hh.writeStream.format("memory").queryName("live_paths")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      evs.grouped(29).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val rows = spark.table("live_paths")
+        .select(col("key"), col("cnt"), col("err"), col("rank"), col("nSeen"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getLong(4)))
+      val lastN = rows.map(_._5).max
+      val live = rows.filter(_._5 == lastN).sortBy(_._4)
+        .map(t => (t._1, t._2, t._3)).toSeq
+      // batch truth: count the trigram multiset directly
+      val all = batchTrigrams(evs).toSeq
+        .groupBy(t => pathKey(t._3, t._4, t._5))
+        .map { case (k2, v) => (k2, v.size.toLong) }.toSeq
+      val batch = all.sortBy { case (k2, n) => (-n, k2) }.take(10)
+      assert(lastN === all.map(_._2).sum,
+        s"summary must have absorbed every trigram: $lastN")
+      assert(live.map(t => (t._1, t._2)) === batch,
+        s"live top paths diverge from the batch rollup:\nlive:  $live\nbatch: $batch")
+      assert(live.forall(_._3 === 0L), s"exact regime must carry err 0: $live")
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS live_paths")
+      ()
+    }
+  } }
+
   test("out-of-order input fails fast instead of silently re-windowing") { withRocks {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[PathStream.PathEvent]
