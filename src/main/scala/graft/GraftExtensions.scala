@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{HopSubtractExpr, QuantizedDotExpr}
+import graft.functions.{HammingDistExpr, HopSubtractExpr, QuantizedDotExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"graft_quantized_dot(a, b) takes 2 arguments, got ${exprs.length}")
         QuantizedDotExpr(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hamming_dist"),
+      new ExpressionInfo(classOf[HammingDistExpr].getName, "graft_hamming_dist"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_hamming_dist(a, b) takes 2 arguments, got ${exprs.length}")
+        HammingDistExpr(exprs(0), exprs(1))
       }))
     // the custom AGGREGATE surfaces in SQL too: capacity/k must be
     // foldable integer literals (they parameterize the buffer, not the

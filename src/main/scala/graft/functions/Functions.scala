@@ -25,6 +25,11 @@ object Functions {
       exprs => QuantizedDotExpr(exprs(0), exprs(1)),
       "built-in")
 
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hamming_dist",
+      exprs => HammingDistExpr(exprs(0), exprs(1)),
+      "built-in")
+
     spark.udf.register("graft_token_count",
       (s: String) => if (s == null || s.trim.isEmpty) 0 else s.trim.split("\\s+").length)
   }

@@ -55,6 +55,24 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(arity.getMessage.contains("2 arguments"), s"got: ${arity.getMessage}")
   }
 
+  test("extension-injected graft_hamming_dist resolves in SQL") {
+    val registry = spark.sessionState.functionRegistry
+    registry.dropFunction(FunctionIdentifier("graft_hamming_dist"))
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyFunctions(ext, registry)
+
+    val d = spark.sql(
+      """SELECT graft_hamming_dist(array(CAST(5 AS BIGINT), CAST(-1 AS BIGINT)),
+        |                          array(CAST(3 AS BIGINT))) AS d""".stripMargin)
+      .head().getLong(0)
+    assert(d === 2L + 64L) // 101^011 = 2 bits; -1 vs zero-pad = 64 bits
+
+    val arity = intercept[Exception](
+      spark.sql("SELECT graft_hamming_dist(array(CAST(1 AS BIGINT)))").collect())
+    assert(arity.getMessage.contains("2 arguments"), s"got: ${arity.getMessage}")
+  }
+
   test("extension-injected graft_space_saving aggregates in SQL") {
     val registry = spark.sessionState.functionRegistry
     registry.dropFunction(FunctionIdentifier("graft_space_saving"))

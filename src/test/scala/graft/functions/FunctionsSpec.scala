@@ -20,6 +20,9 @@ class FunctionsSpec extends SparkTestBase {
     assert(spark.sql(
       "SELECT graft_quantized_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS d")
       .head().getLong(0) === 2000000L)
+    assert(spark.sql(
+      "SELECT graft_hamming_dist(array(CAST(5 AS BIGINT)), array(CAST(3 AS BIGINT))) AS d")
+      .head().getLong(0) === 2L)
   }
 
   test("JdbcSink SQL builders produce well-formed statements") {
