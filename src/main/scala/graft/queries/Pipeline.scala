@@ -438,9 +438,12 @@ object Pipeline {
     * de-duplicated corpus. Fully SQL-expressible (recursive CTE oracle).
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val base = keepBase(spark, dir, withShingles = false).persist()
+    val base = keepBase(spark, dir).persist()
     try {
-      val comp = componentsFrom(base)
+      // r15: pruned vertex scan (see componentsFrom) — the lazy output
+      // plan re-reads doc_id only instead of re-running the full base
+      val comp = componentsFrom(base,
+        Tables.documents(spark, dir).select(col("doc_id").as("v")))
       val sizes = comp.groupBy(col("component")).agg(count(lit(1)).cast("int").as("cluster_size"))
       comp.join(sizes, Seq("component"))
         .select(col("v").as("doc_id"), col("component").as("cluster_id"),
@@ -1702,30 +1705,27 @@ object Pipeline {
 
   /** Shared single-projection base for the composed operators
     * ([[pipelineKeep]], [[dedupBestRep]]): every ROW-LOCAL text derivation
-    * the components need — fingerprint, quality, tokens, shingles — in one
-    * pass over `documents` (VERDICT r4 #5: the composed queries re-scanned
+    * the EAGER cluster-edge computation needs — fingerprint + hashed
+    * token set (+ lang, n_chars for the jaccard blocking) — in one pass
+    * over `documents` (VERDICT r4 #5: the composed queries re-scanned
     * and re-shingled per component). Callers persist it for the eager
-    * cluster-edge computation and release it before returning; lazy
-    * consumers in the returned plan recompute only their column-pruned
-    * slice. */
-  private def keepBase(spark: SparkSession, dir: String,
-      withShingles: Boolean = true): DataFrame = {
+    * edge computation and release it before returning.
+    *
+    * r15 optimization: the base no longer carries shingles or quality —
+    * those only fed the callers' LAZY output plans, which now derive
+    * them from [[keepSignals]]/fresh pruned scans instead of
+    * re-executing this (by then unpersisted) cache's full child per
+    * branch. The construction-time cache materializes only what the
+    * edge pass reads. */
+  private def keepBase(spark: SparkSession, dir: String): DataFrame = {
     // r15 (VERDICT r14 #2 — pipeline_keep2 alone paid 59 s task-GC): the
     // persisted base stores NO string arrays. Tokens are hashed once into
     // a sorted distinct LONG set (the exactShinglePairs treatment — equal
     // to string-set jaccard whenever xxhash64 is injective on the corpus,
-    // and a collision fails the gate loudly); shingles are hashed and
-    // their two sizes precomputed row-local. The cache shrinks from
-    // ~20-char strings to 8-byte longs per element and every downstream
-    // pair/join kernel touches primitives only.
-    val sh3 = Text.shingles(col("text"), 3)
+    // and a collision fails the gate loudly).
     val rowLocal = Seq(
       Text.fingerprint(col("text")).as("fp"),
-      Text.qualityScore(col("text")).as("quality"),
-      Dedup.sortedHashSet(Text.tokens(col("text"))).as("toks_hs")) ++
-      (if (withShingles) Seq(
-        transform(sh3, s => xxhash64(s)).as("sh3_h"),
-        size(sh3).as("n_sh3")) else Nil)
+      Dedup.sortedHashSet(Text.tokens(col("text"))).as("toks_hs"))
     // repartition first: the row-local kernels are CPU-bound and a small
     // parquet input may arrive as one partition (the dedupSimhash /
     // minhashBuckets pattern — decouple kernel parallelism from layout)
@@ -1755,8 +1755,18 @@ object Pipeline {
 
   /** (doc_id → component) closure over exact ∪ near-dup edges from the
     * shared base; the edge computation runs EAGERLY inside
-    * [[Dedup.connectedComponents]], against the caller's cached base. */
-  private def componentsFrom(base: DataFrame): DataFrame = {
+    * [[Dedup.connectedComponents]], against the caller's cached base.
+    *
+    * r15 optimization: the vertex frame is passed in as a PRUNED scan
+    * (`documents.select(doc_id)`) instead of `base.select(doc_id)` — the
+    * returned mapping join is part of the caller's LAZY output plan, and
+    * a base-derived vertex branch re-executed the FULL keepBase child
+    * (tokenize + shingle + hash over the whole corpus) after the
+    * caller's `unpersist`, because an InMemoryRelation recomputes its
+    * entire cached projection with no column pruning. Same vertex set
+    * (base has exactly one row per doc_id), one full-corpus text pass
+    * less per consumer. */
+  private def componentsFrom(base: DataFrame, vertices: DataFrame): DataFrame = {
     val withFp = base.select(col("doc_id"), col("fp"))
     val keepers = withFp.groupBy(col("fp")).agg(min(col("doc_id")).as("a"))
     val exactEdges = withFp.join(keepers, Seq("fp"))
@@ -1764,28 +1774,56 @@ object Pipeline {
       .select(col("a"), col("doc_id").as("b"))
     val nearEdges = ngramJaccardFrom(base)
       .select(col("id_a").as("a"), col("id_b").as("b"))
-    Dedup.connectedComponents(exactEdges.unionByName(nearEdges),
-      base.select(col("doc_id").as("v")))
+    Dedup.connectedComponents(exactEdges.unionByName(nearEdges), vertices)
   }
 
-  /** [[contaminationNgram]]'s per-doc flag over the shared base (same
-    * single-reference join shape — see the r9 note there). */
-  private def contaminationFrom(base: DataFrame): DataFrame = {
-    // joins on the 8-byte shingle hash, not the shingle string — same
-    // flags modulo xxhash64 injectivity, and the probe-join shuffle
-    // carries longs instead of ~20-char strings
-    val docSh = base.select(col("doc_id"), explode(col("sh3_h")).as("s")).distinct()
-    val probe = docSh.filter(col("doc_id") % 97 === 0).select(col("s")).distinct()
+  /** One-pass per-doc keep signals (quality, repetition quantile,
+    * contamination flag) for [[pipelineKeep]]/[[pipelineKeep2]].
+    *
+    * r15 optimization (guide §1/§2 — the bench's biggest single payer):
+    * the previous final plan referenced the caller's by-then-unpersisted
+    * `keepBase` cache from THREE branches (rep_q projection, the
+    * contamination subquery, the cluster vertex list), and an unpersisted
+    * InMemoryRelation re-executes its full child per branch — three
+    * tokenize+shingle+hash passes over the corpus per timed run. This
+    * frame derives the same three signals from ONE text-derivation pass:
+    * explode the hashed shingles once, collapse duplicates per (doc,
+    * shingle) — giving both the distinct count rep_q needs and the
+    * distinct-hit semantics contamination needs — then probe-join and
+    * roll up per doc. Bit-identical arithmetic: rep_q keeps the exact
+    * double-division-then-floor expression; the contamination ratio
+    * keeps `floor(n_shared·10⁴/n_distinct) ≥ 5000` over the same
+    * distinct-shingle counts, gated to corpus (doc_id % 97 ≠ 0) docs
+    * exactly as the probe/corpus split did (probe docs and shingle-less
+    * docs read 0, the value the old left-join + coalesce produced). */
+  private def keepSignals(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val sh3h = transform(Text.shingles(col("text"), 3), s => xxhash64(s))
+    // repartition first — same rationale as keepBase: the row-local
+    // shingle/quality kernels are CPU-bound and must not inherit a
+    // small parquet layout's partitioning
+    val d = Tables.documents(spark, dir).repartition(par, col("doc_id"))
+      .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"),
+        sh3h.as("sh3_h"))
+    val probe = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 97 === 0)
+      .select(explode(sh3h).as("s")).distinct()
       .withColumn("hit", lit(1))
-    val corpus = docSh.filter(col("doc_id") % 97 =!= 0)
-    corpus.join(probe, Seq("s"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        coalesce(sum(col("hit")), lit(0)).as("n_shared"))
-      .withColumn("contaminated",
-        when(floor(col("n_shared") * lit(10000.0) / col("n_shingles")).cast("long") >= 5000, 1)
-          .otherwise(0))
-      .select(col("doc_id"), col("contaminated"))
+    d.select(col("doc_id"), col("quality"), size(col("sh3_h")).as("n_sh3"),
+        explode_outer(col("sh3_h")).as("s"))
+      .groupBy(col("doc_id"), col("quality"), col("n_sh3"), col("s"))
+      .agg(count(lit(1)).as("__dup"))
+      .join(probe, Seq("s"), "left")
+      .groupBy(col("doc_id"), col("quality"), col("n_sh3"))
+      .agg(count(when(col("s").isNotNull, lit(1))).as("__nd"),
+        coalesce(sum(col("hit")), lit(0L)).as("__ns"))
+      .select(col("doc_id"), col("quality"),
+        when(col("n_sh3") > 0,
+          floor((lit(1.0) - col("__nd").cast("double") / col("n_sh3").cast("double"))
+            * 10000).cast("long")).as("rep_q"),
+        when(col("doc_id") % 97 =!= 0 && col("__nd") > 0,
+          when(floor(col("__ns") * lit(10000.0) / col("__nd")).cast("long") >= 5000, 1)
+            .otherwise(0)).otherwise(0).as("contaminated"))
   }
 
   /** pipeline_keep: end-to-end corpus selection — the decision a
@@ -1799,17 +1837,18 @@ object Pipeline {
     * scan ([[keepBase]]) — cached through the eager edge computation,
     * released before returning. */
   def pipelineKeep(spark: SparkSession, dir: String): DataFrame = {
+    // r15: the construction-time cache is the NARROW base (no shingles,
+    // no quality consumer) — it only feeds the eager edge computation
+    // (fp + toks_hs); the returned plan derives its per-doc signals from
+    // [[keepSignals]]' single text pass instead of three re-executions
+    // of the unpersisted cache's full child (guide §1.2: remove passes).
     val base = keepBase(spark, dir).persist()
     try {
-      val clusters = componentsFrom(base)
+      val clusters = componentsFrom(base,
+          Tables.documents(spark, dir).select(col("doc_id").as("v")))
         .select(col("v").as("doc_id"), col("component").as("cluster_id"))
-      val cont = contaminationFrom(base)
-      base.select(col("doc_id"), col("quality"),
-          when(col("n_sh3") > 0,
-            floor((lit(1.0) - size(array_distinct(col("sh3_h"))).cast("double") /
-              col("n_sh3").cast("double")) * 10000).cast("long")).as("rep_q"))
+      keepSignals(spark, dir)
         .join(clusters, Seq("doc_id"))
-        .join(cont, Seq("doc_id"), "left")
         .withColumn("reason",
           when(col("cluster_id") =!= col("doc_id"), "duplicate")
             .when(col("quality") < 0.5, "low_quality")
@@ -1833,20 +1872,17 @@ object Pipeline {
     * like the existing ones; the PII/LM branches add one row-local
     * regexp pass and the (a,b)-keyed LM join — no new all-pairs work. */
   def pipelineKeep2(spark: SparkSession, dir: String): DataFrame = {
+    // r15: same single-text-pass restructure as [[pipelineKeep]].
     val base = keepBase(spark, dir).persist()
     try {
-      val clusters = componentsFrom(base)
+      val clusters = componentsFrom(base,
+          Tables.documents(spark, dir).select(col("doc_id").as("v")))
         .select(col("v").as("doc_id"), col("component").as("cluster_id"))
-      val cont = contaminationFrom(base)
       val pii = pipelinePii(spark, dir).select(col("doc_id"),
         (col("n_email") + col("n_card") + col("n_ip") + col("n_phone")).as("n_pii"))
       val lms = textLmScore(spark, dir).select(col("doc_id"), col("score_ppm"))
-      base.select(col("doc_id"), col("quality"),
-          when(col("n_sh3") > 0,
-            floor((lit(1.0) - size(array_distinct(col("sh3_h"))).cast("double") /
-              col("n_sh3").cast("double")) * 10000).cast("long")).as("rep_q"))
+      keepSignals(spark, dir)
         .join(clusters, Seq("doc_id"))
-        .join(cont, Seq("doc_id"), "left")
         .join(pii, Seq("doc_id"))
         .join(lms, Seq("doc_id"), "left") // <2-token docs have no bigrams
         .withColumn("reason",
@@ -1903,18 +1939,26 @@ object Pipeline {
     * aggregate per cluster (map-side partials — no window sort over the
     * corpus); clusters and quality come from the shared [[keepBase]] scan. */
   def dedupBestRep(spark: SparkSession, dir: String): DataFrame = {
-    val base = keepBase(spark, dir, withShingles = false).persist()
-    try dedupBestRepFrom(base)
+    val base = keepBase(spark, dir).persist()
+    try dedupBestRepFrom(spark, dir, base)
     finally { base.unpersist(blocking = false); () }
   }
 
-  private def dedupBestRepFrom(base: DataFrame): DataFrame = {
-    val comp = componentsFrom(base)
+  private def dedupBestRepFrom(spark: SparkSession, dir: String,
+      base: DataFrame): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // r15: pruned vertex scan + a FRESH quality projection — both were
+    // base references that re-executed the full unpersisted cache child
+    // (tokenize + hash the corpus) inside the lazy output plan; the
+    // fresh plan computes doc_id+quality only (see componentsFrom note)
+    val comp = componentsFrom(base, docs.select(col("doc_id").as("v")))
     val sizes = comp.groupBy(col("component"))
       .agg(count(lit(1)).cast("int").as("cluster_size"))
     val clusters = comp.join(sizes, Seq("component"))
       .select(col("v").as("doc_id"), col("component").as("cluster_id"), col("cluster_size"))
-    val qual = base.select(col("doc_id"), col("quality"))
+    val par = spark.sparkContext.defaultParallelism
+    val qual = docs.repartition(par, col("doc_id"))
+      .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
     clusters.join(qual, Seq("doc_id"))
       .groupBy(col("cluster_id"))
       .agg(
