@@ -334,9 +334,6 @@ object Pipeline {
   def containment(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val par = spark.sparkContext.defaultParallelism
-    val docs = Tables.documents(spark, dir)
-      .repartition(par, col("doc_id"))
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
     // token strings are hashed ONCE here and the whole candidate stage
     // (df aggregate, window rank, postings joins) runs on 8-byte longs.
     // The Spark-side prefix order is therefore (df, tokenHash) while the
@@ -344,8 +341,27 @@ object Pipeline {
     // pigeonhole bound holds for ANY prefLen-subset), so the candidate
     // sets may differ between engines but the verified OUTPUT cannot;
     // ContainmentSpec pins completeness against the naive all-pairs model
-    val dt0 = docs.select(col("doc_id"), explode(col("toks")).as("tok")).distinct()
-      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+    //
+    // r15 optimization (guide §2.3/§2.4 — this query was the suite's
+    // top task-GC payer at 42 s): every consumer (postings, doc sizes,
+    // both verification sides) now hangs off ONE exchange that already
+    // carries the sorted distinct HASH set per doc. Before, the reused
+    // exchange carried raw text, so the exploded-string distinct
+    // (shuffling ~20-char tokens), the sz aggregate, and two separate
+    // sortedHashSet re-derivations all re-tokenized the corpus above it
+    // — tokenize ×3, hash-set build ×2, plus a full string shuffle.
+    // Now: tokenize+hash once below the second exchange (the first
+    // parallelizes the CPU-bound kernels off the parquet layout), the
+    // per-doc postings explode from the set (already distinct — the
+    // (doc, token) distinct exchange vanishes), and the size aggregate
+    // becomes a row-local `size(hs)`. Identical output under the
+    // documented xxhash64-injectivity contract the verification step
+    // already relies on.
+    val base = Tables.documents(spark, dir)
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"), Dedup.sortedHashSet(Text.tokens(col("text"))).as("hs"))
+      .repartition(par, col("doc_id"))
+    val dt0 = base.select(col("doc_id"), explode(col("hs")).as("th"))
     // global document frequency over the FULL corpus (the rarity order
     // must not depend on the size floor), then restrict both pair sides
     // to docs with ≥ 30 distinct tokens: measured at sf0.01, threshold
@@ -354,7 +370,7 @@ object Pipeline {
     // discriminates nothing), while 0.9 with the ≥ 30 floor admits 496 —
     // actual boilerplate/quotation structure
     val dfreq = dt0.groupBy(col("th")).agg(count(lit(1)).as("df"))
-    val sz = dt0.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sz = base.select(col("doc_id"), size(col("hs")).cast("long").as("sz"))
       .filter(col("sz") >= 30)
     val dt = dt0.join(sz.select(col("doc_id")), Seq("doc_id"))
     // rarest-first rank within each doc; prefix length = sz − ⌈0.9·sz⌉ + 1
@@ -375,10 +391,9 @@ object Pipeline {
         (col("sz_a") === col("sz_b") && col("id_a") < col("id_b")))
       .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .distinct()
-    val hs = docs.select(col("doc_id"), Dedup.sortedHashSet(col("toks")).as("hs"))
     cand
-      .join(hs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
-      .join(hs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .join(base.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(base.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .withColumn("n_common",
         graft.functions.CommonCountSortedExpr.commonCount(col("hs_a"), col("hs_b")))
       .filter(expr("(n_common * 10000) div sz_a") >= 9000)
