@@ -104,6 +104,28 @@ object Graph {
     * garbage-collected (the GraphFrames-style default); the query surface
     * (`graph_reach_conv`) consumes eagerly and releases, which
     * CacheHygieneSpec pins. */
+  /** Shuffle-partition count for an iterative loop over a materialized
+    * frame of `bytes` in-memory bytes (guide §2.2 — scale-adaptive, not
+    * the session constant): grow one partition per 4 MB up to the
+    * cluster's parallelism (CPU floor), then one per 128 MB beyond it
+    * (byte ceiling), never below 1. A kilobyte-scale frontier loop runs
+    * its joins/distincts on 1–2 partitions instead of paying
+    * `spark.sql.shuffle.partitions` × per-task overhead per level
+    * (measured: the dominant per-level cost at sf0.1), while a
+    * 100 GB edge set still fans out past the core count. */
+  private[graft] def loopPartitions(bytes: Long, parallelism: Int): Int = {
+    val cpuFloor = math.min(parallelism.toLong, (bytes >> 22) + 1)
+    val byteCeil = (bytes >> 27) + 1
+    math.max(1L, math.max(cpuFloor, byteCeil)).toInt
+  }
+
+  /** In-memory + on-disk size of every persisted RDD id in `ids`, read
+    * from the block manager after materialization (no extra job). */
+  private[graft] def storedBytes(sc: org.apache.spark.SparkContext,
+      ids: Seq[Int]): Long =
+    sc.getRDDStorageInfo.filter(i => ids.contains(i.id))
+      .map(i => i.memSize + i.diskSize).sum
+
   def kHopLevelsConvergedReleasable(edges: DataFrame, sources: DataFrame,
       maxK: Int, checkpointEvery: Int = 4): (DataFrame, () => Unit) = {
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
@@ -136,35 +158,60 @@ object Graph {
     // the edge list is re-read by EVERY level's eager action — checkpoint
     // it once so levels read executor-cached blocks instead of re-running
     // the upstream scan/distinct per level (measured: the dominant
-    // per-level cost on a parquet-derived edge list). It is PRE-PARTITIONED
-    // on the join key and checkpointed WITHOUT reRoot: the checkpoint's
-    // LogicalRDD keeps the hashpartitioning(a) metadata (reRoot would drop
-    // it), so every level's frontier⋈edges join skips the edge-side
-    // exchange — the edges never union, so the constraint bug reRoot
-    // works around cannot bite here.
-    val e = track(edges.select(col("a"), col("b"))
-      .repartition(col("a")).localCheckpoint())
-    var visited = sources.select(col("src"), col("src").as("node"),
-      lit(0).as("hop"))
-    var frontier = cp(visited.select("src", "node"))
-    var h = 1
-    var converged = frontier.isEmpty
-    while (h <= maxK && !converged) {
-      val next = frontier.alias("f")
-        .join(e.alias("ed"), col("f.node") === col("ed.a"))
-        .select(col("f.src"), col("ed.b").as("node"))
-        .distinct()
-        .join(visited.select("src", "node"), Seq("src", "node"), "left_anti")
-      val nextCp = cp(next)
-      if (nextCp.isEmpty) converged = true
-      else {
-        visited = visited.unionByName(nextCp.withColumn("hop", lit(h)))
-        if (h % checkpointEvery == 0) visited = cp(visited)
-        frontier = nextCp
+    // per-level cost on a parquet-derived edge list).
+    //
+    // r15 optimization (guide §2.2): the loop's shuffle-partition count
+    // is DERIVED from the materialized edge bytes instead of inheriting
+    // `spark.sql.shuffle.partitions` — at sf0.1 the whole frontier fits
+    // in a few MB yet every level paid 3 shuffles × 32 map+reduce tasks
+    // of pure scheduling overhead (measured 0.14→1.2 s/level as the
+    // visited union grew). The edges materialize once at session
+    // partitioning (one pass over the upstream subtree — counting first
+    // would run it twice), their stored size picks `loopParts`, and the
+    // loop runs under that override (restored in `finally`; every
+    // shuffle the override affects is executed eagerly inside the loop).
+    // The re-shuffle to loopParts is over already-materialized blocks.
+    // The edge frame stays PRE-PARTITIONED on the join key and
+    // checkpointed WITHOUT reRoot: the checkpoint's LogicalRDD keeps the
+    // hashpartitioning(a) metadata (reRoot would drop it), so every
+    // level's frontier⋈edges join skips the edge-side exchange — the
+    // edges never union, so the constraint bug reRoot works around
+    // cannot bite here.
+    val spark = edges.sparkSession
+    val eRaw = track(edges.select(col("a"), col("b")).localCheckpoint())
+    val eRawIds = cpIds.toList
+    val loopParts = loopPartitions(storedBytes(sc, eRawIds), sc.defaultParallelism)
+    val confKey = "spark.sql.shuffle.partitions"
+    val savedParts = spark.conf.get(confKey)
+    try {
+      spark.conf.set(confKey, loopParts)
+      val e = track(eRaw.repartition(loopParts, col("a")).localCheckpoint())
+      // the raw materialization is superseded by the re-partitioned copy
+      eRawIds.foreach(id => sc.getPersistentRDDs.get(id).foreach { r =>
+        r.unpersist(blocking = false); ()
+      })
+      var visited = sources.select(col("src"), col("src").as("node"),
+        lit(0).as("hop"))
+      var frontier = cp(visited.select("src", "node"))
+      var h = 1
+      var converged = frontier.isEmpty
+      while (h <= maxK && !converged) {
+        val next = frontier.alias("f")
+          .join(e.alias("ed"), col("f.node") === col("ed.a"))
+          .select(col("f.src"), col("ed.b").as("node"))
+          .distinct()
+          .join(visited.select("src", "node"), Seq("src", "node"), "left_anti")
+        val nextCp = cp(next)
+        if (nextCp.isEmpty) converged = true
+        else {
+          visited = visited.unionByName(nextCp.withColumn("hop", lit(h)))
+          if (h % checkpointEvery == 0) visited = cp(visited)
+          frontier = nextCp
+        }
+        h += 1
       }
-      h += 1
-    }
-    (visited, release)
+      (visited, release)
+    } finally spark.conf.set(confKey, savedParts)
   }
 
   /** Fresh logical root over an (already checkpointed, hence materialized)
@@ -175,4 +222,138 @@ object Graph {
     * the frame, and the anti-join rereads all prior levels each level. */
   private def reRoot(cp: DataFrame): DataFrame =
     org.apache.spark.sql.GraftDatasetBridge.reRootInternal(cp)
+
+  /** Multi-source BFS per-(source, hop) POPULATION COUNTS via source
+    * bitmasks — the MS-BFS shape (guide §8: shuffle a lightweight proxy):
+    * state is ONE row per reached node carrying a ⌈S/64⌉-word bitmask of
+    * the sources that reached it, instead of one row per (source, node)
+    * pair. Per level the frontier⋈edges join touches each edge at most
+    * once (vs once per source sharing the frontier node), the per-node
+    * OR-merge replaces the (src, node) distinct, and the visited
+    * anti-join becomes a word-wise `new = next & ~visited`. Measured at
+    * sf0.1 (40 sources over a ~21k-node component): the pair loop
+    * churned up to 460k new pairs and ~3M joined rows in one level; the
+    * mask loop's per-level volume is bounded by |reached nodes|.
+    *
+    * Contract: identical counts to `kHopLevelsConverged(...).groupBy(src,
+    * hop).count()` — a node contributes to (src, hop) iff its bit first
+    * sets at that level, which is exactly BFS-minimal shortest-hop.
+    * Computed EAGERLY (per-level localCheckpoint + bounded final collect
+    * of |sources|·(diameter+1) rows); every block is released before
+    * return, like the pagerank idiom.
+    *
+    * Returns None when |sources| exceeds `maxMaskSources` (the mask is
+    * maxMaskSources/64 LONG columns — plan width, not data volume, is
+    * the binding constraint) or is zero; callers fall back to the pair
+    * loop. */
+  def msBfsLevelCounts(edges: DataFrame, sources: DataFrame, maxK: Int,
+      maxMaskSources: Int = 4096): Option[DataFrame] = {
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val srcRows = sources.select(col("src")).distinct()
+      .limit(maxMaskSources + 1).collect()
+    val s = srcRows.length
+    if (s == 0 || s > maxMaskSources) return None
+    val srcVals = srcRows.map(_.get(0)).sortBy(_.toString)
+    // deterministic index: sort order only affects bit layout, never the
+    // per-source counts
+    val w = (s + 63) / 64
+    val mcols = (0 until w).map(i => s"m$i")
+    val srcType = sources.schema.fields.head.dataType
+    import scala.jdk.CollectionConverters._
+    val idxDf = spark.createDataFrame(
+      srcVals.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(v, i, i / 64, 1L << (i % 64))
+      }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src", srcType),
+        org.apache.spark.sql.types.StructField("idx",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("wd",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("bm",
+          org.apache.spark.sql.types.LongType))))
+    val cpIds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def track(c: DataFrame): DataFrame = {
+      val queue = scala.collection.mutable.Queue[org.apache.spark.rdd.RDD[_]](c.rdd)
+      val seen = scala.collection.mutable.Set.empty[Int]
+      while (queue.nonEmpty) {
+        val r = queue.dequeue()
+        if (seen.add(r.id)) {
+          if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) cpIds += r.id
+          else queue ++= r.dependencies.map(_.rdd)
+        }
+      }
+      c
+    }
+    def cp(df: DataFrame): DataFrame = reRoot(track(df.localCheckpoint()))
+    def releaseAll(): Unit =
+      cpIds.foreach(id => sc.getPersistentRDDs.get(id).foreach { r =>
+        r.unpersist(blocking = false); ()
+      })
+    val confKey = "spark.sql.shuffle.partitions"
+    val savedParts = spark.conf.get(confKey)
+    try {
+      // edge materialization + size-derived loop partitioning, exactly
+      // the kHopLevelsConvergedReleasable treatment
+      val eRaw = track(edges.select(col("a"), col("b")).localCheckpoint())
+      val loopParts = loopPartitions(storedBytes(sc, cpIds.toList), sc.defaultParallelism)
+      spark.conf.set(confKey, loopParts)
+      val e = track(eRaw.repartition(loopParts, col("a")).localCheckpoint())
+      val init = idxDf.groupBy(col("src").as("node"))
+        .agg(mcols.zipWithIndex.map { case (m, i) =>
+          expr(s"sum(case when wd = $i then bm else 0L end)").as(m)
+        }.head, mcols.zipWithIndex.tail.map { case (m, i) =>
+          expr(s"sum(case when wd = $i then bm else 0L end)").as(m)
+        }: _*)
+      var visited = cp(init.select(col("node") +: mcols.map(col): _*))
+      var frontier = visited
+      val levels = scala.collection.mutable.ArrayBuffer[(DataFrame, Int)]((frontier, 0))
+      var h = 1
+      var converged = false
+      while (h <= maxK && !converged) {
+        val next0 = frontier.alias("f")
+          .join(e.alias("ed"), col("f.node") === col("ed.a"))
+          .groupBy(col("ed.b").as("node"))
+          .agg(expr(s"bit_or(f.${mcols.head})").as(mcols.head),
+            mcols.tail.map(m => expr(s"bit_or(f.$m)").as(m)): _*)
+        val merged = visited.alias("v")
+          .join(next0.alias("n"), col("v.node") === col("n.node"), "full_outer")
+          .select(coalesce(col("v.node"), col("n.node")).as("node") +:
+            mcols.map(m =>
+              expr(s"coalesce(v.$m, 0L) | coalesce(n.$m, 0L)").as(m)) ++:
+            mcols.map(m =>
+              expr(s"coalesce(n.$m, 0L) & ~coalesce(v.$m, 0L)").as(s"f_$m")): _*)
+        val mcp = cp(merged)
+        val nextFrontier = mcp
+          .filter(mcols.map(m => col(s"f_$m") =!= 0L).reduce(_ || _))
+          .select(col("node") +: mcols.map(m => col(s"f_$m").as(m)): _*)
+        val fCp = cp(nextFrontier)
+        if (fCp.isEmpty) converged = true
+        else {
+          visited = mcp.select(col("node") +: mcols.map(col): _*)
+          frontier = fCp
+          levels += ((fCp, h))
+        }
+        h += 1
+      }
+      // rollup: explode each level's new-bit words, probe the broadcast
+      // (src, wd, bm) index — one pass over Σ|new rows|, at the end
+      val lvlUnion = levels.map { case (df, hop) =>
+        df.select(col("node") +: mcols.map(col) :+ lit(hop).as("hop"): _*)
+      }.reduce(_ unionByName _)
+      val words = lvlUnion.select(col("hop"),
+        posexplode(array(mcols.map(col): _*)).as(Seq("wd", "mv")))
+        .filter(col("mv") =!= 0L)
+      val counts = words.join(broadcast(idxDf), words("wd") === idxDf("wd") &&
+          (words("mv").bitwiseAND(idxDf("bm")) =!= 0L))
+        .groupBy(col("src"), col("hop"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val out = counts.collect()
+      Some(spark.createDataFrame(java.util.Arrays.asList(out: _*), counts.schema))
+    } finally {
+      spark.conf.set(confKey, savedParts)
+      releaseAll()
+    }
+  }
 }

@@ -75,16 +75,28 @@ object Graphs {
     val sources = Tables.part(spark, dir)
       .filter(col("p_partkey") % 500 === 0)
       .select((col("p_partkey") * 2).as("src"))
-    val (levels, release) =
-      Graph.kHopLevelsConvergedReleasable(edges, sources, maxK = 32)
-    try {
-      val rows = levels.groupBy(col("src"), col("hop"))
-        .agg(count(lit(1)).as("n_nodes"))
-        .select(decodeSrc("src").as("src"), col("hop"), col("n_nodes"))
-        .orderBy(col("src"), col("hop"))
-      val collected = rows.collect() // bounded: |sources| × (diameter + 1)
-      spark.createDataFrame(java.util.Arrays.asList(collected: _*), rows.schema)
-    } finally release()
+    // r15 optimization: the per-(source, hop) COUNT is all this contract
+    // consumes, so the traversal runs as bitmask MS-BFS (one row per
+    // node, |sources| bits of state — see Graph.msBfsLevelCounts) instead
+    // of materializing every (source, node) pair per level; identical
+    // counts, ~20× less per-level join volume at sf0.1. Above the
+    // mask-width gate (or with zero sources) it falls back to the pair
+    // loop — same output either way (GraphSpec pins the parity).
+    val rows0 = Graph.msBfsLevelCounts(edges, sources, maxK = 32).getOrElse {
+      val (levels, release) =
+        Graph.kHopLevelsConvergedReleasable(edges, sources, maxK = 32)
+      try {
+        val rows = levels.groupBy(col("src"), col("hop"))
+          .agg(count(lit(1)).as("n_nodes"))
+        // bounded: |sources| × (diameter + 1)
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows.collect(): _*), rows.schema)
+      } finally release()
+    }
+    val rows = rows0
+      .select(decodeSrc("src").as("src"), col("hop"), col("n_nodes"))
+      .orderBy(col("src"), col("hop"))
+    spark.createDataFrame(java.util.Arrays.asList(rows.collect(): _*), rows.schema)
   }
 
   /** graph_triangles: per-node triangle counts over the co-supply
@@ -199,10 +211,24 @@ object Graphs {
     val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("odeg"))
     val ed = edges.join(deg, Seq("a")).persist()
     var cpIds: Seq[Int] = Nil
+    // r15 optimization (guide §2.2, the kHopLevelsConvergedReleasable
+    // treatment): the whole computation below is EAGER (per-round
+    // localCheckpoints + the final bounded collect), so the iteration's
+    // shuffle-partition count can be derived from the materialized edge
+    // count instead of the session constant — at sf0.1 each of the 4
+    // rounds paid 2–3 shuffles × 32-task scheduling overhead over a
+    // ~72k-row edge frame. Restored in `finally` before returning the
+    // 50-row local frame.
+    val confKey = "spark.sql.shuffle.partitions"
+    val savedParts = spark.conf.get(confKey)
     try {
       val nodes = ed.select(col("a").as("n")).distinct()
       val nNodes = nodes.count()
       require(nNodes > 0, "graph_pagerank: empty graph")
+      val nEdges = ed.count() // cache already materialized by nodes.count
+      spark.conf.set(confKey,
+        graft.ops.Graph.loopPartitions(nEdges * 24L,
+          spark.sparkContext.defaultParallelism))
       val base = 15000000000L / (100L * nNodes)
       var ranks = nodes.withColumn("r", lit(1000000000L / nNodes))
       for (_ <- 1 to iters) {
@@ -231,6 +257,7 @@ object Graphs {
       spark.createDataFrame(
         java.util.Arrays.asList(top.collect(): _*), top.schema)
     } finally {
+      spark.conf.set(confKey, savedParts)
       ed.unpersist(blocking = false)
       cpIds.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
         .foreach { r => r.unpersist(blocking = false); () })

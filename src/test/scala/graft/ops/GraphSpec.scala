@@ -150,4 +150,51 @@ class GraphSpec extends SparkTestBase {
     }.toSet
     assert(run(edges, sources, k) === expected)
   }
+
+  // ---- msBfsLevelCounts (r15): the bitmask MS-BFS count contract ----
+
+  private def maskCounts(edges: Seq[(String, String)], sources: Seq[String],
+      maxK: Int, cap: Int = 4096): Option[Set[(String, Int, Long)]] =
+    Graph.msBfsLevelCounts(edges.toDF("a", "b"), sources.toDF("src"), maxK, cap)
+      .map(_.collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2))).toSet)
+
+  private def pairCounts(edges: Seq[(String, String)], sources: Seq[String],
+      maxK: Int): Set[(String, Int, Long)] =
+    naiveBfs(edges, sources, maxK).groupBy(p => (p._1, p._3))
+      .map { case ((s, h), g) => (s, h, g.size.toLong) }.toSet
+
+  test("mask MS-BFS counts match naive BFS on chain ⊕ clique") {
+    val sources = Seq("n0", "c0")
+    assert(maskCounts(chainCliqueEdges, sources, 32) ===
+      Some(pairCounts(chainCliqueEdges, sources, 32)))
+  }
+
+  test("mask MS-BFS counts match naive BFS on random graphs incl. >64 sources") {
+    val rnd = new scala.util.Random(41)
+    // 70 sources forces a 2-word mask — the word-boundary arithmetic is
+    // where a broken layout silently merges or drops sources
+    val n = 90
+    val edges = Seq.fill(400)((s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+      .filter(e => e._1 != e._2).distinct
+    val sources = (0 until 70).map(i => s"v$i")
+    assert(maskCounts(edges, sources, 32) ===
+      Some(pairCounts(edges, sources, 32)))
+  }
+
+  test("mask MS-BFS gates: zero sources and over-cap return None; maxK truncates") {
+    assert(maskCounts(chainCliqueEdges, Nil, 32) === None)
+    assert(maskCounts(chainCliqueEdges, Seq("n0", "c0"), 32, cap = 1) === None)
+    // maxK truncation must match the pair semantics (no hops past maxK)
+    assert(maskCounts(chainCliqueEdges, Seq("n0"), 3) ===
+      Some(pairCounts(chainCliqueEdges, Seq("n0"), 3)))
+  }
+
+  test("mask MS-BFS releases every checkpoint block before returning") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = maskCounts(chainCliqueEdges, Seq("n0", "c0"), 1000)
+    assert(got.isDefined && got.get.nonEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"msBfsLevelCounts left blocks cached: $leaked")
+  }
 }
