@@ -51,4 +51,21 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** `df` repartitioned for CPU-bound ROW-LOCAL kernels (regex passes,
+    * tokenize/shingle/hash chains) ONLY when its planned scan
+    * parallelism is below the cluster's — the local test files are
+    * single-row-group parquet, so every scan arrives as ONE partition
+    * and an unrepartitioned kernel runs single-core (r15: measured as
+    * the whole cost of pipeline_pii and friends). A production scan
+    * that is already split at least `defaultParallelism` ways passes
+    * through UNTOUCHED — unlike the unconditional repartition idiom,
+    * this adds no corpus-wide text shuffle at 100 TB (guide §2.4:
+    * remove shuffles outright). The probe reads the physical plan's
+    * partition count only — no job runs. */
+  def cpuSpread(df: DataFrame, key: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df
+    else df.repartition(par, org.apache.spark.sql.functions.col(key))
+  }
 }

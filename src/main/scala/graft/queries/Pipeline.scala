@@ -289,7 +289,8 @@ object Pipeline {
     * whole language's corpus — pair counts stay near-linear as the corpus
     * grows instead of quadratic per language. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // r15: tokenization is row-local CPU — spread a single-split scan
+    val d = Tables.cpuSpread(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), col("lang"), col("n_chars"), Text.tokens(col("text")).as("sh"))
     val bk = floor(col("n_chars") / 50)
     val sample = d.filter(col("doc_id") % 50 === 0)
@@ -483,7 +484,8 @@ object Pipeline {
   /** text_quality: quality-score components and composite per document.
     * All doubles are ratios of exact integers (deterministic bits). */
   def quality(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // r15: row-local CPU kernels — spread a single-split local scan
+    val d = Tables.cpuSpread(Tables.documents(spark, dir), "doc_id")
     d.select(col("doc_id"),
       Text.punctRatio(col("text")).as("punct_ratio"),
       Text.stopwordRatio(col("text")).as("stopword_ratio"),
@@ -1995,7 +1997,9 @@ object Pipeline {
     * injection is replicated verbatim by the oracle so the contract
     * tests detection/redaction, not synthesis (the urlCanon pattern). */
   def pipelinePii(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // r15: ~9 regex passes per doc are pure CPU — spread a single-split
+    // local scan across the cores (no-op on an already-split scan)
+    val d = Tables.cpuSpread(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"),
         concat(col("text"), Pii.syntheticPiiSuffix(col("doc_id"))).as("__t"))
       .withColumn("__red", Pii.redacted(col("__t")))
