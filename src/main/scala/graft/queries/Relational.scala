@@ -34,7 +34,7 @@ object Relational {
 
   /** q1: pricing summary — full-scan hash aggregation with map-side combine. */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+    val li = Tables.cpuSpread(Tables.lineitem(spark, dir), "l_orderkey")
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
@@ -204,7 +204,8 @@ object Relational {
     * partial combine, no extra scan per grouping set.
     */
   def q13Cube(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+    // r15: the 4-way Expand is row-local CPU — spread a single-split scan
+    val li = Tables.cpuSpread(Tables.lineitem(spark, dir), "l_orderkey")
     li.cube(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         count(lit(1)).as("n_lines"), grouping_id().as("gid"))

@@ -236,8 +236,18 @@ class PlanQualitySpec extends SparkTestBase {
   test("pii redaction is join-free row-local regexp work, no UDF") {
     val p = plan("pipeline_pii")
     assert(!p.contains("Join"), s"pii pass must not join:\n$p")
-    assert(!p.contains("Exchange hashpartitioning"),
-      s"pii pass must not shuffle below the contract sort:\n$p")
+    // r15: the one allowed hash exchange is Tables.cpuSpread's explicit
+    // REPARTITION_BY_NUM below the regex projections — it exists only
+    // when the local single-row-group scan plans fewer partitions than
+    // the cluster has cores, and a production (pre-split) scan gets no
+    // exchange at all. Any ENSURE_REQUIREMENTS hash exchange would mean
+    // a join/aggregation crept into the pass — still forbidden.
+    val induced = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("REPARTITION_BY_NUM"))
+    assert(induced.isEmpty,
+      s"pii pass must not shuffle below the contract sort (beyond the explicit cpu spread):\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"at most the single explicit cpu-spread exchange is allowed:\n$p")
     assert(!p.contains("UDF"), s"pii pass must stay codegen regexp:\n$p")
   }
 
