@@ -44,7 +44,12 @@ object Graphs {
   private def decodeSrc(name: String): org.apache.spark.sql.Column =
     concat(lit("p"), expr(s"$name div 2").cast("string"))
 
-  /** graph_khop: nodes first reached at each BFS level ≤ 3, per source. */
+  /** graph_khop: nodes first reached at each BFS level ≤ 3, per source.
+    * Stays on the unrolled single-action pair BFS: the mask MS-BFS that
+    * pays off for the converged closure (reach_conv) was MEASURED SLOWER
+    * here (1.55 → 2.17 s at sf0.1) — at depth 3 its per-level
+    * checkpoint + emptiness probe overhead exceeds the pair volume it
+    * saves. */
   def kHop(spark: SparkSession, dir: String): DataFrame = {
     val (edges, sources) = graph(spark, dir)
     Graph.kHopLevels(edges, sources, 3)

@@ -70,8 +70,10 @@ object Pipeline {
   private[graft] def minhashVerified(spark: SparkSession, dir: String,
       maxBroadcast: Long = MaxBroadcastCandidatePairs): DataFrame = {
     val sh = Text.shingles(col("text"), 3)
+    // r15: shingle+hash chains are row-local CPU — spread a single-split
+    // local scan before them (no-op on a pre-split production scan)
     minhashVerifiedFrom(spark,
-      Tables.documents(spark, dir)
+      Tables.cpuSpread(Tables.documents(spark, dir), "doc_id")
         .select(col("doc_id"), Dedup.baseHashes(sh).as("h1"),
           Dedup.sortedHashSet(sh).as("hs")),
       maxBroadcast)
