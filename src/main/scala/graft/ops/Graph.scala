@@ -325,6 +325,9 @@ object Graph {
             mcols.map(m =>
               expr(s"coalesce(n.$m, 0L) & ~coalesce(v.$m, 0L)").as(s"f_$m")): _*)
         val mcp = cp(merged)
+        // the frontier IS materialized per level (a lazy filter over the
+        // merge was MEASURED slower — the frontier is consumed twice:
+        // next level's join and the final rollup)
         val nextFrontier = mcp
           .filter(mcols.map(m => col(s"f_$m") =!= 0L).reduce(_ || _))
           .select(col("node") +: mcols.map(m => col(s"f_$m").as(m)): _*)

@@ -216,6 +216,7 @@ object Graphs {
     val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("odeg"))
     val ed = edges.join(deg, Seq("a")).persist()
     var cpIds: Seq[Int] = Nil
+    var nodesIds: Seq[Int] = Nil
     // r15 optimization (guide §2.2, the kHopLevelsConvergedReleasable
     // treatment): the whole computation below is EAGER (per-round
     // localCheckpoints + the final bounded collect), so the iteration's
@@ -227,10 +228,17 @@ object Graphs {
     val confKey = "spark.sql.shuffle.partitions"
     val savedParts = spark.conf.get(confKey)
     try {
-      val nodes = ed.select(col("a").as("n")).distinct()
+      // r15: the node frame is localCheckpointed ONCE — it is re-read by
+      // every round's left join (and the rank init), and the lazy
+      // distinct re-shuffled the cached edges per round; the count then
+      // reads the materialized blocks. Its block ids live OUTSIDE the
+      // round-chain release set (the chain releases superseded rounds;
+      // nodes must survive all of them) and are freed in `finally`.
+      val nodes = ed.select(col("a").as("n")).distinct().localCheckpoint()
+      nodesIds = graft.ops.Lineage.persistedIds(nodes)
       val nNodes = nodes.count()
       require(nNodes > 0, "graph_pagerank: empty graph")
-      val nEdges = ed.count() // cache already materialized by nodes.count
+      val nEdges = ed.count() // cache already materialized by nodes
       spark.conf.set(confKey,
         graft.ops.Graph.loopPartitions(nEdges * 24L,
           spark.sparkContext.defaultParallelism))
@@ -250,7 +258,11 @@ object Graphs {
         cpIds = nextIds
         ranks = next
       }
-      val top = ranks.join(deg.select(col("a").as("n"), col("odeg")), Seq("n"))
+      // r15: the final degree attachment reads the CACHED edge frame
+      // (one distinct over it) — `deg` itself would re-run the whole
+      // lineitem scan + union + distinct subtree, uncached
+      val degN = ed.select(col("a").as("n"), col("odeg")).distinct()
+      val top = ranks.join(degN, Seq("n"))
         .select(
           when(pmod(col("n"), lit(2)) === 0,
             concat(lit("p"), expr("n div 2").cast("string")))
@@ -264,7 +276,7 @@ object Graphs {
     } finally {
       spark.conf.set(confKey, savedParts)
       ed.unpersist(blocking = false)
-      cpIds.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
+      (cpIds ++ nodesIds).foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
         .foreach { r => r.unpersist(blocking = false); () })
       ()
     }
