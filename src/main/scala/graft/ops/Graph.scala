@@ -114,9 +114,16 @@ object Graph {
     * (measured: the dominant per-level cost at sf0.1), while a
     * 100 GB edge set still fans out past the core count. */
   private[graft] def loopPartitions(bytes: Long, parallelism: Int): Int = {
-    val cpuFloor = math.min(parallelism.toLong, (bytes >> 22) + 1)
-    val byteCeil = (bytes >> 27) + 1
-    math.max(1L, math.max(cpuFloor, byteCeil)).toInt
+    // bytes == 0 means the storage probe failed (block eviction or a
+    // storage-info race on a frame known to be non-empty — ADVICE r15),
+    // not a tiny frame: fall back to the cluster parallelism rather than
+    // running every loop shuffle on ONE partition
+    if (bytes <= 0L) math.max(1, parallelism)
+    else {
+      val cpuFloor = math.min(parallelism.toLong, (bytes >> 22) + 1)
+      val byteCeil = (bytes >> 27) + 1
+      math.max(1L, math.max(cpuFloor, byteCeil)).toInt
+    }
   }
 
   /** In-memory + on-disk size of every persisted RDD id in `ids`, read
@@ -223,6 +230,61 @@ object Graph {
   private def reRoot(cp: DataFrame): DataFrame =
     org.apache.spark.sql.GraftDatasetBridge.reRootInternal(cp)
 
+  /** Driver-side multi-source BFS level counts over a BOUNDED collected
+    * edge list — the [[graft.pipeline.Dedup.connectedComponents]] hybrid
+    * pattern (r16): one `limit(cap + 1).collect()` pass decides the gate
+    * AND delivers the edges; within the cap (≤ `maxDriverEdges` rows ×
+    * two 8-byte ids ≈ 16 MB at the default — the same bound the
+    * union-find path carries) the whole traversal is an in-memory BFS
+    * per source over the adjacency map, milliseconds against the
+    * distributed loop's per-level scheduling floor. Above the cap:
+    * None — callers fall back to [[msBfsLevelCounts]] / the pair loop,
+    * the documented scale path. Counts are traversal-order-independent
+    * (BFS-minimal levels), so the hybrid is exactly output-equivalent;
+    * GraphSpec pins parity against naive BFS and the distributed paths.
+    *
+    * @return (src, hop, n_nodes) as a LOCAL frame, or None above the cap
+    */
+  def driverBfsLevelCounts(edges: DataFrame, sources: DataFrame, maxK: Int,
+      maxDriverEdges: Long = 1000000L): Option[DataFrame] = {
+    val spark = edges.sparkSession
+    val capped = edges.select(col("a"), col("b"))
+      .limit(math.min(maxDriverEdges, Int.MaxValue - 1L).toInt + 1).collect()
+    if (capped.length > maxDriverEdges) return None
+    val srcField = sources.select(col("src")).schema.head
+    val srcRows = sources.select(col("src")).distinct().collect().map(_.get(0))
+    val adj = scala.collection.mutable.HashMap
+      .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+    capped.foreach { r =>
+      adj.getOrElseUpdate(r.get(0),
+        scala.collection.mutable.ArrayBuffer.empty[Any]) += r.get(1)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    srcRows.foreach { s =>
+      val seen = scala.collection.mutable.HashSet[Any](s)
+      var frontier: Seq[Any] = Seq(s)
+      var h = 0
+      out += org.apache.spark.sql.Row(s, 0, 1L)
+      while (h < maxK && frontier.nonEmpty) {
+        val next = scala.collection.mutable.ArrayBuffer.empty[Any]
+        frontier.foreach { u =>
+          adj.get(u).foreach(_.foreach { v => if (seen.add(v)) next += v })
+        }
+        h += 1
+        if (next.nonEmpty) out += org.apache.spark.sql.Row(s, h, next.length.toLong)
+        frontier = next.toSeq
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      srcField.copy(name = "src"),
+      org.apache.spark.sql.types.StructField("hop",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_nodes",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    Some(spark.createDataFrame(out.toSeq.asJava, schema))
+  }
+
   /** Multi-source BFS per-(source, hop) POPULATION COUNTS via source
     * bitmasks — the MS-BFS shape (guide §8: shuffle a lightweight proxy):
     * state is ONE row per reached node carrying a ⌈S/64⌉-word bitmask of
@@ -259,7 +321,10 @@ object Graph {
     // per-source counts
     val w = (s + 63) / 64
     val mcols = (0 until w).map(i => s"m$i")
-    val srcType = sources.schema.fields.head.dataType
+    // type of the SAME projection the values came from (ADVICE r15: a
+    // multi-column sources frame with src not first would otherwise pair
+    // srcRows' values with a sibling column's type)
+    val srcType = sources.select(col("src")).schema.head.dataType
     import scala.jdk.CollectionConverters._
     val idxDf = spark.createDataFrame(
       srcVals.zipWithIndex.map { case (v, i) =>
@@ -286,6 +351,10 @@ object Graph {
       }
       c
     }
+    // reRoot kept (r16 A/B): a plain partitioning-preserving
+    // localCheckpoint was tried — the saved visited/frontier exchanges did
+    // NOT pay for LogicalRDD.fromDataset's per-checkpoint constraint/stats
+    // rewrite on these KB-scale frames (msBfs warm probe 3.30 → 4.28 s)
     def cp(df: DataFrame): DataFrame = reRoot(track(df.localCheckpoint()))
     def releaseAll(): Unit =
       cpIds.foreach(id => sc.getPersistentRDDs.get(id).foreach { r =>
@@ -293,12 +362,20 @@ object Graph {
       })
     val confKey = "spark.sql.shuffle.partitions"
     val savedParts = spark.conf.get(confKey)
+    // r16 (measured via MASKLAP): with AQE on, every chunk action paid a
+    // per-exchange re-optimization + job-submission round trip (~0.5 s per
+    // checkpoint on KB-scale frames at 2 partitions); the loop's shuffle
+    // width is already derived explicitly (loopPartitions), so adaptive
+    // planning buys nothing here — off for the loop, restored in finally
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val savedAqe = spark.conf.get(aqeKey)
     try {
       // edge materialization + size-derived loop partitioning, exactly
       // the kHopLevelsConvergedReleasable treatment
       val eRaw = track(edges.select(col("a"), col("b")).localCheckpoint())
       val loopParts = loopPartitions(storedBytes(sc, cpIds.toList), sc.defaultParallelism)
       spark.conf.set(confKey, loopParts)
+      spark.conf.set(aqeKey, "false")
       val e = track(eRaw.repartition(loopParts, col("a")).localCheckpoint())
       val init = idxDf.groupBy(col("src").as("node"))
         .agg(mcols.zipWithIndex.map { case (m, i) =>
@@ -309,36 +386,71 @@ object Graph {
       var visited = cp(init.select(col("node") +: mcols.map(col): _*))
       var frontier = visited
       val levels = scala.collection.mutable.ArrayBuffer[(DataFrame, Int)]((frontier, 0))
+      // one frontier⋈edges hop + per-node OR-merge of candidate bits
+      def stepJoin(fr: DataFrame): DataFrame = fr.alias("f")
+        .join(e.alias("ed"), col("f.node") === col("ed.a"))
+        .groupBy(col("ed.b").as("node"))
+        .agg(expr(s"bit_or(f.${mcols.head})").as(mcols.head),
+          mcols.tail.map(m => expr(s"bit_or(f.$m)").as(m)): _*)
+      def anyNew(prefix: String): org.apache.spark.sql.Column =
+        mcols.map(m => col(s"$prefix$m") =!= 0L).reduce(_ || _)
+      // new-bit rows of a checkpointed merge, renamed back to the mask
+      // columns — a LAZY filter over already-materialized blocks (cheap;
+      // the r15 lazy-frontier experiment that measured slower filtered an
+      // UNmaterialized merge, recomputing it per consumer)
+      def frontierOf(m: DataFrame, prefix: String): DataFrame =
+        m.filter(anyNew(prefix))
+          .select(col("node") +: mcols.map(mm => col(s"$prefix$mm").as(mm)): _*)
+      // visited ⟕⟖ candidate bits: union'd mask + new-bit column group
+      def mergeNew(vis: DataFrame, nxt: DataFrame, carry: Seq[String],
+          newPrefix: String): DataFrame =
+        vis.alias("v")
+          .join(nxt.alias("n"), col("v.node") === col("n.node"), "full_outer")
+          .select(coalesce(col("v.node"), col("n.node")).as("node") +:
+            (mcols.map(m =>
+              expr(s"coalesce(v.$m, 0L) | coalesce(n.$m, 0L)").as(m)) ++
+             carry.flatMap(cPrefix => mcols.map(m =>
+              expr(s"coalesce(v.$cPrefix$m, 0L)").as(s"$cPrefix$m"))) ++
+             mcols.map(m =>
+              expr(s"coalesce(n.$m, 0L) & ~coalesce(v.$m, 0L)").as(s"$newPrefix$m"))): _*)
+      // r16 (VERDICT r15 #3, design recorded in OPTIMIZATION_r15 #1): TWO
+      // levels per action. The per-level floor had become the checkpoint +
+      // frontier-checkpoint + emptiness-probe job TRIPLE (~3 driver round
+      // trips × 9 levels of scheduling over KB-scale data); one chunk now
+      // computes n1→m1→f1→n2→m2 in a single plan carrying BOTH levels'
+      // new-bit words as separate column groups (fa_*, fb_*) on the single
+      // checkpointed m2, and one 1-row aggregate probes both levels'
+      // emptiness — 2 jobs per 2 levels instead of 6. m1 is duplicated
+      // inside the m2 plan (directly and under n2); ReuseExchange covers
+      // its shuffles, and the duplicated join/project work is bounded by
+      // |reached nodes|. Convergence falls out: fa empty ⇒ fb empty.
       var h = 1
       var converged = false
       while (h <= maxK && !converged) {
-        val next0 = frontier.alias("f")
-          .join(e.alias("ed"), col("f.node") === col("ed.a"))
-          .groupBy(col("ed.b").as("node"))
-          .agg(expr(s"bit_or(f.${mcols.head})").as(mcols.head),
-            mcols.tail.map(m => expr(s"bit_or(f.$m)").as(m)): _*)
-        val merged = visited.alias("v")
-          .join(next0.alias("n"), col("v.node") === col("n.node"), "full_outer")
-          .select(coalesce(col("v.node"), col("n.node")).as("node") +:
-            mcols.map(m =>
-              expr(s"coalesce(v.$m, 0L) | coalesce(n.$m, 0L)").as(m)) ++:
-            mcols.map(m =>
-              expr(s"coalesce(n.$m, 0L) & ~coalesce(v.$m, 0L)").as(s"f_$m")): _*)
-        val mcp = cp(merged)
-        // the frontier IS materialized per level (a lazy filter over the
-        // merge was MEASURED slower — the frontier is consumed twice:
-        // next level's join and the final rollup)
-        val nextFrontier = mcp
-          .filter(mcols.map(m => col(s"f_$m") =!= 0L).reduce(_ || _))
-          .select(col("node") +: mcols.map(m => col(s"f_$m").as(m)): _*)
-        val fCp = cp(nextFrontier)
-        if (fCp.isEmpty) converged = true
-        else {
-          visited = mcp.select(col("node") +: mcols.map(col): _*)
-          frontier = fCp
-          levels += ((fCp, h))
+        if (h == maxK) {
+          // odd-maxK trailing level: one merge + one probe, no second hop
+          val mcp = cp(mergeNew(visited, stepJoin(frontier), Nil, "fa_"))
+          val hasA = mcp.agg(max(when(anyNew("fa_"), 1).otherwise(0)))
+            .collect()(0).getInt(0) == 1
+          if (hasA) levels += ((frontierOf(mcp, "fa_"), h))
+          converged = true
+        } else {
+          val m1 = mergeNew(visited, stepJoin(frontier), Nil, "fa_")
+          val m2 = mergeNew(m1, stepJoin(frontierOf(m1, "fa_")), Seq("fa_"), "fb_")
+          val mcp = cp(m2)
+          val flags = mcp.agg(
+            max(when(anyNew("fa_"), 1).otherwise(0)),
+            max(when(anyNew("fb_"), 1).otherwise(0))).collect()(0)
+          val hasA = flags.getInt(0) == 1
+          val hasB = flags.getInt(1) == 1
+          if (hasA) levels += ((frontierOf(mcp, "fa_"), h))
+          if (hasB) {
+            levels += ((frontierOf(mcp, "fb_"), h + 1))
+            visited = mcp.select(col("node") +: mcols.map(col): _*)
+            frontier = frontierOf(mcp, "fb_")
+          } else converged = true
         }
-        h += 1
+        h += 2
       }
       // rollup: explode each level's new-bit words, probe the broadcast
       // (src, wd, bm) index — one pass over Σ|new rows|, at the end
@@ -356,6 +468,7 @@ object Graph {
       Some(spark.createDataFrame(java.util.Arrays.asList(out: _*), counts.schema))
     } finally {
       spark.conf.set(confKey, savedParts)
+      spark.conf.set(aqeKey, savedAqe)
       releaseAll()
     }
   }

@@ -76,13 +76,12 @@ object Dedup {
     * (callers persist it to compute both from one signature pass). */
   def minhashBuckets(docs: DataFrame, idCol: String, shinglesCol: String,
       k: Int = 32, bands: Int = 8): DataFrame = {
-    // repartition by id first: hashing cost is per-shingle CPU, and a small
-    // parquet input may arrive as a single partition — decouple kernel
-    // parallelism from file layout. Explicit partition count: byte-based
-    // AQE coalescing would re-serialize the CPU-bound hashing onto one
-    // task (REPARTITION_BY_NUM is never coalesced).
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val shingleRows = docs.repartition(par, col(idCol))
+    // conditional spread by id first: hashing cost is per-shingle CPU, and
+    // a small parquet input may arrive as a single partition — decouple
+    // kernel parallelism from file layout. Explicit size-derived count:
+    // byte-based AQE coalescing would re-serialize the CPU-bound hashing
+    // onto one task (REPARTITION_BY_NUM is never coalesced).
+    val shingleRows = graft.Tables.cpuSpread(docs, idCol)
       .select(col(idCol).as("id"), explode(col(shinglesCol)).as("s"))
       // the k permutation hashes re-hash ONE 8-byte base hash
       // (xxhash64(i, h1)) instead of re-hashing the shingle STRING k
@@ -104,8 +103,12 @@ object Dedup {
     * k mixers, same band hash. */
   def minhashBucketsFromH1(docs: DataFrame, idCol: String, h1Col: String,
       k: Int = 32, bands: Int = 8): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val shingleRows = docs.repartition(par, col(idCol))
+    // no repartition here (r16): both callers pass a frame ALREADY spread
+    // (cpuSpread) and hash-partitioned on the id — the signature aggregate
+    // rides that exchange (groupBy(id) is satisfied by any
+    // hashpartitioning(id, n)), so the exploded 8-byte h1 rows never pay a
+    // second exchange of their own
+    val shingleRows = docs
       .select(col(idCol).as("id"), explode(col(h1Col)).as("h1"))
     bucketsFromH1Rows(shingleRows, k, bands)
   }

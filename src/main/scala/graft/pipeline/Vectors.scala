@@ -128,11 +128,11 @@ object Vectors {
     import org.apache.spark.sql.expressions.Window
     val queries = emb.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-    // repartition: the dot-product kernel is CPU-bound and small parquet
-    // inputs may be a single partition; explicit count so AQE's byte-based
-    // coalescing cannot re-serialize it
-    val corpus = emb
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+    // conditional spread: the dot-product kernel is CPU-bound and small
+    // parquet inputs may be a single partition; explicit size-derived
+    // count so AQE's byte-based coalescing cannot re-serialize it (r16:
+    // width from scan bytes, not the core-count constant)
+    val corpus = graft.Tables.cpuSpread(emb, "vec_id")
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c"))
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), quantizedDot(col("q"), col("c")).as("sim_q"))
@@ -223,8 +223,7 @@ object Vectors {
     import org.apache.spark.sql.expressions.Window
     val queries = codes.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("code").as("qc"))
-    val corpus = codes
-      .repartition(codes.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+    val corpus = graft.Tables.cpuSpread(codes, "vec_id")
       .select(col("vec_id").as("neighbor_id"), col("code").as("c"))
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -307,8 +306,7 @@ object Vectors {
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = trainCentroids(emb, "vec_id", "embedding", nlist)
-    val corpus = emb
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+    val corpus = graft.Tables.cpuSpread(emb, "vec_id")
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c"),
         element_at(centroidProbes(col("embedding"), cents, 1), 1).as("list_id"))
     val queries = emb.filter(isQuery(col("vec_id")))

@@ -52,9 +52,17 @@ object Graphs {
     * saves. */
   def kHop(spark: SparkSession, dir: String): DataFrame = {
     val (edges, sources) = graph(spark, dir)
-    Graph.kHopLevels(edges, sources, 3)
-      .groupBy(col("src"), col("hop"))
-      .agg(count(lit(1)).as("n_nodes"))
+    // r16: the same driver-BFS tier as reach_conv (edge list within the
+    // bounded 1M-row cap → one collect + in-memory BFS; above it, the
+    // unrolled single-action pair BFS — the documented scale path).
+    // GraphSpec pins count parity across the tiers.
+    val counts = Graph.driverBfsLevelCounts(edges, sources, maxK = 3)
+      .getOrElse {
+        Graph.kHopLevels(edges, sources, 3)
+          .groupBy(col("src"), col("hop"))
+          .agg(count(lit(1)).as("n_nodes"))
+      }
+    counts
       .select(decodeSrc("src").as("src"), col("hop"), col("n_nodes"))
       .orderBy(col("src"), col("hop"))
   }
@@ -80,14 +88,17 @@ object Graphs {
     val sources = Tables.part(spark, dir)
       .filter(col("p_partkey") % 500 === 0)
       .select((col("p_partkey") * 2).as("src"))
-    // r15 optimization: the per-(source, hop) COUNT is all this contract
-    // consumes, so the traversal runs as bitmask MS-BFS (one row per
-    // node, |sources| bits of state — see Graph.msBfsLevelCounts) instead
-    // of materializing every (source, node) pair per level; identical
-    // counts, ~20× less per-level join volume at sf0.1. Above the
-    // mask-width gate (or with zero sources) it falls back to the pair
-    // loop — same output either way (GraphSpec pins the parity).
-    val rows0 = Graph.msBfsLevelCounts(edges, sources, maxK = 32).getOrElse {
+    // r16: three size-gated tiers, cheapest first (the connectedComponents
+    // hybrid doctrine). (1) Edge list within the 1M-row driver cap — one
+    // bounded collect + in-memory BFS (the distributed loop's per-level
+    // scheduling floor measured ~0.3–0.5 s PER CHUNK on KB-scale frontier
+    // frames; the whole driver traversal is milliseconds). (2) Above the
+    // cap but within the 4096-source mask width: bitmask MS-BFS (r15 —
+    // one row per node, |sources| bits of state, ~20× less per-level join
+    // volume than pairs). (3) Else the (src, node) pair loop. Identical
+    // counts on every path (GraphSpec pins the parity incl. the gates).
+    val rows0 = Graph.driverBfsLevelCounts(edges, sources, maxK = 32)
+      .orElse(Graph.msBfsLevelCounts(edges, sources, maxK = 32)).getOrElse {
       val (levels, release) =
         Graph.kHopLevelsConvergedReleasable(edges, sources, maxK = 32)
       try {

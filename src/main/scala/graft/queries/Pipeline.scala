@@ -199,8 +199,10 @@ object Pipeline {
     // the shingle STRINGS are hashed once in this projection and never
     // cached or rebuilt
     val sh0 = Text.shingles(col("text"), 3)
-    val base = Tables.documents(spark, dir)
-      .repartition(par, col("doc_id"))
+    // r16: conditional size-derived spread (VERDICT r15 #2) — the
+    // unconditional repartition(par) shuffled the corpus's raw text and
+    // capped partitioning at the core count
+    val base = Tables.cpuSpread(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), col("lang"), col("n_chars"),
         Dedup.baseHashes(sh0).as("h1"), Dedup.sortedHashSet(sh0).as("shs"))
       .persist()
@@ -226,8 +228,7 @@ object Pipeline {
     * distance to the doc's exact-dup fingerprint bucket — rows-only
     * (seeded hashing), asserted in unit tests. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val d = Tables.cpuSpread(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
     d.select(col("doc_id"), Dedup.simhash(col("sh")).as("simhash"))
       .orderBy(col("doc_id"))
@@ -253,9 +254,7 @@ object Pipeline {
     // blockedPairs is a SELF-join, and without the cache each side
     // re-shingles, re-sorts and re-sketches the whole corpus — the
     // per-doc kernels are the expensive half of this contract's cost.
-    val par = spark.sparkContext.defaultParallelism
-    val d = Tables.documents(spark, dir)
-      .repartition(par, col("doc_id"))
+    val d = Tables.cpuSpread(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), col("lang"), col("n_chars"),
         Text.shingles(col("text"), 3).as("sh0"))
       .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -360,10 +359,16 @@ object Pipeline {
     // becomes a row-local `size(hs)`. Identical output under the
     // documented xxhash64-injectivity contract the verification step
     // already relies on.
-    val base = Tables.documents(spark, dir)
-      .repartition(par, col("doc_id"))
+    // r16 (VERDICT r15 #2): the kernel spread is the conditional
+    // size-derived cpuSpread (the old unconditional repartition(par)
+    // shuffled RAW TEXT and capped partitioning at the core count); the
+    // shared keyed exchange that every consumer hangs off stays — but
+    // keyless-width (session shuffle partitions, AQE-coalescable), so it
+    // neither caps at the core count at scale nor fans a KB-scale
+    // hash-set frame into 32 fixed tasks locally
+    val base = Tables.cpuSpread(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), Dedup.sortedHashSet(Text.tokens(col("text"))).as("hs"))
-      .repartition(par, col("doc_id"))
+      .repartition(col("doc_id"))
     val dt0 = base.select(col("doc_id"), explode(col("hs")).as("th"))
     // global document frequency over the FULL corpus (the rarity order
     // must not depend on the size floor), then restrict both pair sides
@@ -1745,11 +1750,11 @@ object Pipeline {
     val rowLocal = Seq(
       Text.fingerprint(col("text")).as("fp"),
       Dedup.sortedHashSet(Text.tokens(col("text"))).as("toks_hs"))
-    // repartition first: the row-local kernels are CPU-bound and a small
-    // parquet input may arrive as one partition (the dedupSimhash /
-    // minhashBuckets pattern — decouple kernel parallelism from layout)
-    val par = spark.sparkContext.defaultParallelism
-    Tables.documents(spark, dir).repartition(par, col("doc_id")).select(
+    // conditional size-derived spread first: the row-local kernels are
+    // CPU-bound and a small parquet input may arrive as one partition
+    // (the dedupSimhash / minhashBuckets pattern — decouple kernel
+    // parallelism from layout; r16: width from scan bytes, not cores)
+    Tables.cpuSpread(Tables.documents(spark, dir), "doc_id").select(
       col("doc_id") +: col("lang") +: col("n_chars") +: rowLocal: _*)
   }
 
@@ -1816,12 +1821,11 @@ object Pipeline {
     * exactly as the probe/corpus split did (probe docs and shingle-less
     * docs read 0, the value the old left-join + coalesce produced). */
   private def keepSignals(spark: SparkSession, dir: String): DataFrame = {
-    val par = spark.sparkContext.defaultParallelism
     val sh3h = transform(Text.shingles(col("text"), 3), s => xxhash64(s))
-    // repartition first — same rationale as keepBase: the row-local
-    // shingle/quality kernels are CPU-bound and must not inherit a
-    // small parquet layout's partitioning
-    val d = Tables.documents(spark, dir).repartition(par, col("doc_id"))
+    // conditional spread first — same rationale as keepBase: the
+    // row-local shingle/quality kernels are CPU-bound and must not
+    // inherit a small parquet layout's partitioning (r16: size-derived)
+    val d = Tables.cpuSpread(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"),
         sh3h.as("sh3_h"))
     val probe = Tables.documents(spark, dir)
@@ -1975,8 +1979,7 @@ object Pipeline {
       .agg(count(lit(1)).cast("int").as("cluster_size"))
     val clusters = comp.join(sizes, Seq("component"))
       .select(col("v").as("doc_id"), col("component").as("cluster_id"), col("cluster_size"))
-    val par = spark.sparkContext.defaultParallelism
-    val qual = docs.repartition(par, col("doc_id"))
+    val qual = Tables.cpuSpread(docs, "doc_id")
       .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
     clusters.join(qual, Seq("doc_id"))
       .groupBy(col("cluster_id"))

@@ -190,6 +190,45 @@ class GraphSpec extends SparkTestBase {
       Some(pairCounts(chainCliqueEdges, Seq("n0"), 3)))
   }
 
+  test("mask MS-BFS 2-level chunks: odd maxK and every mid-chunk convergence parity (r16)") {
+    // directed chains of diameter 3..6 sweep convergence across both chunk
+    // positions (diameter even → last new bits land in the chunk's SECOND
+    // level fb; odd → in fa with fb empty), and maxK 1..7 sweeps the
+    // odd-maxK trailing single level and both truncation parities — the
+    // exact boundaries the chunked loop could get wrong
+    for (len <- 3 to 6; maxK <- 1 to 7) {
+      val chain = (0 until len).map(i => (s"p$i", s"p${i + 1}"))
+      assert(maskCounts(chain, Seq("p0", "p1"), maxK) ===
+        Some(pairCounts(chain, Seq("p0", "p1"), maxK)),
+        s"chain len=$len maxK=$maxK")
+    }
+  }
+
+  private def driverCounts(edges: Seq[(String, String)], sources: Seq[String],
+      maxK: Int, cap: Long = 1000000L): Option[Set[(String, Int, Long)]] =
+    Graph.driverBfsLevelCounts(edges.toDF("a", "b"), sources.toDF("src"), maxK, cap)
+      .map(_.collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2))).toSet)
+
+  test("driver BFS tier: parity with naive BFS, edge cap gates to None (r16)") {
+    assert(driverCounts(chainCliqueEdges, Seq("n0", "c0"), 32) ===
+      Some(pairCounts(chainCliqueEdges, Seq("n0", "c0"), 32)))
+    // maxK truncation + odd bounds
+    for (maxK <- Seq(1, 2, 3, 7))
+      assert(driverCounts(chainCliqueEdges, Seq("n0"), maxK) ===
+        Some(pairCounts(chainCliqueEdges, Seq("n0"), maxK)), s"maxK=$maxK")
+    // above the cap the driver tier must refuse (the distributed paths own it)
+    assert(driverCounts(chainCliqueEdges, Seq("n0"), 32, cap = 3L) === None)
+    // random-graph parity, the msBfs test's graph through the driver tier
+    val rnd = new scala.util.Random(41)
+    val n = 90
+    val edges = Seq.fill(400)((s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+      .filter(e => e._1 != e._2).distinct
+    val sources = (0 until 70).map(i => s"v$i")
+    assert(driverCounts(edges, sources, 32) ===
+      Some(pairCounts(edges, sources, 32)))
+  }
+
   test("mask MS-BFS releases every checkpoint block before returning") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val got = maskCounts(chainCliqueEdges, Seq("n0", "c0"), 1000)
